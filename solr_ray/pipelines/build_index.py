@@ -1,0 +1,226 @@
+"""Inverted-index build: pages Dataset -> segment directories + global stats.
+
+The Ray-Data-native counterpart of the reference's ingest path (§3.1 of
+SURVEY.md: loader -> update-processor chain -> hash routing
+(CompositeIdRouter.java:136-148) -> per-shard IndexWriter flush -> commit):
+
+  pass 0  url-only pruned read            -> per-bucket counts -> doc_id offsets
+  pass 1  read -> extract_html -> analyze -> groupby(bucket) -> segment build
+          (one immutable segment dir per bucket, manifest-checkpointed)
+  pass 2  per-segment (term, df, cf) partials -> groupby(term).sum -> stats
+  publish corpus.json + index.json manifest (the "commit")
+
+Scale notes (100 TB / 10^12 docs):
+- the bucket shuffle is keyed by hash(url) — uniform by construction; term
+  skew never touches this exchange. Zipf-head terms only meet a shuffle in
+  pass 2, where rows are already per-(segment,term) partials: ≤ num_segments
+  rows per term regardless of corpus size (combiner-style pre-aggregation).
+- num_buckets controls segment size; pick ~ corpus_docs / 1-4M so one bucket
+  group fits a worker's heap. Buckets are contiguous doc_id ranges, so a
+  later tiered merge is pure posting-list concatenation.
+- resume: re-running skips completed buckets via their manifest lineage
+  (input count + config); a fully-complete build returns without reading
+  pages at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from solr_ray.analysis.chain import analyze_batch, get_analyzer
+from solr_ray.stages.docids import add_bucket
+from solr_ray.stages.extract import extract_batch
+from solr_ray.stages.segment import build_segment_tables
+from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
+
+
+def _seg_dir(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, "segments", f"seg={bucket:05d}")
+
+
+def _bucket_counts(pages, key_col: str, num_buckets: int) -> dict[int, int]:
+    """Pass 0: url column only -> {bucket: count}."""
+    counted = pages.select_columns([key_col]).map_batches(
+        lambda t: _count_batch(t, key_col, num_buckets), batch_format="pyarrow"
+    )
+    agg = counted.groupby("bucket").sum("cnt")
+    out = {}
+    for row in agg.take_all():
+        out[int(row["bucket"])] = int(row["sum(cnt)"])
+    return out
+
+
+def _count_batch(t: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
+    t = add_bucket(t, key_col, num_buckets)
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    binc = np.bincount(b, minlength=num_buckets)
+    nz = np.flatnonzero(binc)
+    return pa.table({"bucket": pa.array(nz.astype(np.int64)), "cnt": pa.array(binc[nz].astype(np.int64))})
+
+
+class _SegmentWriter:
+    """groupby(bucket).map_groups body: build + atomically publish one segment."""
+
+    def __init__(self, out_dir: str, offsets: dict[int, int],
+                 lineages: dict[int, str], stored_cols: tuple[str, ...]):
+        self.out_dir = out_dir
+        self.offsets = offsets
+        self.lineages = lineages
+        self.stored_cols = stored_cols
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bucket = int(group["bucket"][0].as_py())
+        seg_dir = _seg_dir(self.out_dir, bucket)
+        lineage = self.lineages[bucket]
+        t0 = time.time()
+        if is_complete(seg_dir, lineage):  # resume: idempotent skip
+            m = read_manifest(seg_dir)
+            return pa.table({"bucket": [bucket], "n_docs": [m["n_docs"]],
+                             "n_terms": [m["n_terms"]], "n_tokens": [m["n_tokens"]],
+                             "skipped": [True]})
+        postings, docs = build_segment_tables(
+            group, self.offsets[bucket], self.stored_cols
+        )
+        os.makedirs(seg_dir, exist_ok=True)
+        pq.write_table(postings, os.path.join(seg_dir, "postings.parquet"))
+        pq.write_table(docs, os.path.join(seg_dir, "docs.parquet"))
+        n_tokens = int(docs["dl"].to_numpy().sum()) if docs.num_rows else 0
+        write_manifest(seg_dir, {
+            "bucket": bucket,
+            "doc_id_offset": self.offsets[bucket],
+            "n_docs": docs.num_rows,
+            "n_terms": postings.num_rows,
+            "n_tokens": n_tokens,
+            "lineage": lineage,
+            "files": ["postings.parquet", "docs.parquet"],
+            "build_sec": round(time.time() - t0, 3),
+        })
+        return pa.table({"bucket": [bucket], "n_docs": [docs.num_rows],
+                         "n_terms": [postings.num_rows], "n_tokens": [n_tokens],
+                         "skipped": [False]})
+
+
+def build_index(
+    pages,
+    out_dir: str,
+    analyzer: str = "text_en",
+    num_buckets: int = 16,
+    text_source: str = "html",
+    stored_cols: tuple[str, ...] = (),
+    resume: bool = True,
+) -> dict:
+    """Build an index at out_dir from a pages Dataset or parquet path(s).
+
+    text_source: "html" (extract first — the north-rule path) or "text"
+    (column already extracted, e.g. the driver's documents table).
+    Returns the index manifest dict.
+    """
+    get_analyzer(analyzer)  # validate eagerly, not deep inside a Ray task
+    if isinstance(pages, (str, list)):
+        pages = ray.data.read_parquet(pages)
+
+    index_json = os.path.join(out_dir, "index.json")
+    # pass 0: counts -> offsets (cheap, url column only)
+    counts = _bucket_counts(pages, "url", num_buckets)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    n_docs = acc
+    lineages = {
+        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        for b in range(num_buckets)
+    }
+
+    if resume and all(
+        is_complete(_seg_dir(out_dir, b), lineages[b])
+        for b in range(num_buckets) if counts.get(b, 0)
+    ) and os.path.exists(index_json):
+        with open(index_json) as f:
+            return json.load(f)
+
+    t0 = time.time()
+    ds = pages
+    if text_source == "html":
+        ds = ds.map_batches(
+            extract_batch, batch_format="pyarrow", zero_copy_batch=True,
+        )
+    az_name = analyzer
+    keep = ["url", "tokens", *stored_cols]
+
+    def _analyze_and_bucket(t: pa.Table) -> pa.Table:
+        # stateless tasks (elastic, no CPU reservation); analyzer state is
+        # process-cached (analysis/chain.py:process_analyzer)
+        t = analyze_batch(t, "text", az_name)
+        t = t.select([c for c in keep if c in t.column_names])
+        return add_bucket(t, "url", num_buckets)
+
+    ds = ds.map_batches(
+        _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols)
+
+    def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
+        return _w(group)
+
+    summaries = (
+        ds.groupby("bucket")
+        .map_groups(write_segment_group, batch_format="pyarrow")
+        .take_all()
+    )
+    build_sec = time.time() - t0
+
+    # pass 2: global term stats from per-segment partials (≤ n_segments rows/term)
+    t1 = time.time()
+    stats_dir = os.path.join(out_dir, "stats")
+    postings_files = [
+        os.path.join(_seg_dir(out_dir, b), "postings.parquet")
+        for b in range(num_buckets) if counts.get(b, 0)
+    ]
+    if postings_files:
+        stats = (
+            ray.data.read_parquet(postings_files, columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(ray.data.aggregate.Sum("df", alias_name="df"),
+                       ray.data.aggregate.Sum("cf", alias_name="cf"))
+        )
+        os.makedirs(stats_dir, exist_ok=True)
+        stats.write_parquet(stats_dir)
+    stats_sec = time.time() - t1
+
+    n_tokens = int(sum(s["n_tokens"] for s in summaries))
+    manifest = {
+        "version": 1,
+        "analyzer": analyzer,
+        "num_buckets": num_buckets,
+        "n_docs": n_docs,
+        "n_tokens": n_tokens,
+        "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+        "k1": 1.2,
+        "b": 0.75,
+        "segments": [
+            {"dir": f"segments/seg={b:05d}", "bucket": b,
+             "doc_id_offset": offsets[b], "n_docs": counts.get(b, 0)}
+            for b in range(num_buckets) if counts.get(b, 0)
+        ],
+        "metrics": {
+            "build_sec": round(build_sec, 3),
+            "stats_sec": round(stats_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1) if build_sec > 0 else None,
+            "skipped_segments": int(sum(1 for s in summaries if s.get("skipped"))),
+        },
+    }
+    tmp = index_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, index_json)  # atomic publish = the "commit"
+    return manifest

@@ -1,0 +1,254 @@
+"""Index reading + BM25 top-k query serving as a Ray Data batch stage.
+
+The stateful-searcher equivalent of SolrIndexSearcher (reference
+solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:153,709):
+an actor loads the (compressed) segments once in ``__init__`` and serves
+batches of queries in ``__call__``. Distributed layout mirrors §3.2's
+scatter/gather: segments are sharded across an actor pool, every query runs
+against every shard, and per-shard top-k results merge with
+``groupby(qid) -> heap merge`` (the mergeIds equivalent,
+QueryComponent.java:879-915). Scores use GLOBAL (df, N, avgdl)
+(ExactStatsCache semantics) so per-shard scores are directly comparable and
+the merged ranking is partition-count-invariant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from solr_ray.analysis.chain import get_analyzer
+from solr_ray.search.bm25 import idf as bm25_idf
+from solr_ray.search.bm25 import tf_norm
+from solr_ray.search.wand import PostingCursor, bmw_topk, taat_topk
+from solr_ray.stages.codec import varint_decode, delta_decode
+
+
+class SegmentIndex:
+    """One immutable segment, held compressed in memory.
+
+    postings stay varint-encoded (≈2 B/posting); term lookup is a dict built
+    once. At 100 TB scale a segment would instead keep the postings parquet
+    mmapped and binary-search row groups by the term sort order — the layout
+    (term-sorted parquet) already supports that.
+    """
+
+    def __init__(self, seg_dir: str):
+        t = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+        self.terms = t["term"].to_pylist()
+        self.lookup = {term: i for i, term in enumerate(self.terms)}
+        self.df = t["df"].to_numpy(zero_copy_only=False)
+        self.enc_docs = t["doc_ids_delta_varint"]
+        self.enc_tfs = t["tfs_varint"]
+        self.block_last = t["block_last_doc"]
+        self.block_max_tf = t["block_max_tf"]
+        self.block_min_dl = t["block_min_dl"]
+        self.block_off_docs = t["block_off_docs"]
+        self.block_off_tfs = t["block_off_tfs"]
+        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.doc_ids = d["doc_id"].to_numpy(zero_copy_only=False)
+        self.doc_base = int(self.doc_ids[0]) if len(self.doc_ids) else 0
+        self.urls = d["url"]
+        self.dl = d["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def full_posting(self, term: str):
+        i = self.lookup.get(term)
+        if i is None:
+            return None
+        ids = delta_decode(varint_decode(self.enc_docs[i].as_py(), int(self.df[i])))
+        tfs = varint_decode(self.enc_tfs[i].as_py(), int(self.df[i])).astype(np.int64)
+        return ids, tfs
+
+    def cursor(self, term: str, term_idf: float, avgdl: float, ord: int = 0):
+        i = self.lookup.get(term)
+        if i is None:
+            return None
+        bmax = np.asarray(self.block_max_tf[i].as_py(), dtype=np.float64)
+        bmin = np.asarray(self.block_min_dl[i].as_py(), dtype=np.float64)
+        ub = term_idf * tf_norm(bmax, bmin, avgdl)
+        return PostingCursor(
+            self.enc_docs[i].as_py(), self.enc_tfs[i].as_py(),
+            self.block_last[i].as_py(), self.block_off_docs[i].as_py(),
+            self.block_off_tfs[i].as_py(), int(self.df[i]), term_idf, ub, ord,
+        )
+
+    def url_of(self, doc_id: int) -> str:
+        return self.urls[int(doc_id) - self.doc_base].as_py()
+
+
+class IndexReader:
+    """Whole-index (or segment-subset) reader with global stats."""
+
+    def __init__(self, index_dir: str, segment_ids: list[int] | None = None):
+        with open(os.path.join(index_dir, "index.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.k1 = float(self.manifest.get("k1", 1.2))
+        self.b = float(self.manifest.get("b", 0.75))
+        self.analyzer = get_analyzer(self.manifest["analyzer"])
+        segs = self.manifest["segments"]
+        if segment_ids is not None:
+            wanted = set(segment_ids)
+            segs = [s for s in segs if s["bucket"] in wanted]
+        self.segments = [
+            SegmentIndex(os.path.join(index_dir, s["dir"])) for s in segs
+        ]
+        # global df: exact-stats table (term -> df across ALL segments)
+        self.global_df: dict[str, int] = {}
+        stats_dir = os.path.join(index_dir, "stats")
+        if os.path.isdir(stats_dir):
+            st = pq.read_table(stats_dir, columns=["term", "df"])
+            self.global_df = dict(
+                zip(st["term"].to_pylist(), st["df"].to_numpy(zero_copy_only=False))
+            )
+
+    def query_terms(self, text: str) -> list[str]:
+        """Analyzed, deduped, lexicographically sorted query terms — the
+        deterministic accumulation order shared with the oracle."""
+        return sorted(set(self.analyzer.tokenize_text(text)))
+
+    def search(self, text: str, k: int = 10, mode: str = "taat"):
+        """One query across this reader's segments -> (doc_ids, scores)."""
+        terms = [t for t in self.query_terms(text) if self.global_df.get(t)]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        idfs = {
+            t: float(bm25_idf(self.global_df[t], self.n_docs)) for t in terms
+        }
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for seg in self.segments:
+            if mode == "bmw":
+                cursors = [
+                    c for ordi, t in enumerate(terms)
+                    if (c := seg.cursor(t, idfs[t], self.avgdl, ordi)) is not None
+                ]
+                if not cursors:
+                    continue
+                ids, sc = bmw_topk(cursors, seg.dl, seg.doc_base, self.avgdl,
+                                   k, self.k1, self.b)
+            else:
+                postings = []
+                for t in terms:
+                    p = seg.full_posting(t)
+                    if p is not None:
+                        postings.append((p[0], p[1], idfs[t]))
+                if not postings:
+                    continue
+                ids, sc = taat_topk(postings, seg.dl, seg.doc_base,
+                                    self.avgdl, k, self.k1, self.b)
+            all_ids.append(ids)
+            all_scores.append(sc)
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_scores)
+        order = np.lexsort((ids, -sc))[:k]
+        return ids[order], sc[order]
+
+    def url_of(self, doc_id: int) -> str:
+        for seg in self.segments:
+            if seg.doc_base <= doc_id < seg.doc_base + seg.dl.size:
+                return seg.url_of(doc_id)
+        raise KeyError(doc_id)
+
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("qid", pa.int64()),
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class SearchActor:
+    """map_batches callable: batch of queries(qid, text) -> top-k result rows.
+
+    Index loading happens once per actor (__init__), per-batch work is pure
+    scoring — the actor-pool pattern for stateful stages.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "taat",
+                 segment_ids: list[int] | None = None):
+        self.reader = IndexReader(index_dir, segment_ids)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, urls, scores = [], [], [], [], []
+        for qid, text in zip(batch["qid"].to_pylist(), batch["text"].to_pylist()):
+            ids, sc = self.reader.search(text, self.k, self.mode)
+            for r, (d, s) in enumerate(zip(ids.tolist(), sc.tolist()), 1):
+                qids.append(qid)
+                ranks.append(r)
+                docs.append(d)
+                urls.append(self.reader.url_of(d))
+                scores.append(s)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def search_dataset(
+    queries_ds,
+    index_dir: str,
+    k: int = 10,
+    mode: str = "taat",
+    concurrency: int | None = None,
+    num_shards: int = 1,
+):
+    """Queries Dataset -> results Dataset (qid, rank, doc_id, url, score).
+
+    num_shards=1: every actor holds the whole index (query-parallel).
+    num_shards>1: segments are sharded across num_shards actor groups; each
+    group scores every query over its shard; a groupby(qid) merge re-ranks —
+    the distributed scatter/gather of §3.2. Results are identical because
+    scores use global stats.
+    """
+    concurrency = concurrency or 4
+    if num_shards <= 1:
+        return queries_ds.map_batches(
+            SearchActor, fn_constructor_args=(index_dir, k, mode),
+            batch_format="pyarrow", concurrency=concurrency, batch_size=64,
+        )
+
+    with open(os.path.join(index_dir, "index.json")) as f:
+        manifest = json.load(f)
+    buckets = [s["bucket"] for s in manifest["segments"]]
+    shards = [buckets[i::num_shards] for i in range(num_shards)]
+    shards = [s for s in shards if s]
+    parts = [
+        queries_ds.map_batches(
+            SearchActor, fn_constructor_args=(index_dir, k, mode, shard),
+            batch_format="pyarrow", concurrency=concurrency, batch_size=64,
+        )
+        for shard in shards
+    ]
+    union = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        out = g.take(order)
+        return out.set_column(
+            out.schema.get_field_index("rank"),
+            "rank",
+            pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+        )
+
+    return union.groupby("qid").map_groups(merge_topk, batch_format="pyarrow")

@@ -1,0 +1,225 @@
+"""Top-k retrieval algorithms over compressed posting lists.
+
+Two interchangeable strategies (verified identical in tests):
+
+- ``taat_topk`` — exact term-at-a-time scoring: decode each query term's full
+  posting list, accumulate BM25 into a dense per-segment score array with
+  numpy. This is the throughput path for short lists / small segments.
+- ``bmw_topk`` — document-at-a-time **block-max WAND** (Ding & Suel 2011,
+  public; the mechanism Lucene uses for impact-based top-k skipping, invoked
+  by the reference via TopScoreDocCollector —
+  SolrIndexSearcher.java:1775-1794, QueryComponent.java:426-430): per-block
+  impact bounds (codec block_max_tf / block_min_dl) let whole 128-posting
+  blocks be skipped without decoding once the running top-k threshold
+  exceeds their score bound.
+
+Ties break by ascending doc_id — Lucene's collector rule — so "rank
+identical" is well defined.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from solr_ray.search.bm25 import B, K1
+from solr_ray.stages.codec import varint_decode
+
+
+def _order_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Sort candidates by (-score, doc_id) and truncate to k."""
+    if doc_ids.size == 0:
+        return doc_ids, scores
+    if doc_ids.size > k * 4:
+        part = np.argpartition(-scores, min(k, scores.size - 1))[: k * 2]
+        doc_ids, scores = doc_ids[part], scores[part]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def taat_topk(
+    postings: list[tuple[np.ndarray, np.ndarray, float]],
+    dl: np.ndarray,
+    doc_base: int,
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> tuple[np.ndarray, np.ndarray]:
+    """postings: per query term [(local doc_ids... absolute ids, tfs, idf)].
+
+    Accumulation order = the caller's term order (sorted unique query terms)
+    — deterministic, shared with the oracle, so float sums are bit-equal.
+    """
+    acc = np.zeros(dl.size, dtype=np.float64)
+    for ids, tfs, term_idf in postings:
+        loc = ids - doc_base
+        d = dl[loc].astype(np.float64)
+        acc[loc] += term_idf * (tfs / (tfs + k1 * (1.0 - b + b * d / avgdl)))
+    cand = np.flatnonzero(acc > 0.0)
+    ids, sc = _order_topk(cand + doc_base, acc[cand], k)
+    return ids, sc
+
+
+class PostingCursor:
+    """Block-addressable cursor over one term's compressed posting list."""
+
+    __slots__ = (
+        "enc_docs", "enc_tfs", "block_last", "off_d", "off_t", "df",
+        "idf", "block_ub", "n_blocks", "bi", "ids", "tfs", "pos",
+        "doc", "exhausted", "max_score", "ord",
+    )
+
+    def __init__(self, enc_docs, enc_tfs, block_last, off_d, off_t, df, term_idf, block_ub, ord: int = 0):
+        self.ord = ord
+        self.enc_docs = enc_docs
+        self.enc_tfs = enc_tfs
+        self.block_last = np.asarray(block_last, dtype=np.int64)
+        self.off_d = np.asarray(off_d, dtype=np.int64)
+        self.off_t = np.asarray(off_t, dtype=np.int64)
+        self.df = int(df)
+        self.idf = float(term_idf)
+        self.block_ub = np.asarray(block_ub, dtype=np.float64)
+        self.max_score = float(self.block_ub.max()) if self.block_ub.size else 0.0
+        self.n_blocks = self.block_last.size
+        self.bi = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= self.n_blocks:
+            self.exhausted = True
+            self.doc = np.iinfo(np.int64).max
+            return
+        self.bi = bi
+        d_end = self.off_d[bi + 1] if bi + 1 < self.n_blocks else len(self.enc_docs)
+        t_end = self.off_t[bi + 1] if bi + 1 < self.n_blocks else len(self.enc_tfs)
+        deltas = varint_decode(self.enc_docs[self.off_d[bi] : d_end])
+        base = 0 if bi == 0 else int(self.block_last[bi - 1])
+        self.ids = base + np.cumsum(deltas.astype(np.int64))
+        self.tfs = varint_decode(self.enc_tfs[self.off_t[bi] : t_end]).astype(np.int64)
+        self.pos = 0
+        self.doc = int(self.ids[0])
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= self.ids.size:
+            self._load_block(self.bi + 1)
+        else:
+            self.doc = int(self.ids[self.pos])
+
+    def advance(self, target: int) -> None:
+        """Move to the first doc >= target, skipping whole blocks."""
+        if self.exhausted or self.doc >= target:
+            return
+        if target > int(self.block_last[-1]):
+            self.exhausted = True
+            self.doc = np.iinfo(np.int64).max
+            return
+        bi = int(np.searchsorted(self.block_last, target, side="left"))
+        if bi != self.bi:
+            self._load_block(bi)
+            if self.doc >= target:
+                return
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= self.ids.size:  # can't happen given block_last check
+            self._load_block(self.bi + 1)
+        else:
+            self.doc = int(self.ids[self.pos])
+
+    @property
+    def tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+    def current_block_ub(self) -> float:
+        return float(self.block_ub[self.bi]) if not self.exhausted else 0.0
+
+    def current_block_last(self) -> int:
+        return int(self.block_last[self.bi]) if not self.exhausted else np.iinfo(np.int64).max
+
+
+def bmw_topk(
+    cursors: list[PostingCursor],
+    dl: np.ndarray,
+    doc_base: int,
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND top-k. Returns (doc_ids, scores) ordered like taat."""
+    cursors = [c for c in cursors if not c.exhausted]
+    # min-heap of (score, -doc_id): worst kept entry at heap[0]
+    heap: list[tuple[float, int]] = []
+    theta = 0.0
+
+    def push(score: float, doc: int) -> None:
+        nonlocal theta
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+            if len(heap) == k:
+                theta = heap[0][0]
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+            theta = heap[0][0]
+
+    INF = np.iinfo(np.int64).max
+    while True:
+        cursors = [c for c in cursors if not c.exhausted]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.doc)
+        full = len(heap) >= k
+        # --- pivot: first prefix whose sum of term max scores beats theta
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_score
+            if (acc > theta) if full else (acc > 0.0):
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no remaining doc can beat the current top-k
+        pivot_doc = cursors[pivot].doc
+        # align the lead cursors on pivot_doc (they may jump past it)
+        for c in cursors[: pivot + 1]:
+            if c.doc < pivot_doc:
+                c.advance(pivot_doc)
+        at_pivot = [c for c in cursors if not c.exhausted and c.doc == pivot_doc]
+        if not at_pivot:
+            continue  # everything moved past pivot_doc: re-pivot
+        # --- block-max refinement: within the current blocks (and before the
+        # next cursor beyond the pivot), no doc can beat theta → skip blocks
+        if full:
+            block_acc = sum(c.current_block_ub() for c in at_pivot)
+            if block_acc <= theta:
+                boundary = min(c.current_block_last() for c in at_pivot)
+                rest = [
+                    c.doc for c in cursors
+                    if not c.exhausted and c.doc > pivot_doc
+                ]
+                target = min(boundary + 1, min(rest) if rest else INF)
+                target = max(target, pivot_doc + 1)
+                for c in at_pivot:
+                    c.advance(target)
+                continue
+        # --- full evaluation of pivot_doc
+        d = float(dl[pivot_doc - doc_base])
+        norm = k1 * (1.0 - b + b * d / avgdl)
+        # sum in term order (cursor.ord) so float sums bit-match taat
+        s = 0.0
+        for c in sorted(at_pivot, key=lambda c: c.ord):
+            tf = float(c.tf)
+            s += c.idf * (tf / (tf + norm))
+        push(s, pivot_doc)
+        for c in at_pivot:
+            c.next()
+
+    if not heap:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    items = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    ids = np.array([-d for _, d in items], dtype=np.int64)
+    sc = np.array([s for s, _ in items], dtype=np.float64)
+    return ids, sc

@@ -1,0 +1,208 @@
+"""Per-partition segment build: docs -> sorted, compressed posting lists.
+
+The Ray-native equivalent of Lucene's in-RAM inverted buffer flush
+(SolrIndexWriter — reference
+solr/core/src/java/org/apache/solr/update/SolrIndexWriter.java:54,148-150,
+flush threshold SolrIndexConfig.java:99-153): one bucket-group of documents
+becomes one immutable segment directory:
+
+    segments/seg=<id>/postings.parquet   term-sorted posting lists (codec.py)
+    segments/seg=<id>/docs.parquet       doc_id, url, dl (+ stored fields)
+    segments/seg=<id>/manifest.json      lineage + metrics (state/manifest.py)
+
+The entire build is vectorized: ONE arrow group_by computes (doc,term) tfs,
+ONE varint pass encodes every posting list of the segment (per-term slicing is
+zero-copy offset arithmetic on the shared buffer), and block impact metadata
+comes from ``np.maximum.reduceat`` over the contiguous block tiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from solr_ray.stages.codec import BLOCK_SIZE
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    nb = np.ones(v.size, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nb += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    return nb
+
+
+def _varint_encode_flat(v: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """LEB128 bytes for the whole flat array (uint8 ndarray)."""
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    offsets = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nb[:-1], out=offsets[1:])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[offsets[mask] + k] = chunk.astype(np.uint8) | cont
+    return out
+
+
+def _sliced_large_binary(data: np.ndarray, value_nb: np.ndarray, starts: np.ndarray) -> pa.Array:
+    """Split one byte stream into a large_binary array at value boundaries.
+
+    starts: value index of each output element's first value (ascending,
+    tiling the whole array). Zero-copy: offsets point into the shared buffer.
+    """
+    byte_cum = np.zeros(value_nb.size + 1, dtype=np.int64)
+    np.cumsum(value_nb, out=byte_cum[1:])
+    t = starts.size
+    offs = np.empty(t + 1, dtype=np.int64)
+    offs[:t] = byte_cum[starts]
+    offs[t] = byte_cum[-1]
+    return pa.Array.from_buffers(
+        pa.large_binary(), t, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())]
+    )
+
+
+def encode_postings_columns(
+    terms_sorted: pa.Array,
+    doc_ids_f: np.ndarray,
+    tfs_f: np.ndarray,
+    dls_f: np.ndarray,
+    term_starts: np.ndarray,
+) -> pa.Table:
+    """Flat (term-major, doc_id-ascending-within-term) postings -> table.
+
+    terms_sorted: unique term per run (len T); term_starts: first flat index
+    of each term's run (len T, ascending, term_starts[0] == 0).
+    """
+    n = doc_ids_f.size
+    t = term_starts.size
+    counts = np.empty(t, dtype=np.int64)
+    counts[:-1] = np.diff(term_starts)
+    counts[-1] = n - term_starts[-1]
+
+    # --- doc id deltas with reset at term starts
+    deltas = doc_ids_f.copy()
+    deltas[1:] -= doc_ids_f[:-1]
+    deltas[term_starts] = doc_ids_f[term_starts]
+    deltas_u = deltas.astype(np.uint64)
+    nb_d = _varint_nbytes(deltas_u)
+    enc_d = _varint_encode_flat(deltas_u, nb_d)
+
+    tfs_u = tfs_f.astype(np.uint64)
+    nb_t = _varint_nbytes(tfs_u)
+    enc_t = _varint_encode_flat(tfs_u, nb_t)
+
+    # --- per-term block tiling (contiguous over the flat arrays)
+    n_blocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    first_block = np.zeros(t + 1, dtype=np.int64)
+    np.cumsum(n_blocks, out=first_block[1:])
+    total_b = int(first_block[-1])
+    term_of_block = np.repeat(np.arange(t, dtype=np.int64), n_blocks)
+    block_in_term = np.arange(total_b, dtype=np.int64) - first_block[term_of_block]
+    block_start = term_starts[term_of_block] + BLOCK_SIZE * block_in_term
+    run_end = term_starts[term_of_block] + counts[term_of_block]
+    block_end = np.minimum(block_start + BLOCK_SIZE, run_end)
+
+    block_max_tf = np.maximum.reduceat(tfs_f, block_start) if total_b else np.empty(0, np.int64)
+    block_min_dl = np.minimum.reduceat(dls_f, block_start) if total_b else np.empty(0, np.int64)
+    block_last = doc_ids_f[block_end - 1] if total_b else np.empty(0, np.int64)
+
+    # per-block byte offsets (relative to the term's slice) so WAND can decode
+    # one 128-posting block without decompressing the whole list
+    byte_cum_d = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb_d, out=byte_cum_d[1:])
+    byte_cum_t = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb_t, out=byte_cum_t[1:])
+    if total_b:
+        blk_off_d = byte_cum_d[block_start] - byte_cum_d[term_starts[term_of_block]]
+        blk_off_t = byte_cum_t[block_start] - byte_cum_t[term_starts[term_of_block]]
+    else:
+        blk_off_d = blk_off_t = np.empty(0, np.int64)
+
+    boff = pa.array(first_block, type=pa.int64())
+    cf = np.add.reduceat(tfs_f, term_starts) if n else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "term": terms_sorted,
+            "df": pa.array(counts, type=pa.int64()),
+            "cf": pa.array(cf, type=pa.int64()),
+            "doc_ids_delta_varint": _sliced_large_binary(enc_d, nb_d, term_starts),
+            "tfs_varint": _sliced_large_binary(enc_t, nb_t, term_starts),
+            "block_last_doc": pa.LargeListArray.from_arrays(boff, pa.array(block_last, type=pa.int64())),
+            "block_max_tf": pa.LargeListArray.from_arrays(boff, pa.array(block_max_tf.astype(np.int32))),
+            "block_min_dl": pa.LargeListArray.from_arrays(
+                boff, pa.array(np.minimum(block_min_dl, np.iinfo(np.int32).max).astype(np.int32))
+            ),
+            "block_off_docs": pa.LargeListArray.from_arrays(boff, pa.array(blk_off_d, type=pa.int64())),
+            "block_off_tfs": pa.LargeListArray.from_arrays(boff, pa.array(blk_off_t, type=pa.int64())),
+        }
+    )
+
+
+def build_segment_tables(
+    group: pa.Table,
+    doc_id_offset: int,
+    stored_cols: tuple[str, ...] = (),
+) -> tuple[pa.Table, pa.Table]:
+    """One bucket group (url, h, dl, tokens [, stored...]) -> (postings, docs).
+
+    Doc order within the segment is (h, url) ascending — deterministic and
+    independent of how Ray blocked the shuffle (stages/docids.py).
+    """
+    group = group.combine_chunks()
+    order = pc.sort_indices(
+        group.select(["h", "url"]),
+        sort_keys=[("h", "ascending"), ("url", "ascending")],
+    )
+    group = group.take(order)
+    n = group.num_rows
+    doc_ids = doc_id_offset + np.arange(n, dtype=np.int64)
+
+    toks = group["tokens"].combine_chunks() if isinstance(group["tokens"], pa.ChunkedArray) else group["tokens"]
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_terms = toks.flatten()
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    dl = counts.astype(np.int64)
+
+    if len(flat_terms) == 0:
+        postings = encode_postings_columns(
+            pa.array([], type=pa.string()),
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    else:
+        # (doc, term) -> tf in one C++ hash groupby, then term-major sort
+        tf_tbl = (
+            pa.table({"did": pa.array(parent + doc_id_offset), "term": flat_terms})
+            .group_by(["did", "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        sort_idx = pc.sort_indices(
+            tf_tbl.select(["term", "did"]),
+            sort_keys=[("term", "ascending"), ("did", "ascending")],
+        )
+        tf_tbl = tf_tbl.take(sort_idx)
+        terms_f = tf_tbl["term"].combine_chunks()
+        did_f = tf_tbl["did"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs_f = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls_f = dl[did_f - doc_id_offset]
+
+        # term run boundaries via dictionary indices
+        denc = terms_f.dictionary_encode()
+        tidx = denc.indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.diff(tidx, prepend=tidx[0] - 1))
+        uniq_terms = terms_f.take(pa.array(starts))
+        postings = encode_postings_columns(uniq_terms, did_f, tfs_f, dls_f, starts)
+
+    docs_cols = {
+        "doc_id": pa.array(doc_ids),
+        "url": group["url"],
+        "dl": pa.array(dl),
+    }
+    for c in stored_cols:
+        if c in group.column_names:
+            docs_cols[c] = group[c]
+    return postings, pa.table(docs_cols)

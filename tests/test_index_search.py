@@ -1,0 +1,146 @@
+"""End-to-end: Ray build + search vs the single-process oracle.
+
+The control-vs-distributed equivalence pattern of the reference
+(BaseDistributedSearchTestCase.java:98): identical corpus indexed by the Ray
+pipeline and by the pure-Python oracle; every query must be rank- AND
+score-identical (exact float64 equality — same accumulation order by design),
+across parallelism levels, sharded serving, and resume.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from solr_ray.pipelines.build_index import build_index
+from solr_ray.search.oracle import OracleIndex
+from solr_ray.search.searcher import IndexReader, search_dataset
+
+NB = 4
+
+
+@pytest.fixture(scope="module")
+def index_dir(pages_300_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    build_index(pages_300_path, out, analyzer="text_en", num_buckets=NB)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(pages_300):
+    return OracleIndex(pages_300, analyzer="text_en", num_buckets=NB)
+
+
+def test_manifest_counts(index_dir, oracle):
+    import json
+
+    with open(os.path.join(index_dir, "index.json")) as f:
+        man = json.load(f)
+    assert man["n_docs"] == oracle.n_docs == 300
+    assert man["avgdl"] == pytest.approx(oracle.avgdl, rel=0, abs=0)
+    assert sum(s["n_docs"] for s in man["segments"]) == 300
+
+
+def test_doc_order_matches_oracle(index_dir, oracle):
+    reader = IndexReader(index_dir)
+    urls = []
+    for seg in reader.segments:
+        urls.extend(seg.urls.to_pylist())
+    assert urls == oracle.urls
+
+
+def test_global_df_matches_oracle(index_dir, oracle):
+    reader = IndexReader(index_dir)
+    assert len(reader.global_df) == len(oracle.df)
+    for t, df in oracle.df.items():
+        assert int(reader.global_df[t]) == df, t
+
+
+def test_rank_and_score_identical(index_dir, oracle, queries_40):
+    reader = IndexReader(index_dir)
+    for qid, text in zip(queries_40["qid"].to_pylist(), queries_40["text"].to_pylist()):
+        ids_o, sc_o, _ = oracle.search(text, 10)
+        ids_t, sc_t = reader.search(text, 10, mode="taat")
+        assert np.array_equal(ids_o, ids_t), (qid, text)
+        assert np.array_equal(sc_o, sc_t), (qid, text)  # exact float equality
+
+
+def test_wand_equals_taat(index_dir, queries_40):
+    reader = IndexReader(index_dir)
+    for text in queries_40["text"].to_pylist():
+        ids_t, sc_t = reader.search(text, 10, mode="taat")
+        ids_w, sc_w = reader.search(text, 10, mode="bmw")
+        assert np.array_equal(ids_t, ids_w), text
+        assert np.array_equal(sc_t, sc_w), text  # ord-sorted sums bit-match
+
+
+def test_stopword_only_and_unknown_queries(index_dir):
+    reader = IndexReader(index_dir)
+    ids, sc = reader.search("the and of", 10)
+    assert ids.size == 0
+    ids, sc = reader.search("zzzzunknownterm", 10)
+    assert ids.size == 0
+
+
+def test_search_dataset_single_vs_sharded(index_dir, queries_40):
+    import ray.data
+
+    qds = ray.data.from_arrow(queries_40)
+    single = (
+        search_dataset(qds, index_dir, k=10, concurrency=2)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    sharded = (
+        search_dataset(qds, index_dir, k=10, concurrency=2, num_shards=3)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert single.equals(sharded)
+    assert set(single.columns) == {"qid", "rank", "doc_id", "url", "score"}
+
+
+def test_parallelism_invariance(pages_300_path, tmp_path):
+    """Different Ray block layouts -> byte-identical segment tables."""
+    import ray.data
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    ds_1 = ray.data.read_parquet(pages_300_path).repartition(1)
+    ds_8 = ray.data.read_parquet(pages_300_path).repartition(8)
+    build_index(ds_1, out_a, analyzer="text_en", num_buckets=NB)
+    build_index(ds_8, out_b, analyzer="text_en", num_buckets=NB)
+    for b in range(NB):
+        seg = f"segments/seg={b:05d}"
+        pa_a = pq.read_table(os.path.join(out_a, seg, "postings.parquet"))
+        pa_b = pq.read_table(os.path.join(out_b, seg, "postings.parquet"))
+        assert pa_a.equals(pa_b), f"postings differ for bucket {b}"
+        da = pq.read_table(os.path.join(out_a, seg, "docs.parquet"))
+        db = pq.read_table(os.path.join(out_b, seg, "docs.parquet"))
+        assert da.equals(db)
+
+
+def test_resume_skips_and_rebuilds(pages_300_path, tmp_path, queries_40):
+    out = str(tmp_path / "r")
+    man1 = build_index(pages_300_path, out, analyzer="text_en", num_buckets=NB)
+    # full resume: nothing rebuilt, same manifest
+    man2 = build_index(pages_300_path, out, analyzer="text_en", num_buckets=NB)
+    assert man2["n_docs"] == man1["n_docs"]
+
+    # delete one segment manifest -> only that bucket rebuilds; results identical
+    victim = os.path.join(out, "segments", "seg=00001")
+    before = pq.read_table(os.path.join(victim, "postings.parquet"))
+    os.remove(os.path.join(victim, "manifest.json"))
+    man3 = build_index(pages_300_path, out, analyzer="text_en", num_buckets=NB)
+    after = pq.read_table(os.path.join(victim, "postings.parquet"))
+    assert before.equals(after)
+    assert man3["metrics"]["skipped_segments"] == NB - 1
+
+    # a changed config invalidates lineage -> full rebuild, not reuse
+    shutil.rmtree(os.path.join(out, "stats"))
+    man4 = build_index(pages_300_path, out, analyzer="text_general", num_buckets=NB)
+    assert man4["metrics"]["skipped_segments"] == 0
