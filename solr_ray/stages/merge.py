@@ -1,0 +1,215 @@
+"""Tiered segment merging as an actor-pool Ray stage.
+
+Mirrors the role of Lucene's TieredMergePolicy + ConcurrentMergeScheduler
+(configured by the reference at
+solr/core/src/java/org/apache/solr/index/TieredMergePolicyFactory.java:25 and
+SolrIndexWriter.java:54): a driver-side planner picks size-tiered groups of
+segments; a pool of merge workers k-way-merges each group's posting lists into
+one bigger segment (like ExportWriter's MergeIterator,
+solr/core/src/java/org/apache/solr/handler/export/ExportWriter.java:658).
+
+Because doc_ids are contiguous, bucket-ordered ranges (stages/docids.py), a
+merge group of ADJACENT segments concatenates each term's postings in segment
+order and the result is already doc_id-sorted — no interleaving. The merge is
+one vectorized pass: decode each member's whole varint stream at once,
+re-key flat postings by (merged-term-rank, segment-ord), stable-argsort, and
+re-encode with the shared segment encoder. Output segments get their own
+manifests (resumable merges).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from solr_ray.stages.codec import varint_decode
+from solr_ray.stages.segment import encode_postings_columns
+from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
+
+
+def decode_segment_flat(seg_dir: str):
+    """postings.parquet -> (terms: pa.Array unique-per-row, df, flat doc_ids,
+    flat tfs). One varint_decode over the whole column (rows were sliced from
+    one stream at build time; concatenation restores a valid stream)."""
+    t = pq.read_table(
+        os.path.join(seg_dir, "postings.parquet"),
+        columns=["term", "df", "doc_ids_delta_varint", "tfs_varint"],
+    )
+    df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(df.sum())
+    enc_d = b"".join(t["doc_ids_delta_varint"].to_pylist())
+    enc_t = b"".join(t["tfs_varint"].to_pylist())
+    deltas = varint_decode(enc_d, n).astype(np.int64)
+    tfs = varint_decode(enc_t, n).astype(np.int64)
+    starts = np.zeros(df.size, dtype=np.int64)
+    np.cumsum(df[:-1], out=starts[1:])
+    # segmented cumsum: delta at each term start is absolute
+    cs = np.cumsum(deltas)
+    base = np.repeat(cs[starts] - deltas[starts], df)
+    doc_ids = cs - base
+    return t["term"].combine_chunks(), df, doc_ids, tfs
+
+
+def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> dict:
+    """Merge adjacent segments (ascending doc ranges) into out_seg_dir."""
+    t0 = time.time()
+    if is_complete(out_seg_dir, lineage):
+        return read_manifest(out_seg_dir)
+
+    terms_l, df_l, ids_l, tfs_l, ranks_l, segord_l = [], [], [], [], [], []
+    docs_tables = []
+    for s, d in enumerate(seg_dirs):
+        terms, df, ids, tfs = decode_segment_flat(d)
+        terms_l.append(terms)
+        df_l.append(df)
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        segord_l.append(s)
+        docs_tables.append(pq.read_table(os.path.join(d, "docs.parquet")))
+
+    docs = pa.concat_tables(docs_tables).combine_chunks()
+    doc_ids_all = docs["doc_id"].to_numpy(zero_copy_only=False)
+    if doc_ids_all.size:
+        assert np.array_equal(
+            doc_ids_all, np.arange(doc_ids_all[0], doc_ids_all[0] + doc_ids_all.size)
+        ), "merge group must cover a contiguous, ascending doc range"
+    doc_base = int(doc_ids_all[0]) if doc_ids_all.size else 0
+    dl_all = docs["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # merged vocabulary + per-posting sort key (term_rank, seg_ord).
+    # np.unique sorts by codepoint == UTF-8 byte order == arrow's term sort.
+    vocab_np = np.unique(
+        np.concatenate([t.to_numpy(zero_copy_only=False) for t in terms_l])
+    ) if terms_l else np.empty(0, dtype=object)
+    vocab = pa.array(vocab_np, type=pa.string())
+    k = len(seg_dirs)
+    key_parts = []
+    for terms, df, s in zip(terms_l, df_l, segord_l):
+        rank = np.searchsorted(
+            vocab_np, terms.to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key_parts.append(np.repeat(rank * k + s, df))
+    keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    ids_f = np.concatenate(ids_l)[order] if keys.size else np.empty(0, np.int64)
+    tfs_f = np.concatenate(tfs_l)[order] if keys.size else np.empty(0, np.int64)
+    ranks_f = keys[order] // k
+    term_starts = np.flatnonzero(np.diff(ranks_f, prepend=-1)) if keys.size else np.empty(0, np.int64)
+    uniq_terms = vocab.take(pa.array(ranks_f[term_starts])) if keys.size else pa.array([], pa.string())
+    dls_f = dl_all[ids_f - doc_base] if keys.size else np.empty(0, np.int64)
+
+    postings = encode_postings_columns(uniq_terms, ids_f, tfs_f, dls_f, term_starts)
+    os.makedirs(out_seg_dir, exist_ok=True)
+    pq.write_table(postings, os.path.join(out_seg_dir, "postings.parquet"))
+    pq.write_table(docs, os.path.join(out_seg_dir, "docs.parquet"))
+    m = {
+        "merged_from": [os.path.basename(d) for d in seg_dirs],
+        "doc_id_offset": doc_base,
+        "n_docs": docs.num_rows,
+        "n_terms": postings.num_rows,
+        "n_tokens": int(dl_all.sum()),
+        "lineage": lineage,
+        "files": ["postings.parquet", "docs.parquet"],
+        "build_sec": round(time.time() - t0, 3),
+    }
+    write_manifest(out_seg_dir, m)
+    return m
+
+
+def plan_tiered_merges(
+    segments: list[dict], merge_factor: int = 10, max_docs: int | None = None
+) -> list[list[int]]:
+    """Size-tiered plan over bucket-adjacent segments.
+
+    segments: index.json entries (ordered by bucket => ascending doc ranges).
+    Greedy: walk in order, open a group, add adjacent segments while the group
+    has < merge_factor members and stays under max_docs. Groups of one are
+    dropped (nothing to merge).
+    """
+    plans: list[list[int]] = []
+    cur: list[int] = []
+    cur_docs = 0
+    for i, s in enumerate(segments):
+        nd = s["n_docs"]
+        if cur and (
+            len(cur) >= merge_factor or (max_docs and cur_docs + nd > max_docs)
+        ):
+            if len(cur) > 1:
+                plans.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(i)
+        cur_docs += nd
+    if len(cur) > 1:
+        plans.append(cur)
+    return plans
+
+
+def merge_index(
+    index_dir: str,
+    merge_factor: int = 10,
+    max_docs: int | None = None,
+    concurrency: int = 4,
+) -> dict:
+    """Plan + execute one round of tiered merges; atomically republish
+    index.json. Old segment dirs stay on disk (immutable, like Lucene's
+    pre-merge segments before deletion) — queries only see the manifest."""
+    import ray.data
+
+    index_json = os.path.join(index_dir, "index.json")
+    with open(index_json) as f:
+        manifest = json.load(f)
+    segments = manifest["segments"]
+    plans = plan_tiered_merges(segments, merge_factor, max_docs)
+    if not plans:
+        return manifest
+
+    gen = int(manifest.get("merge_gen", 0)) + 1
+    tasks = []
+    for gi, group in enumerate(plans):
+        dirs = [os.path.join(index_dir, segments[i]["dir"]) for i in group]
+        out_rel = os.path.join("segments", f"merged-g{gen}-{gi:04d}")
+        lineage = "merge|" + "|".join(
+            f"{segments[i]['dir']}:{segments[i]['n_docs']}" for i in group
+        )
+        tasks.append(
+            {"dirs": dirs, "out": os.path.join(index_dir, out_rel),
+             "out_rel": out_rel, "lineage": lineage, "group": group}
+        )
+
+    def run_merge(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for r in rows:
+            m = merge_segment_group(list(r["dirs"]), r["out"], r["lineage"])
+            out.append({"out_rel": r["out_rel"], "n_docs": m["n_docs"],
+                        "doc_id_offset": m["doc_id_offset"]})
+        return pa.Table.from_pylist(out)
+
+    results = {
+        r["out_rel"]: r
+        for r in ray.data.from_items(tasks, override_num_blocks=len(tasks))
+        .map_batches(run_merge, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    }
+
+    merged_away = {i for g in plans for i in g}
+    new_segments = [s for i, s in enumerate(segments) if i not in merged_away]
+    for t in tasks:
+        r = results[t["out_rel"]]
+        new_segments.append(
+            {"dir": t["out_rel"], "bucket": segments[min(t["group"])]["bucket"],
+             "doc_id_offset": int(r["doc_id_offset"]), "n_docs": int(r["n_docs"])}
+        )
+    new_segments.sort(key=lambda s: s["doc_id_offset"])
+    manifest["segments"] = new_segments
+    manifest["merge_gen"] = gen
+    tmp = index_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, index_json)
+    return manifest
