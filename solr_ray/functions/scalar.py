@@ -1,0 +1,158 @@
+"""Scalar function registry: Solr function-query / streaming-evaluator names
+mapped to vectorized pyarrow.compute kernels.
+
+Reference: 105 function-query parsers (ValueSourceParser.java, grep
+`addParser(`) and ~200 streaming evaluators (Lang.java:419-668). The registry
+is the Ray-native plugin surface (SURVEY.md §2.10): name -> callable over
+Arrow arrays/scalars; FUNCTIONS is extensible via register_function.
+
+Use apply_expr(batch, out_col, name, *args) inside map_batches; args are
+column names (strings) or literal constants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _col(batch: pa.Table, arg):
+    if isinstance(arg, str) and arg in batch.column_names:
+        return batch[arg]
+    return arg  # literal
+
+
+def _np(fn):
+    """Wrap a numpy ufunc as an arrow-array function."""
+
+    def wrapped(*args):
+        conv = [
+            a.to_numpy(zero_copy_only=False) if isinstance(a, (pa.Array, pa.ChunkedArray)) else a
+            for a in args
+        ]
+        return pa.array(fn(*conv))
+
+    return wrapped
+
+
+FUNCTIONS: dict = {
+    # arithmetic (ValueSourceParser: sum/add, sub, product/mul, div, mod, abs, ...)
+    "add": lambda a, b: pc.add(a, b), "sum": lambda *a: _reduce(pc.add, a),
+    "sub": lambda a, b: pc.subtract(a, b), "mul": lambda a, b: pc.multiply(a, b),
+    "product": lambda *a: _reduce(pc.multiply, a),
+    "div": lambda a, b: pc.divide(a, b), "mod": _np(np.mod),
+    "abs": lambda a: pc.abs(a), "neg": lambda a: pc.negate(a),
+    "ceil": lambda a: pc.ceil(a), "floor": lambda a: pc.floor(a),
+    "rint": lambda a: pc.round(a), "round": lambda a: pc.round(a),
+    "sqrt": lambda a: pc.sqrt(a), "cbrt": _np(np.cbrt),
+    "log": _np(np.log10), "ln": lambda a: pc.ln(a), "exp": lambda a: pc.exp(a),
+    "pow": lambda a, b: pc.power(a, b), "hypot": _np(np.hypot),
+    "sin": lambda a: pc.sin(a), "cos": lambda a: pc.cos(a), "tan": lambda a: pc.tan(a),
+    "asin": lambda a: pc.asin(a), "acos": lambda a: pc.acos(a), "atan": lambda a: pc.atan(a),
+    "atan2": lambda a, b: pc.atan2(a, b),
+    "sinh": _np(np.sinh), "cosh": _np(np.cosh), "tanh": _np(np.tanh),
+    "max": lambda a, b: pc.max_element_wise(a, b),
+    "min": lambda a, b: pc.min_element_wise(a, b),
+    "pi": lambda: math.pi, "e": lambda: math.e,
+    "linear": lambda x, m, c: pc.add(pc.multiply(x, m), c),
+    "recip": lambda x, m, a, b: pc.divide(a, pc.add(pc.multiply(m, x), b)),
+    "scale": None,  # needs global min/max -> see scale_column
+    # boolean / conditional (and,or,not,xor,if,exists,gt,lt,gte,lte,eq,def)
+    "and": lambda a, b: pc.and_(a, b), "or": lambda a, b: pc.or_(a, b),
+    "not": lambda a: pc.invert(a), "xor": lambda a, b: pc.xor(a, b),
+    "if": lambda c, t, f: pc.if_else(c, t, f),
+    "gt": lambda a, b: pc.greater(a, b), "lt": lambda a, b: pc.less(a, b),
+    "gte": lambda a, b: pc.greater_equal(a, b), "lte": lambda a, b: pc.less_equal(a, b),
+    "eq": lambda a, b: pc.equal(a, b),
+    "exists": lambda a: pc.is_valid(a),
+    "def": lambda a, d: pc.coalesce(a, d), "coalesce": lambda *a: pc.coalesce(*a),
+    "isnan": lambda a: pc.is_nan(a),
+    # string (concat, lower, upper, trim, split, matches, strdist-ish)
+    "concat": lambda *a: _concat(*a), "lower": lambda a: pc.utf8_lower(a),
+    "upper": lambda a: pc.utf8_upper(a), "trim": lambda a: pc.utf8_trim_whitespace(a),
+    "length": lambda a: pc.utf8_length(a),
+    "split": lambda a, sep: pc.split_pattern(a, pattern=sep),
+    "matches": lambda a, pat: pc.match_substring_regex(a, pattern=pat),
+    "substring": lambda a, st, ln: pc.utf8_slice_codeunits(a, start=st, stop=st + ln),
+    "replace": lambda a, p, r: pc.replace_substring(a, pattern=p, replacement=r),
+    # date (ms, year..second, epoch — Lang.java:625-637)
+    "year": lambda a: pc.year(a), "month": lambda a: pc.month(a),
+    "day": lambda a: pc.day(a), "hour": lambda a: pc.hour(a),
+    "minute": lambda a: pc.minute(a), "second": lambda a: pc.second(a),
+    "week": lambda a: pc.iso_week(a), "quarter": lambda a: pc.quarter(a),
+    "epoch": lambda a: pc.cast(pc.cast(a, pa.int64()), pa.int64()),
+    "ms": lambda a: pc.divide(pc.cast(a, pa.int64()), 1000),
+    # vector math (dotProduct, cosineSimilarity — Lang.java array ops)
+    "dotProduct": lambda a, b: _vec_dot(a, b),
+    "cosineSimilarity": lambda a, b: _vec_cosine(a, b),
+}
+
+
+def _reduce(op, args):
+    out = args[0]
+    for a in args[1:]:
+        out = op(out, a)
+    return out
+
+
+def _concat(*args):
+    conv = [a if isinstance(a, (pa.Array, pa.ChunkedArray)) else None for a in args]
+    n = next(len(c) for c in conv if c is not None)
+    parts = [
+        c.cast(pa.string()) if c is not None else pa.array([str(a)] * n)
+        for c, a in zip(conv, args)
+    ]
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def _vec_np(a):
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return np.array(a.to_pylist(), dtype=np.float64)
+
+
+def _vec_dot(a, b):
+    return pa.array((_vec_np(a) * _vec_np(b)).sum(axis=1))
+
+
+def _vec_cosine(a, b):
+    x, y = _vec_np(a), _vec_np(b)
+    nx = np.linalg.norm(x, axis=1)
+    ny = np.linalg.norm(y, axis=1)
+    denom = np.where((nx == 0) | (ny == 0), 1.0, nx * ny)
+    return pa.array((x * y).sum(axis=1) / denom)
+
+
+def register_function(name: str, fn) -> None:
+    FUNCTIONS[name] = fn
+
+
+def apply_expr(batch: pa.Table, out_col: str, name: str, *args):
+    """Evaluate FUNCTIONS[name] over columns/literals; append as out_col."""
+    fn = FUNCTIONS[name]
+    if fn is None:
+        raise ValueError(f"function {name} needs a dedicated helper")
+    resolved = [_col(batch, a) for a in args]
+    result = fn(*resolved)
+    if not isinstance(result, (pa.Array, pa.ChunkedArray)):
+        result = pa.array([result] * len(batch))
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, result)
+
+
+def scale_column(ds, col: str, lo: float, hi: float, out_col: str | None = None):
+    """scale(x, lo, hi): min-max rescale using GLOBAL min/max (two-pass:
+    tiny stats aggregate broadcast into a map stage)."""
+    out_col = out_col or f"scale_{col}"
+    mn, mx = ds.min(col), ds.max(col)
+    span = (mx - mn) or 1.0
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(out_col, pa.array(lo + (v - mn) / span * (hi - lo)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,123 @@
+"""Grouping / faceting / top-k-per-group operators.
+
+Reference semantics:
+- distinct over a stream: UniqueStream.java + DistinctOperation (sorted-stream
+  dedup) — here a hash groupby + first (shuffle replaces the sort contract).
+- result grouping / collapse-expand: Grouping.java:76,
+  CollapsingQParserPlugin (3,810 LoC), ExpandComponent — groupby + per-group
+  head under a sort.
+- term/range facets: FacetModule.java:45, FacetFieldProcessor*,
+  FacetRangeProcessor (1,225 LoC). Ray's exact groupby shuffle replaces the
+  two-phase overrequest+refine protocol (FacetModule.java:162-198) entirely.
+- rollup/hashRollup: RollupStream.java:43 / HashRollupStream.java:43.
+- significantTerms: SignificantTermsStream.java:55 (foreground vs background
+  term scoring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def distinct(ds, cols: list[str]):
+    """Exact distinct rows on the given key columns (hash shuffle + first)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return ds.groupby(cols).map_groups(first, batch_format="pandas")
+
+
+def collapse(ds, field: str, sort_col: str, descending: bool = True):
+    """CollapsingQParserPlugin semantics: one row per group — the row with
+    the max (or min) sort_col; ties broken deterministically by row order
+    after a stable sort."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_col, ascending=not descending, kind="stable")
+        return g.head(1)
+
+    return ds.groupby(field).map_groups(pick, batch_format="pandas")
+
+
+def group_topk(ds, field: str, sort_col: str, k: int, descending: bool = True):
+    """ExpandComponent / grouping: top-k rows per group by sort_col."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_col, ascending=not descending, kind="stable")
+        return g.head(k)
+
+    return ds.groupby(field).map_groups(pick, batch_format="pandas")
+
+
+def facet_field(ds, field: str, limit: int = 10, mincount: int = 1):
+    """Term facet: value -> count, ordered by count desc then value asc
+    (Solr's default facet.sort=count). Returns a small Dataset."""
+    counts = ds.groupby(field).count()
+    out = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], mincount)),
+        batch_format="pyarrow",
+    ).rename_columns({"count()": "count"}) if hasattr(counts, "rename_columns") else counts
+    return out.sort(["count", field], descending=[True, False]).limit(limit)
+
+
+def facet_range(ds, field: str, start, end, gap, agg_field: str | None = None):
+    """Range facet (FacetRangeProcessor): bucket = floor((v-start)/gap),
+    values outside [start, end) dropped; per-bucket count (+ optional sum)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = (v >= start) & (v < end)
+        b = np.floor((v[mask] - start) / gap).astype(np.int64)
+        cols = {"bucket_start": b * gap + start}
+        if agg_field:
+            cols[agg_field] = t[agg_field].to_numpy(zero_copy_only=False)[mask]
+        return pa.table({k: pa.array(c) for k, c in cols.items()})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    g = bucketed.groupby("bucket_start")
+    if agg_field:
+        from ray.data.aggregate import Count, Sum
+
+        return g.aggregate(
+            Count(alias_name="count"), Sum(agg_field, alias_name=f"sum_{agg_field}")
+        ).sort("bucket_start")
+    return g.count().sort("bucket_start")
+
+
+def pivot_facet(ds, fields: list[str], limit: int = 100):
+    """Pivot facet (PivotFacet*.java): nested value combination counts."""
+    return (
+        ds.groupby(fields)
+        .count()
+        .sort(["count()", *fields], descending=[True] + [False] * len(fields))
+        .limit(limit)
+    )
+
+
+def significant_terms(
+    fg_ds, bg_ds, text_col: str = "text", analyzer: str = "simple",
+    min_doc_freq: int = 2, limit: int = 20,
+):
+    """significantTerms: score terms overrepresented in the foreground subset
+    vs the background corpus (SignificantTermsStream.java:55). Per-batch
+    partial doc-freq counts -> small groupby(term) merge -> driver-side score
+    (fg_count/fg_total) / (bg_count/bg_total)."""
+    from solr_ray.ops.textstats import term_doc_freq
+
+    fg = term_doc_freq(fg_ds, text_col, analyzer).to_pandas().set_index("term")["df"]
+    bg = term_doc_freq(bg_ds, text_col, analyzer).to_pandas().set_index("term")["df"]
+    fg_total = int(fg_ds.count())
+    bg_total = int(bg_ds.count())
+    rows = []
+    for term, f in fg.items():
+        if f < min_doc_freq:
+            continue
+        b = int(bg.get(term, 0))
+        score = (f / fg_total) / ((b + 1) / (bg_total + 1))
+        rows.append((term, int(f), b, score))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pd.DataFrame(rows[:limit], columns=["term", "fg_df", "bg_df", "score"])

@@ -1,0 +1,239 @@
+"""Text analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting, salted term statistics.
+
+Reference anchors: LanguageIdentifierUpdateProcessor (langid module,
+solr/modules/langid/.../LanguageIdentifierUpdateProcessor.java:50,241-256 —
+detect language, write langField), FieldLengthUpdateProcessorFactory /
+CountFieldValuesUpdateProcessorFactory (scalar normalizers), and the
+north-rule's salted heavy-hitter splitting for Zipf-skewed term keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from solr_ray.analysis.chain import process_analyzer
+from solr_ray.stages.docids import stable_hash64
+
+# ------------------------------------------------------------- language id
+
+# Tiny deterministic stopword-profile language identifier (n-gram-heuristic
+# class of detectors like the langid module's; profiles are common public
+# function words).
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "on", "are", "this", "be", "at", "have", "not", "you"},
+    "de": {"der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein",
+           "auf", "sich", "den", "von", "des", "im", "dem", "zu", "für", "sie"},
+    "fr": {"le", "la", "les", "et", "des", "est", "un", "une", "du", "que",
+           "pour", "dans", "qui", "sur", "pas", "au", "avec", "ce", "il"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "por", "con", "para", "del", "se", "su", "al", "lo", "más"},
+}
+
+
+def detect_language(text: str) -> tuple[str, float]:
+    """(lang, confidence) by function-word hit ratio; 'und' when ambiguous."""
+    words = (text or "").lower().split()
+    if not words:
+        return "und", 0.0
+    scores = {
+        lang: sum(1 for w in words if w in prof) / len(words)
+        for lang, prof in _LANG_PROFILES.items()
+    }
+    best = max(sorted(scores), key=lambda k: scores[k])
+    conf = scores[best]
+    if conf < 0.05:
+        return "und", conf
+    return best, conf
+
+
+class LangIdStage:
+    """Actor-pool map_batches stage (the langid detector is 'model' state,
+    loaded once per actor like the reference's Tika/OpenNLP profiles)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = _LANG_PROFILES  # model load stand-in
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for t in batch[self.text_col].to_pylist():
+            lang, c = detect_language(t)
+            langs.append(lang)
+            confs.append(c)
+        return batch.append_column(
+            self.out_col, pa.array(langs, pa.string())
+        ).append_column(self.out_col + "_conf", pa.array(confs, pa.float64()))
+
+
+# ------------------------------------------------------------ quality score
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized quality features: n_tokens (whitespace), mean word length,
+    stopword ratio, digit ratio, upper ratio. Composite quality_score in
+    [0,1] (heuristic filter for training-data pipelines)."""
+    texts = batch[text_col]
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tokens = np.maximum(n_tokens, 0)
+
+    texts_np = texts.to_numpy(zero_copy_only=False)
+    stop = _LANG_PROFILES["en"]
+    stop_ratio = np.empty(len(texts_np))
+    digit_ratio = np.empty(len(texts_np))
+    for i, t in enumerate(texts_np):
+        t = t or ""
+        words = t.lower().split()
+        stop_ratio[i] = (
+            sum(1 for w in words if w in stop) / len(words) if words else 0.0
+        )
+        digit_ratio[i] = sum(c.isdigit() for c in t) / len(t) if t else 0.0
+
+    mean_wlen = np.where(n_tokens > 0, (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 0.0)
+    score = (
+        np.clip(n_tokens / 50.0, 0, 1) * 0.4
+        + np.clip(stop_ratio / 0.4, 0, 1) * 0.3
+        + np.clip(1.0 - digit_ratio * 5, 0, 1) * 0.15
+        + np.clip((mean_wlen - 2) / 4, 0, 1) * 0.15
+    )
+    for name, arr in (
+        ("n_tokens", n_tokens.astype(np.int64)),
+        ("stop_ratio", stop_ratio),
+        ("digit_ratio", digit_ratio),
+        ("mean_word_len", mean_wlen),
+        ("quality_score", score),
+    ):
+        if name in batch.column_names:
+            batch = batch.drop_columns([name])
+        batch = batch.append_column(name, pa.array(arr))
+    return batch
+
+
+# ------------------------------------------------------------ token counts
+
+def add_token_count(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "n_tokens", mode: str = "whitespace") -> pa.Table:
+    """whitespace: split on \\s+ (SQL-oracle-matchable). bpe_ish: a
+    GPT-2-style pretokenizer regex (contractions / letter runs / digit runs /
+    punctuation runs) — the standard public BPE pre-token pattern."""
+    if mode == "whitespace":
+        toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+        # empty string -> [''] which still counts 1; match SQL len(regexp_split)
+        n = pc.list_value_length(toks)
+    else:
+        import re
+
+        pat = re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+        )
+        n = pa.array(
+            [len(pat.findall(t or "")) for t in batch[text_col].to_pylist()],
+            pa.int64(),
+        )
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, n)
+
+
+# ------------------------------------------------------------- fingerprint
+
+def rolling_fingerprint(text: str, analyzer: str = "simple",
+                        window: int = 4) -> int:
+    """Winnowing-style document fingerprint: min rolling hash over token
+    windows (Rabin-Karp class, public). Deterministic int64 >= 0."""
+    az = process_analyzer(analyzer)
+    toks = az.tokenize_text(text or "")
+    if not toks:
+        return 0
+    if len(toks) < window:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
+    h = stable_hash64(np.array(grams, dtype=object))
+    return int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fingerprint") -> pa.Table:
+    vals = [rolling_fingerprint(t) for t in batch[text_col].to_pylist()]
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(vals, pa.int64()))
+
+
+# ---------------------------------------------- salted term statistics
+
+def term_doc_freq(ds, text_col: str = "text", analyzer: str = "simple"):
+    """df per term via per-batch partial counts (combiner) -> tiny groupby.
+    The shuffle carries one row per (term, batch), never per posting."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        az = process_analyzer(analyzer)
+        toks = az.tokenize_array(t[text_col])
+        flat = toks.flatten()
+        n = len(t)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(n), counts)
+        df_tbl = (
+            pa.table({"term": flat, "doc": pa.array(parent)})
+            .group_by(["term", "doc"], use_threads=False)
+            .aggregate([])
+            .group_by("term", use_threads=False)
+            .aggregate([("doc", "count")])
+        )
+        return pa.table({"term": df_tbl["term"], "df": df_tbl["doc_count"]})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def salted_term_counts(ds, text_col: str = "text", analyzer: str = "simple",
+                       num_salts: int = 16):
+    """Total term frequency with EXPLICIT salted heavy-hitter splitting (the
+    north-rule skew pattern): row-level (term, count) partials are keyed by
+    (term, salt) for the first shuffle so a Zipf-head term's rows spread over
+    num_salts reducers, then a second tiny groupby(term) merges the salted
+    partials. The salt only affects row placement, never the summed result,
+    so any per-partial-row assignment is valid; row position within the batch
+    spreads a hot term's partials across batches deterministically."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        az = process_analyzer(analyzer)
+        toks = az.tokenize_array(t[text_col])
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "salt": pa.array([], pa.int32()),
+                             "cnt": pa.array([], pa.int64())})
+        counted = (
+            pa.table({"term": flat})
+            .group_by("term", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        terms = counted["term"]
+        salt = (np.arange(len(terms)) % num_salts).astype(np.int32)
+        return pa.table({
+            "term": terms,
+            "salt": pa.array(salt),
+            "cnt": counted["count_all"],
+        })
+
+    from ray.data.aggregate import Sum
+
+    salted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["term", "salt"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return salted.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))

@@ -1,0 +1,137 @@
+"""Stream-shaped operators over an ordered, partitioned log.
+
+The reference has NO window/watermark semantics (SURVEY.md §2.9): its
+streaming layer is micro-batch (daemon/DaemonStream re-runs, topic/TopicStream
+checkpoints on monotone _version_, timeseries/TimeSeriesStream buckets a date
+range). Ray-native equivalents treat the events table as an ordered log:
+
+- timeseries: date-trunc bucketing + grouped aggregates (TimeSeriesStream.java:52)
+- tumbling/sliding/session windows per key: groupby(key).map_groups over the
+  ts-sorted group (ORDERING ASSUMPTION: all rows of one key fit one group and
+  are sorted inside the UDF; at 100 TB, key-partition + time-range-partition
+  the log first)
+- topic-style incremental consumption: a checkpointed filter ts > last_seen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+_TRUNC = {
+    "hour": "h", "day": "D", "week": "W", "month": "M", "minute": "min",
+}
+
+
+def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]]):
+    """Date-bucketed metrics. gap: hour|minute|day|week|month.
+    aggs: out_name -> (col, fn) with fn in sum|mean|min|max|count.
+    Vectorized bucketing per batch; one small groupby(bucket)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    unit = _TRUNC[gap]
+
+    def bucketize(t: pd.DataFrame) -> pd.DataFrame:
+        b = t[ts_col].dt.to_period(unit).dt.start_time
+        t = t.copy()
+        t["bucket"] = b
+        return t
+
+    g = ds.map_batches(bucketize, batch_format="pandas").groupby("bucket")
+    fns = {"sum": Sum, "mean": Mean, "min": Min, "max": Max}
+    specs = []
+    for out, (col, fn) in aggs.items():
+        specs.append(Count(alias_name=out) if fn == "count" else fns[fn](col, alias_name=out))
+    return g.aggregate(*specs).sort("bucket")
+
+
+def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,
+                    value_col: str, agg: str = "sum"):
+    """Per-key tumbling windows of fixed width (event-time, no watermark —
+    batch log semantics). Returns (key, window_start, agg value)."""
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        w = (g[ts_col].astype("int64") // width_us) * width_us
+        out = g.groupby(w)[value_col].agg(agg)
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[0],
+            "window_start": pd.to_datetime(out.index),
+            f"{agg}_{value_col}": out.to_numpy(),
+        })
+
+    return ds.groupby(key_col).map_groups(windows, batch_format="pandas")
+
+
+def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int):
+    """Per-key rolling mean over the last n events (ts-ordered)."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable").copy()
+        g[f"rolling_{value_col}"] = g[value_col].rolling(n, min_periods=1).mean()
+        return g
+
+    return ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+
+
+def session_windows(ds, key_col: str, ts_col: str, gap_us: int):
+    """Per-key session windows: a new session starts when the gap to the
+    previous event exceeds gap_us. Returns per-session rows."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"sid": sid, "ts": ts})
+        agg = out.groupby("sid")["ts"].agg(["min", "max", "count"])
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[0],
+            "session_start": pd.to_datetime(agg["min"]),
+            "session_end": pd.to_datetime(agg["max"]),
+            "n_events": agg["count"].to_numpy(),
+        })
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+class TopicCheckpoint:
+    """topic/TopicStream semantics (TopicStream.java:75-78,111): pull only
+    rows newer than the stored checkpoint, then advance it. Ordering
+    assumption: the watermark column is monotone per run (the reference
+    assumes monotone _version_; here, event ts). At-least-once on crash
+    (checkpoint advances only after a successful read), same as the
+    reference."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read_checkpoint(self) -> int:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return int(json.load(f)["max_seen"])
+        return -(1 << 62)
+
+    def pull(self, ds, ts_col: str):
+        import pyarrow.compute as pc
+
+        last = self.read_checkpoint()
+
+        def newer(t: pa.Table) -> pa.Table:
+            v = pc.cast(t[ts_col], pa.int64())
+            return t.filter(pc.greater(v, pa.scalar(last)))
+
+        out = ds.map_batches(newer, batch_format="pyarrow")
+        return out
+
+    def commit(self, max_seen: int) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"max_seen": int(max_seen)}, f)
+        os.replace(tmp, self.path)
