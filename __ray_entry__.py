@@ -4,41 +4,909 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float determinism strategy: SQL engines and Ray sum floats in different
+orders, so every cross-row float aggregate here is computed over
+*integer-quantized* per-row values (cents / 1e-4 units / milli-units) and
+divided back at the end — bit-identical in both engines. Per-row float
+transforms (a*b, (v-min)/(max-min), …) use the same IEEE ops on the same
+inputs in both engines and are bit-identical without quantization.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+_CACHE_ROOT = "/tmp/solr_ray_entry"
+_VER = "v3"  # bump to invalidate cached /tmp indexes after engine changes
+
+K1, B = 1.2, 0.75
+
+# Two-word queries (order-free float sums: a+b is commutative in IEEE) for
+# the SQL-checked BM25 entry; longer ones go through the rows-only entry.
+BM25_QUERIES = [
+    "table scan", "merge join", "spark stream", "sort window", "hash agg",
+    "customer query", "big data", "fast filter", "group order", "slow batch",
+]
+BM25_LONG_QUERIES = [
+    "table scan merge join fast",
+    "spark stream window sort group",
+    "customer order line part value",
+    "hash agg big small filter",
+    "query data column row key",
+]
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(_tbl(sf_dir, name), columns=columns)
+
+
+def _idx_dir(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(f"{_VER}|{sf_dir}|{tag}".encode()).hexdigest()[:10]
+    return os.path.join(_CACHE_ROOT, f"idx_{tag}_{h}")
+
+
+def _docs_as_pages(sf_dir: str):
+    """documents(doc_id, text, ...) -> pages(url, text) with url = zero-padded
+    doc_id so url order == doc_id order (makes internal docIDs == doc_id rank,
+    hence SQL-replicable tie-breaks)."""
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array([f"{i:08d}" for i in ids], pa.string())
+        return pa.table({"url": urls, "text": t["text"]})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+
+
+def _build_docs_index(sf_dir: str, analyzer: str, num_buckets: int) -> str:
+    from solr_ray.pipelines.build_index import build_index
+
+    out = _idx_dir(sf_dir, f"{analyzer}_nb{num_buckets}")
+    build_index(
+        _docs_as_pages(sf_dir), out, analyzer=analyzer,
+        num_buckets=num_buckets, text_source="text",
+    )
+    return out
+
+
+def _search_docs(sf_dir: str, analyzer: str, num_buckets: int, queries,
+                 k: int = 10, mode: str = "taat", num_shards: int = 1):
+    import ray.data
+
+    from solr_ray.search.searcher import search_dataset
+
+    idx = _build_docs_index(sf_dir, analyzer, num_buckets)
+    qds = ray.data.from_arrow(
+        pa.table({
+            "qid": pa.array(range(len(queries)), pa.int64()),
+            "text": pa.array(queries, pa.string()),
+        })
+    )
+    return search_dataset(qds, idx, k=k, mode=mode, num_shards=num_shards)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship pipeline (north rule) on sf0.001
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Build the inverted index over sf0.001 documents and run BM25 top-10
+    for the standard query set; returns (qid, rank, doc_id, url, score)."""
+    res = _search_docs(
+        SF_SMOKE, "text_en", 4, BM25_QUERIES + BM25_LONG_QUERIES,
+        k=10, mode="bmw", num_shards=2,
+    )
+    return res
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_bm25_top10(sf_dir: str):
+    """North-rule core with a full SQL oracle: whitespace analyzer, 1 bucket
+    (docID order == doc_id order), 2-term queries, TAAT scoring."""
+    res = _search_docs(sf_dir, "whitespace", 1, BM25_QUERIES, k=10, mode="taat")
+
+    def finish(t: pa.Table) -> pa.Table:
+        doc = pc.cast(t["url"], pa.int64())
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5)
+        )
+        return pa.table({
+            "qid": t["qid"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": doc,
+            "score_r": score_r,
+        })
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_bm25_wand(sf_dir: str):
+    """Rows-only: text_en analysis chain, 4 buckets, 2 shards, block-max
+    WAND — pytest asserts its rank+score identity vs the in-repo oracle."""
+    return _search_docs(
+        sf_dir, "text_en", 4, BM25_QUERIES + BM25_LONG_QUERIES,
+        k=10, mode="bmw", num_shards=2,
+    )
+
+
+def _q_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "q_i": pa.array(np.round(qty).astype(np.int64)),
+            "price_c": pa.array(np.round(price * 100.0).astype(np.int64)),
+            "dp_c4": pa.array(
+                np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+            ),
+        })
+
+    g = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("q_i", alias_name="sum_q_i"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("dp_c4", alias_name="sum_dp_c4"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = t["sum_q_i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(sq),
+            "sum_base_price": pa.array(
+                t["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "sum_disc_price": pa.array(
+                t["sum_dp_c4"].to_numpy(zero_copy_only=False) / 10000.0),
+            "avg_qty": pa.array(sq / n),
+            "n_rows": t["n_rows"],
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_facet_lang(sf_dir: str):
+    from solr_ray.ops.grouping import facet_field
+
+    return facet_field(_read(sf_dir, "documents", columns=["lang"]),
+                       "lang", limit=10)
+
+
+def _q_facet_range_value(sf_dir: str):
+    from solr_ray.ops.grouping import facet_range
+
+    out = facet_range(_read(sf_dir, "events", columns=["value"]),
+                      "value", 0.0, 500.0, 50.0)
+    return out.map_batches(
+        lambda t: pa.table({"bucket_start": t["bucket_start"],
+                            "n": t["count()"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_pivot_lang_source(sf_dir: str):
+    from solr_ray.ops.grouping import pivot_facet
+
+    out = pivot_facet(_read(sf_dir, "documents", columns=["lang", "source"]),
+                      ["lang", "source"], limit=1000)
+    return out.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "source": t["source"],
+                            "n": t["count()"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_distinct_event_types(sf_dir: str):
+    from solr_ray.ops.grouping import distinct
+
+    return distinct(_read(sf_dir, "events", columns=["event_type"]),
+                    ["event_type"])
+
+
+def _q_collapse_max_order(sf_dir: str):
+    from solr_ray.ops.grouping import collapse
+
+    out = collapse(_read(sf_dir, "orders",
+                         columns=["o_custkey", "o_totalprice", "o_orderkey"]),
+                   "o_custkey", "o_totalprice", descending=True)
+    return out.select_columns(["o_custkey", "o_totalprice"])
+
+
+def _q_group_topk_orders(sf_dir: str):
+    from solr_ray.ops.grouping import group_topk
+
+    out = group_topk(_read(sf_dir, "orders",
+                           columns=["o_orderpriority", "o_totalprice"]),
+                     "o_orderpriority", "o_totalprice", k=3, descending=True)
+    return out.select_columns(["o_orderpriority", "o_totalprice"])
+
+
+def _q_semi_join_building(sf_dir: str):
+    import duckdb
+
+    from solr_ray.ops.joins import semi_join
+
+    keys = duckdb.sql(
+        f"SELECT c_custkey FROM read_parquet('{_tbl(sf_dir, 'customer')}') "
+        "WHERE c_mktsegment = 'BUILDING'"
+    ).df()["c_custkey"].tolist()
+    return semi_join(_read(sf_dir, "orders"), keys, "o_custkey")
+
+
+def _q_anti_join_small_customers(sf_dir: str):
+    import duckdb
+
+    from solr_ray.ops.joins import anti_join
+
+    keys = duckdb.sql(
+        f"SELECT DISTINCT o_custkey FROM read_parquet('{_tbl(sf_dir, 'orders')}') "
+        "WHERE o_totalprice > 300000"
+    ).df()["o_custkey"].tolist()
+    return anti_join(_read(sf_dir, "customer"), keys, "c_custkey")
+
+
+def _q_join_customer_region(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from solr_ray.ops.joins import broadcast_hash_join
+
+    nation = pq.read_table(_tbl(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_tbl(sf_dir, "region")).to_pandas()
+    small = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    small = small.rename(columns={"n_nationkey": "c_nationkey"})[
+        ["c_nationkey", "r_name"]
+    ]
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["c_acctbal"]).append_column(
+            "bal_c", pa.array(np.round(v * 100.0).astype(np.int64)))
+
+    joined = broadcast_hash_join(
+        cust.map_batches(cents, batch_format="pyarrow"), small, "c_nationkey"
+    )
+    g = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("bal_c", alias_name="bal_c"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "r_name": t["r_name"], "n_customers": t["n_customers"],
+            "sum_acctbal": pa.array(
+                t["bal_c"].to_numpy(zero_copy_only=False) / 100.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_explode_embeddings(sf_dir: str):
+    from solr_ray.ops.joins import explode
+
+    out = explode(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                  "embedding", out_col="element")
+
+    def f64(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "element": pc.cast(t["element"], pa.float64()),
+        })
+
+    return out.map_batches(f64, batch_format="pyarrow")
+
+
+def _q_fetch_supplier_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from solr_ray.ops.joins import fetch_fields
+
+    nation = pq.read_table(_tbl(sf_dir, "nation")).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
+    out = fetch_fields(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]),
+        nation, "s_nationkey", ["n_name"])
+    return out.select_columns(["s_suppkey", "s_name", "n_name"])
+
+
+def _q_timeseries_hourly(sf_dir: str):
+    from solr_ray.ops.windows import timeseries
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "v_milli", pa.array(np.floor(v * 1000.0).astype(np.int64)))
+
+    out = timeseries(ev.map_batches(milli, batch_format="pyarrow"),
+                     "ts", "hour",
+                     {"n_events": ("v_milli", "count"),
+                      "sum_v_milli": ("v_milli", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "bucket": t["bucket"], "n_events": t["n_events"],
+            "sum_value_m": pa.array(
+                t["sum_v_milli"].to_numpy(zero_copy_only=False) / 1000.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_quantiles_value(sf_dir: str):
+    from solr_ray.functions.aggregates import exact_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    out = exact_quantiles(_read(sf_dir, "events", columns=["value"]),
+                          "value", qs)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([out[q] for q in qs], pa.float64())})
+
+
+def _q_stats_quantity(sf_dir: str):
+    from solr_ray.functions.aggregates import stats_summary
+
+    s = stats_summary(_read(sf_dir, "lineitem", columns=["l_quantity"]),
+                      "l_quantity")
+    return pa.table({k: pa.array([s[k]]) for k in
+                     ("count", "sum", "mean", "min", "max", "variance",
+                      "stddev")})
+
+
+def _q_token_counts(sf_dir: str):
+    from solr_ray.ops.textstats import add_token_count
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: add_token_count(t, "text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def _q_avg_tokens_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from solr_ray.ops.textstats import add_token_count
+
+    out = _read(sf_dir, "documents", columns=["lang", "text"]).map_batches(
+        lambda t: add_token_count(t, "text"), batch_format="pyarrow")
+    g = out.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="tok_sum"), Count(alias_name="n_docs"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"], "n_docs": t["n_docs"],
+            "avg_tokens": pa.array(
+                t["tok_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+                / t["n_docs"].to_numpy(zero_copy_only=False)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from solr_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]),
+        cols=["lang", "n_chars"], order_col="doc_id")
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _q_top100_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders")
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(100)
+
+
+def _q_sessions_per_user(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from solr_ray.ops.windows import session_windows
+
+    out = session_windows(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                          "user_id", "ts", gap_us=2 * 3600 * 1_000_000)
+    return out.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+
+
+def _q_tumbling_daily(sf_dir: str):
+    from solr_ray.ops.windows import tumbling_window
+
+    out = tumbling_window(_read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+                          "user_id", "ts", width_us=86_400 * 1_000_000,
+                          value_col="value", agg="count")
+    return out.map_batches(
+        lambda df: df.rename(columns={"count_value": "n_events"}),
+        batch_format="pandas",
+    )
+
+
+def _q_term_df(sf_dir: str):
+    from solr_ray.ops.textstats import term_doc_freq
+
+    return term_doc_freq(_read(sf_dir, "documents", columns=["text"]),
+                         "text", analyzer="whitespace")
+
+
+def _q_salted_term_counts(sf_dir: str):
+    from solr_ray.ops.textstats import salted_term_counts
+
+    return salted_term_counts(_read(sf_dir, "documents", columns=["text"]),
+                              "text", analyzer="whitespace", num_salts=8)
+
+
+def _q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from solr_ray.ops.similarity import knn_brute
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qmask = pc.less(emb["vec_id"], pa.scalar(5))
+    qrows = emb.filter(qmask).sort_by("vec_id")
+    qvecs = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in qrows["embedding"].to_pylist()])
+    out = knn_brute(_read(sf_dir, "embeddings"), qvecs, k=5,
+                    id_col="vec_id", vec_col="embedding", metric="cosine")
+    return out.map_batches(
+        lambda t: pa.table({
+            "query_id": t["query_id"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "vec_id": t["id"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_scale_acctbal(sf_dir: str):
+    from solr_ray.functions.scalar import scale_column
+
+    out = scale_column(_read(sf_dir, "customer",
+                             columns=["c_custkey", "c_acctbal"]),
+                       "c_acctbal", 0.0, 1.0, out_col="acctbal_scaled")
+    return out.select_columns(["c_custkey", "acctbal_scaled"])
+
+
+_TOPIC_CUTOFF_US = 1_705_881_600_000_000  # 2024-01-22 00:00:00 UTC
+
+
+def _q_topic_incremental(sf_dir: str):
+    from solr_ray.ops.windows import TopicCheckpoint
+
+    ckpt_path = os.path.join(_CACHE_ROOT, "topic_ckpt.json")
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tc = TopicCheckpoint(ckpt_path)
+    tc.commit(_TOPIC_CUTOFF_US)
+    return tc.pull(_read(sf_dir, "events"), "ts")
+
+
+def _q_significant_terms(sf_dir: str):
+    from solr_ray.ops.grouping import significant_terms
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    fg = docs.filter(expr="lang == 'en'")
+    return significant_terms(fg, docs, "text", analyzer="whitespace",
+                             min_doc_freq=2, limit=20)
+
+
+# ---- rows-only entries (non-SQL-expressible; pytest carries the oracle) ----
+
+def _q_minhash_pairs(sf_dir: str):
+    from solr_ray.ops.dedup import jaccard_verify_pairs, minhash_lsh_candidates
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    return jaccard_verify_pairs(cand, docs, id_col="doc_id",
+                                text_col="text", threshold=0.8)
+
+
+def _q_simhash_candidates(sf_dir: str):
+    from solr_ray.ops.dedup import simhash_candidates
+
+    return simhash_candidates(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]),
+                              id_col="doc_id", text_col="text")
+
+
+def _q_langid(sf_dir: str):
+    from solr_ray.ops.textstats import LangIdStage
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangIdStage, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_pred_conf"])
+
+
+def _q_quality(sf_dir: str):
+    from solr_ray.ops.textstats import quality_features
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: quality_features(t, "text"), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality_score"])
+
+
+def _q_fingerprints(sf_dir: str):
+    from solr_ray.ops.textstats import add_fingerprint
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: add_fingerprint(t, "text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from solr_ray.ops.similarity import knn_lsh
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qrows = emb.filter(pc.less(emb["vec_id"], pa.scalar(5))).sort_by("vec_id")
+    qvecs = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in qrows["embedding"].to_pylist()])
+    return knn_lsh(_read(sf_dir, "embeddings"), qvecs, k=5,
+                   id_col="vec_id", vec_col="embedding")
+
+
+def _q_hll_users(sf_dir: str):
+    from solr_ray.functions.aggregates import approx_distinct
+
+    est = approx_distinct(_read(sf_dir, "events", columns=["user_id"]),
+                          "user_id")
+    return pa.table({"approx_distinct_users": pa.array([float(est)])})
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column -> per-item feature vector
+    via an actor-pool stage (decode stubbed deterministically)."""
+    from solr_ray.ops.multimodal import media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = media_features(media, concurrency=2, payload_col="payload", dim=8)
+    return out.select_columns(["doc_id", "feature"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # north-rule fulltext core
+        "bm25_top10": _q_bm25_top10,
+        "bm25_wand": _q_bm25_wand,
+        "term_df": _q_term_df,
+        "salted_term_counts": _q_salted_term_counts,
+        # aggregation / faceting
+        "pricing_summary": _q_pricing_summary,
+        "facet_lang": _q_facet_lang,
+        "facet_range_value": _q_facet_range_value,
+        "pivot_lang_source": _q_pivot_lang_source,
+        "distinct_event_types": _q_distinct_event_types,
+        "stats_quantity": _q_stats_quantity,
+        "quantiles_value": _q_quantiles_value,
+        "significant_terms_en": _q_significant_terms,
+        # grouping / collapse / top-k
+        "collapse_max_order": _q_collapse_max_order,
+        "group_topk_orders": _q_group_topk_orders,
+        "top100_orders": _q_top100_orders,
+        # joins / lookups / set ops
+        "semi_join_building": _q_semi_join_building,
+        "anti_join_small_customers": _q_anti_join_small_customers,
+        "join_customer_region": _q_join_customer_region,
+        "explode_embeddings": _q_explode_embeddings,
+        "fetch_supplier_nation": _q_fetch_supplier_nation,
+        # windows / streams
+        "timeseries_hourly": _q_timeseries_hourly,
+        "sessions_per_user": _q_sessions_per_user,
+        "tumbling_daily": _q_tumbling_daily,
+        "topic_incremental": _q_topic_incremental,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "avg_tokens_by_lang": _q_avg_tokens_by_lang,
+        # dedup
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_candidates": _q_simhash_candidates,
+        # similarity
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        # scalar / aggregate functions
+        "scale_acctbal": _q_scale_acctbal,
+        "hll_users": _q_hll_users,
+        # rows-only text/multimodal
+        "langid": _q_langid,
+        "quality": _q_quality,
+        "fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table)
+# --------------------------------------------------------------------------
+
+def _bm25_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+q(qid, text) AS (VALUES {qvals}),
+qterms AS (
+  SELECT DISTINCT qid, tok AS term
+  FROM (SELECT qid, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok FROM q)
+  WHERE tok <> ''
+),
+scored AS (
+  SELECT qt.qid, tf.doc_id,
+         SUM(
+           LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM qterms qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY qt.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _sig_terms_oracle_sql() -> str:
+    return """
+WITH fg_df AS (
+  SELECT term, COUNT(*) AS fg_df FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents WHERE lang = 'en') AS t(doc_id, tok)
+    WHERE tok <> '') GROUP BY term
+),
+bg_df AS (
+  SELECT term, COUNT(*) AS bg_df FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents) AS t(doc_id, tok)
+    WHERE tok <> '') GROUP BY term
+),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM documents WHERE lang='en') AS fg_n,
+         (SELECT COUNT(*) FROM documents) AS bg_n
+)
+SELECT f.term, f.fg_df, b.bg_df,
+       (f.fg_df::DOUBLE / t.fg_n) / ((b.bg_df + 1)::DOUBLE / (t.bg_n + 1))
+         AS score
+FROM fg_df f JOIN bg_df b USING (term) CROSS JOIN totals t
+WHERE f.fg_df >= 2
+ORDER BY score DESC, f.term
+LIMIT 20
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cutoff = _TOPIC_CUTOFF_US
+    return {
+        "bm25_top10": _bm25_oracle_sql(),
+        "term_df": """
+SELECT term, COUNT(*)::BIGINT AS df FROM (
+  SELECT DISTINCT doc_id, tok AS term
+  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents) AS t(doc_id, tok)
+  WHERE tok <> '') GROUP BY term
+""",
+        "salted_term_counts": """
+SELECT tok AS term, COUNT(*)::BIGINT AS cnt
+FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+WHERE tok <> '' GROUP BY tok
+""",
+        "pricing_summary": """
+WITH p AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q_i,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS dp_c4
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(q_i) AS DOUBLE) AS sum_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM(dp_c4) AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(SUM(q_i) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS n_rows
+FROM p GROUP BY l_returnflag, l_linestatus
+""",
+        "facet_lang": """
+SELECT lang, COUNT(*) AS "count" FROM documents GROUP BY lang
+ORDER BY "count" DESC, lang LIMIT 10
+""",
+        "facet_range_value": """
+SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
+FROM events WHERE value >= 0 AND value < 500
+GROUP BY 1 ORDER BY 1
+""",
+        "pivot_lang_source": """
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+""",
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "stats_quantity": """
+WITH s AS (
+  SELECT COUNT(*) AS n, SUM(l_quantity) AS s,
+         SUM(l_quantity * l_quantity) AS ss,
+         MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+  FROM lineitem)
+SELECT n AS "count", s AS "sum", s / n AS mean, mn AS "min", mx AS "max",
+       ss / n - (s / n) * (s / n) AS variance,
+       SQRT(ss / n - (s / n) * (s / n)) AS stddev
+FROM s
+""",
+        "quantiles_value": """
+SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
+UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events
+UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
+""",
+        "significant_terms_en": _sig_terms_oracle_sql(),
+        "collapse_max_order": """
+SELECT o_custkey, MAX(o_totalprice) AS o_totalprice FROM orders
+GROUP BY o_custkey
+""",
+        "group_topk_orders": """
+SELECT o_orderpriority, o_totalprice FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+        "top100_orders": """
+SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+        "semi_join_building": """
+SELECT * FROM orders WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+        "anti_join_small_customers": """
+SELECT * FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+        "join_customer_region": """
+SELECT r.r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+""",
+        "explode_embeddings": """
+SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
+""",
+        "fetch_supplier_nation": """
+SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
+LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "timeseries_hourly": """
+SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE) / 1000
+         AS sum_value_m
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "sessions_per_user": f"""
+SELECT user_id, COUNT(*) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN prev_t IS NULL
+                   OR t - prev_t > {2 * 3600 * 1_000_000} THEN 1 ELSE 0 END
+           AS new_session
+  FROM (SELECT user_id, epoch_us(ts) AS t,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev_t
+        FROM events))
+WHERE new_session = 1 GROUP BY user_id
+""",
+        "tumbling_daily": """
+SELECT user_id,
+       to_timestamp((epoch_us(ts) // 86400000000) * 86400)::TIMESTAMP
+         AS window_start,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        "topic_incremental": f"""
+SELECT * FROM events WHERE epoch_us(ts) > {cutoff}
+""",
+        "token_counts": """
+SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+FROM documents
+""",
+        "avg_tokens_by_lang": """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
+         / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+        "exact_dedup_docs": """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) = 1
+""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+        "scale_acctbal": """
+SELECT c_custkey,
+       (c_acctbal - MIN(c_acctbal) OVER ())
+         / (MAX(c_acctbal) OVER () - MIN(c_acctbal) OVER ())
+         AS acctbal_scaled
+FROM customer
+""",
+    }

@@ -57,11 +57,12 @@ def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,
 
     def windows(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")
-        w = (g[ts_col].astype("int64") // width_us) * width_us
+        ts_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        w = (ts_us // width_us) * width_us
         out = g.groupby(w)[value_col].agg(agg)
         return pd.DataFrame({
             key_col: g[key_col].iloc[0],
-            "window_start": pd.to_datetime(out.index),
+            "window_start": pd.to_datetime(out.index, unit="us"),
             f"{agg}_{value_col}": out.to_numpy(),
         })
 
@@ -85,7 +86,7 @@ def session_windows(ds, key_col: str, ts_col: str, gap_us: int):
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].astype("int64").to_numpy()
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         new = np.ones(len(ts), dtype=bool)
         new[1:] = (ts[1:] - ts[:-1]) > gap_us
         sid = np.cumsum(new) - 1
@@ -93,8 +94,8 @@ def session_windows(ds, key_col: str, ts_col: str, gap_us: int):
         agg = out.groupby("sid")["ts"].agg(["min", "max", "count"])
         return pd.DataFrame({
             key_col: g[key_col].iloc[0],
-            "session_start": pd.to_datetime(agg["min"]),
-            "session_end": pd.to_datetime(agg["max"]),
+            "session_start": pd.to_datetime(agg["min"], unit="us"),
+            "session_end": pd.to_datetime(agg["max"], unit="us"),
             "n_events": agg["count"].to_numpy(),
         })
 
