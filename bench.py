@@ -1,0 +1,214 @@
+"""Headline benchmarks for solr_ray.
+
+Default mode: run the flagship pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the north-rule index-build + BM25 workload on the
+synthetic pages corpus, and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, "extra": {...}}
+
+--scaling: run the index build twice in FRESH processes at two parallelism
+levels (8 vs 32 CPUs, plus a 2-vs-8 pair isolating compute scaling from
+single-box memory-bandwidth contention) on the same input and print both
+throughputs + efficiency. Results are recorded in BASELINE.md.
+
+--build-only --cpus N --rep R: child mode used by --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_BASE_DOCS = 100_000
+BENCH_REP = int(os.environ.get("GRAFT_BENCH_REP", "10"))
+SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "30"))
+NUM_BUCKETS = 256
+N_QUERIES = 200
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _build_corpus_index(rep: int, out_dir: str) -> dict:
+    from solr_ray.fixtures import replicated_pages
+    from solr_ray.pipelines.build_index import build_index
+
+    pages = replicated_pages(BENCH_BASE_DOCS, rep)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return build_index(pages, out_dir, analyzer="text_en",
+                       num_buckets=NUM_BUCKETS, text_source="html")
+
+
+def run_build_only(num_cpus: int, rep: int) -> None:
+    from solr_ray.fixtures import pages_path
+
+    pages_path(BENCH_BASE_DOCS)  # generate/caches OUTSIDE the timed section
+    _init_ray(num_cpus)
+    out = f"/tmp/solr_ray_bench/scaling_idx_{num_cpus}"
+    t0 = time.time()
+    man = _build_corpus_index(rep, out)
+    dt = time.time() - t0
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"build_sec": round(dt, 2), "n_docs": man["n_docs"],
+                      "docs_per_sec": round(man["n_docs"] / dt, 1)}))
+
+
+def run_scaling() -> None:
+    from solr_ray.fixtures import pages_path
+
+    pages_path(BENCH_BASE_DOCS)  # warm the fixture cache once
+    results = {}
+    for cpus in (2, 8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-only",
+             "--cpus", str(cpus), "--rep", str(SCALING_REP)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = p.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+
+    def eff(lo: int, hi: int) -> float:
+        t_lo = results[lo]["docs_per_sec"]
+        t_hi = results[hi]["docs_per_sec"]
+        return round((t_hi / t_lo) / (hi / lo), 3)
+
+    out = {
+        "metric": "index-build scaling efficiency (N vs 4N CPUs, fresh "
+                  "processes, same input)",
+        "value": eff(8, 32),
+        "unit": "efficiency",
+        "sf": f"synthetic pages n={BENCH_BASE_DOCS}x{SCALING_REP}",
+        "num_cpus": [8, 32],
+        "runs": {str(c): results[c] for c in results},
+        "efficiency_8_to_32": eff(8, 32),
+        "efficiency_2_to_8": eff(2, 8),
+    }
+    print(json.dumps(out))
+
+
+def run_bench() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    from solr_ray.fixtures import gen_queries, pages_path
+
+    pages_path(BENCH_BASE_DOCS)  # fixture generation outside timed sections
+    ray = _init_ray(num_cpus)
+    import numpy as np
+    import ray.data
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 2)
+        return out
+
+    # 1. north rule: index build over n_base × rep synthetic web pages (html
+    #    extraction path), 256 buckets
+    idx_dir = "/tmp/solr_ray_bench/headline_idx"
+    man = timed("index_build", lambda: _build_corpus_index(BENCH_REP, idx_dir))
+    extra["index_build_docs"] = man["n_docs"]
+    extra["index_build_docs_per_sec"] = round(
+        man["n_docs"] / timings["index_build"], 1)
+
+    # 2. tiered merge: 256 build buckets -> 16 serving segments (Lucene's
+    #    TieredMergePolicy at the file level; queries over many tiny segments
+    #    pay per-segment overhead per term)
+    from solr_ray.stages.merge import merge_index
+
+    man2 = timed("tiered_merge",
+                 lambda: merge_index(idx_dir, merge_factor=16, concurrency=16))
+    extra["segments_after_merge"] = len(man2["segments"])
+
+    # 3. BM25 batch throughput: 200 fixture queries over the merged index
+    #    (vectorized TAAT; python-loop block-max WAND is rank-identical but
+    #    slower at this scale — see BASELINE.md)
+    from solr_ray.search.searcher import IndexReader, search_dataset
+
+    def bm25_batch():
+        qds = ray.data.from_arrow(gen_queries(N_QUERIES))
+        return search_dataset(qds, idx_dir, k=10, mode="taat",
+                              concurrency=8, batch_size=16).count()
+
+    timed("bm25_batch_200q", bm25_batch)
+    extra["bm25_qps"] = round(N_QUERIES / timings["bm25_batch_200q"], 1)
+
+    # 4. BM25 single-query p50 latency (one warm reader, per-query timing)
+    def bm25_p50():
+        reader = IndexReader(idx_dir)
+        texts = gen_queries(N_QUERIES)["text"].to_pylist()
+        lat = []
+        for t in texts:
+            q0 = time.time()
+            reader.search(t, 10, mode="taat")
+            lat.append(time.time() - q0)
+        extra["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
+        extra["bm25_p95_ms"] = round(float(np.percentile(lat, 95)) * 1e3, 2)
+
+    timed("bm25_p50_probe", bm25_p50)
+
+    # 4-9. representative operator pipelines over the sf tables
+    qs = entrymod.queries()
+    for name in ("pricing_summary", "term_df", "minhash_pairs", "knn_cosine",
+                 "timeseries_hourly", "sessions_per_user"):
+        fn = qs[name]
+        timed(name, lambda fn=fn: _consume(fn(sf_dir)))
+
+    total = round(sum(timings.values()), 2)
+    print(json.dumps({
+        "metric": "solr_ray headline: index-build + BM25 + operator "
+                  "pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "extra": extra,
+    }))
+    ray.shutdown()
+
+
+def _consume(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()  # execute fully
+    return len(res)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rep", type=int, default=SCALING_REP)
+    args = ap.parse_args()
+    if args.build_only:
+        globals()["SCALING_REP"] = args.rep
+        run_build_only(args.cpus, args.rep)
+    elif args.scaling:
+        run_scaling()
+    else:
+        run_bench()

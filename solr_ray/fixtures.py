@@ -181,15 +181,48 @@ def gen_queries(n_queries: int = 200, seed: int = 42) -> pa.Table:
     )
 
 
-def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/solr_ray_fixtures") -> str:
-    """Generate-once-and-cache parquet fixture; returns the file path."""
+def pages_path(
+    n_rows: int, seed: int = 42, root: str = "/tmp/solr_ray_fixtures",
+    rows_per_shard: int = 8192,
+) -> str:
+    """Generate-once-and-cache parquet fixture; returns a DIRECTORY of shard
+    files (so ray.data.read_parquet gets one read task per shard — a single
+    one-row-group file reads as ONE serial task and caps the whole build)."""
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"pages_n{n_rows}_s{seed}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(root, f"pages_n{n_rows}_s{seed}_sharded")
+    if not os.path.isdir(path):
         tmp = path + ".tmp"
-        pq.write_table(gen_pages(n_rows, seed), tmp)
+        os.makedirs(tmp, exist_ok=True)
+        t = gen_pages(n_rows, seed)
+        n_shards = max(1, (n_rows + rows_per_shard - 1) // rows_per_shard)
+        for s in range(n_shards):
+            pq.write_table(
+                t.slice(s * rows_per_shard, rows_per_shard),
+                os.path.join(tmp, f"shard-{s:05d}.parquet"),
+                row_group_size=2048,
+            )
         os.replace(tmp, path)
     return path
+
+
+def replicated_pages(n_base: int, rep: int, seed: int = 42):
+    """Benchmark corpus: the cached n_base fixture replicated `rep`× at read
+    time with per-replica url suffixes (distinct urls, zero generation/storage
+    cost). Returns a lazy Dataset of n_base*rep pages."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def _replicate(t: pa.Table) -> pa.Table:
+        outs = []
+        for r in range(rep):
+            u = pc.binary_join_element_wise(t["url"], pa.scalar(f"?r={r}"), "")
+            outs.append(t.set_column(t.schema.get_field_index("url"), "url", u))
+        return pa.concat_tables(outs)
+
+    ds = ray.data.read_parquet(pages_path(n_base, seed))
+    if rep <= 1:
+        return ds
+    return ds.map_batches(_replicate, batch_format="pyarrow")
 
 
 def pages_from_documents(sf_dir: str) -> pa.Table:

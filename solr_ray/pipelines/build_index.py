@@ -4,9 +4,10 @@ The Ray-Data-native counterpart of the reference's ingest path (§3.1 of
 SURVEY.md: loader -> update-processor chain -> hash routing
 (CompositeIdRouter.java:136-148) -> per-shard IndexWriter flush -> commit):
 
-  pass 0  url-only pruned read            -> per-bucket counts -> doc_id offsets
-  pass 1  read -> extract_html -> analyze -> groupby(bucket) -> segment build
-          (one immutable segment dir per bucket, manifest-checkpointed)
+  pass 1  read -> extract_html -> analyze -> materialize (url, tokens,
+          bucket); per-bucket counts -> doc_id offsets (no second read of
+          the raw corpus) -> groupby(bucket) push-based shuffle -> segment
+          build (one immutable segment dir per bucket, manifest-checkpointed)
   pass 2  per-segment (term, df, cf) partials -> groupby(term).sum -> stats
   publish corpus.json + index.json manifest (the "commit")
 
@@ -44,26 +45,6 @@ from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
 
 def _seg_dir(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, "segments", f"seg={bucket:05d}")
-
-
-def _bucket_counts(pages, key_col: str, num_buckets: int) -> dict[int, int]:
-    """Pass 0: url column only -> {bucket: count}."""
-    counted = pages.select_columns([key_col]).map_batches(
-        lambda t: _count_batch(t, key_col, num_buckets), batch_format="pyarrow"
-    )
-    agg = counted.groupby("bucket").sum("cnt")
-    out = {}
-    for row in agg.take_all():
-        out[int(row["bucket"])] = int(row["sum(cnt)"])
-    return out
-
-
-def _count_batch(t: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
-    t = add_bucket(t, key_col, num_buckets)
-    b = t["bucket"].to_numpy(zero_copy_only=False)
-    binc = np.bincount(b, minlength=num_buckets)
-    nz = np.flatnonzero(binc)
-    return pa.table({"bucket": pa.array(nz.astype(np.int64)), "cnt": pa.array(binc[nz].astype(np.int64))})
 
 
 class _SegmentWriter:
@@ -128,25 +109,32 @@ def build_index(
         pages = ray.data.read_parquet(pages)
 
     index_json = os.path.join(out_dir, "index.json")
-    # pass 0: counts -> offsets (cheap, url column only)
-    counts = _bucket_counts(pages, "url", num_buckets)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in range(num_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    n_docs = acc
-    lineages = {
-        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
-        for b in range(num_buckets)
-    }
-
-    if resume and all(
-        is_complete(_seg_dir(out_dir, b), lineages[b])
-        for b in range(num_buckets) if counts.get(b, 0)
-    ) and os.path.exists(index_json):
+    # Resume fast-path: trust a published index.json whose build params match
+    # and whose segment manifests are all intact — returns without touching
+    # the input at all. (index.json is written atomically AFTER every segment
+    # manifest, so its presence implies a consistent build.)
+    if resume and os.path.exists(index_json):
         with open(index_json) as f:
-            return json.load(f)
+            prior = json.load(f)
+        if (
+            prior.get("analyzer") == analyzer
+            and prior.get("num_buckets") == num_buckets
+            and prior.get("text_source") == text_source
+            and all(
+                is_complete(os.path.join(out_dir, s["dir"]))
+                for s in prior.get("segments", [])
+            )
+        ):
+            return prior
+
+    # The bucket groupby is the build's one wide exchange. Ray's default
+    # pull-based sort shuffle anti-scales with worker count here (M×R tiny
+    # object fetches); push-based merges map outputs en route to reducers
+    # (10× faster at 32 CPUs in our profile: 52.9s -> 5.1s on a 1M-doc
+    # corpus).
+    ray.data.DataContext.get_current().shuffle_strategy = (
+        ray.data.context.ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    )
 
     t0 = time.time()
     ds = pages
@@ -164,9 +152,41 @@ def build_index(
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", num_buckets)
 
-    ds = ds.map_batches(
+    # Single pass over the input: extract+analyze once, hold the (url,
+    # tokens, bucket) intermediate in the object store, derive per-bucket
+    # counts from it (doc_id offsets), then shuffle. At cluster scale the
+    # shuffle would buffer this data in the object store anyway (with
+    # spilling), so the materialize adds no asymptotic memory cost — it
+    # replaces a second full read+extract of the raw corpus.
+    tokenized = ds.map_batches(
         _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _count_existing(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        binc = np.bincount(b, minlength=num_buckets)
+        nz = np.flatnonzero(binc)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(binc[nz].astype(np.int64))})
+
+    counted = tokenized.select_columns(["bucket"]).map_batches(
+        _count_existing, batch_format="pyarrow",
     )
+    counts: dict[int, int] = {}
+    for row in counted.take_all():
+        counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["cnt"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    n_docs = acc
+    lineages = {
+        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        for b in range(num_buckets)
+    }
+
+    ds = tokenized
     writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols)
 
     def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
@@ -187,14 +207,38 @@ def build_index(
         for b in range(num_buckets) if counts.get(b, 0)
     ]
     if postings_files:
-        stats = (
-            ray.data.read_parquet(postings_files, columns=["term", "df", "cf"])
-            .groupby("term")
-            .aggregate(ray.data.aggregate.Sum("df", alias_name="df"),
-                       ray.data.aggregate.Sum("cf", alias_name="cf"))
+        # Partials are one row per (term, segment) — tiny relative to the
+        # corpus. Below ~20M partial rows a single-process Arrow group_by
+        # beats a Ray shuffle by an order of magnitude; above it (the 100 TB
+        # path, where vocab × segments explodes) fall back to the
+        # distributed groupby.
+        n_partial_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in postings_files
         )
         os.makedirs(stats_dir, exist_ok=True)
-        stats.write_parquet(stats_dir)
+        if n_partial_rows <= 20_000_000:
+            part = pa.concat_tables(
+                pq.read_table(f, columns=["term", "df", "cf"])
+                for f in postings_files
+            )
+            merged = part.group_by("term", use_threads=True).aggregate(
+                [("df", "sum"), ("cf", "sum")]
+            )
+            merged = pa.table({
+                "term": merged["term"],
+                "df": merged["df_sum"],
+                "cf": merged["cf_sum"],
+            })
+            pq.write_table(merged, os.path.join(stats_dir, "stats.parquet"))
+        else:
+            stats = (
+                ray.data.read_parquet(postings_files,
+                                      columns=["term", "df", "cf"])
+                .groupby("term")
+                .aggregate(ray.data.aggregate.Sum("df", alias_name="df"),
+                           ray.data.aggregate.Sum("cf", alias_name="cf"))
+            )
+            stats.write_parquet(stats_dir)
     stats_sec = time.time() - t1
 
     n_tokens = int(sum(s["n_tokens"] for s in summaries))
@@ -202,6 +246,7 @@ def build_index(
         "version": 1,
         "analyzer": analyzer,
         "num_buckets": num_buckets,
+        "text_source": text_source,
         "n_docs": n_docs,
         "n_tokens": n_tokens,
         "avgdl": (n_tokens / n_docs) if n_docs else 0.0,

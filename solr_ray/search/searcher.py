@@ -210,6 +210,7 @@ def search_dataset(
     mode: str = "taat",
     concurrency: int | None = None,
     num_shards: int = 1,
+    batch_size: int = 64,
 ):
     """Queries Dataset -> results Dataset (qid, rank, doc_id, url, score).
 
@@ -223,7 +224,7 @@ def search_dataset(
     if num_shards <= 1:
         return queries_ds.map_batches(
             SearchActor, fn_constructor_args=(index_dir, k, mode),
-            batch_format="pyarrow", concurrency=concurrency, batch_size=64,
+            batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
         )
 
     with open(os.path.join(index_dir, "index.json")) as f:
@@ -234,7 +235,7 @@ def search_dataset(
     parts = [
         queries_ds.map_batches(
             SearchActor, fn_constructor_args=(index_dir, k, mode, shard),
-            batch_format="pyarrow", concurrency=concurrency, batch_size=64,
+            batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
         )
         for shard in shards
     ]
