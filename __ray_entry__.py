@@ -513,6 +513,106 @@ def _q_topic_incremental(sf_dir: str):
     return tc.pull(_read(sf_dir, "events"), "ts")
 
 
+def _q_atomic_update_inc(sf_dir: str):
+    """AtomicUpdateDocumentMerger 'inc'/'set' semantics: bump each
+    customer's balance by their order count; flag big customers."""
+    import duckdb
+
+    from solr_ray.ops.updates import atomic_update
+
+    updates = duckdb.sql(
+        f"SELECT o_custkey AS c_custkey, COUNT(*)::DOUBLE AS c_acctbal, "
+        "CASE WHEN COUNT(*) >= 15 THEN 'HEAVY' ELSE 'LIGHT' END AS "
+        "c_mktsegment "
+        f"FROM read_parquet('{_tbl(sf_dir, 'orders')}') GROUP BY o_custkey"
+    ).df()
+    out = atomic_update(
+        _read(sf_dir, "customer"), updates, "c_custkey",
+        {"c_acctbal": "inc", "c_mktsegment": "set"})
+    return out.select_columns(["c_custkey", "c_acctbal", "c_mktsegment"])
+
+
+def _q_filter_bool(sf_dir: str):
+    """QParser surface as predicates: (type∈{click,view} ∧ value∈[10,50))
+    ∨ (type=error ∧ ¬(value<80))."""
+    from solr_ray.ops.queryfilter import filter_query
+
+    spec = {"op": "or", "clauses": [
+        {"op": "and", "clauses": [
+            {"op": "terms", "field": "event_type",
+             "values": ["click", "view"]},
+            {"op": "range", "field": "value", "lo": 10.0, "hi": 50.0},
+        ]},
+        {"op": "and", "clauses": [
+            {"op": "term", "field": "event_type", "value": "error"},
+            {"op": "not", "clauses": [
+                {"op": "range", "field": "value", "hi": 80.0}]},
+        ]},
+    ]}
+    return filter_query(_read(sf_dir, "events"), spec)
+
+
+def _q_cursor_page2(sf_dir: str):
+    """CursorMark keyset paging: page 2 (rows 51-100) of orders by
+    (o_totalprice desc, o_orderkey asc)."""
+    from solr_ray.ops.queryfilter import cursor_page
+
+    ds = _read(sf_dir, "orders")
+    page1 = cursor_page(ds, ["o_totalprice", "o_orderkey"], None, 50,
+                        descending=[True, False]).to_pandas()
+    after = (float(page1["o_totalprice"].iloc[-1]),
+             int(page1["o_orderkey"].iloc[-1]))
+    return cursor_page(ds, ["o_totalprice", "o_orderkey"], after, 50,
+                       descending=[True, False])
+
+
+def _q_highlight(sf_dir: str):
+    """Rows-only: BM25 top-10 for one query with <em>-tagged snippets."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from solr_ray.search.highlight import highlight_results
+    from solr_ray.search.searcher import search_dataset
+
+    idx = _build_docs_index(sf_dir, "whitespace", 1)
+    q = "table scan"
+    qds = ray.data.from_arrow(
+        pa.table({"qid": pa.array([0], pa.int64()),
+                  "text": pa.array([q], pa.string())}))
+    res = search_dataset(qds, idx, k=10)
+    docs = pq.read_table(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).to_pandas()
+    # result doc_id is the internal id == zero-padded-url order == doc_id
+    return highlight_results(res, docs, q, analyzer="whitespace")
+
+
+def _q_mlt(sf_dir: str):
+    """Rows-only: more-like-this for the first document."""
+    import duckdb
+
+    from solr_ray.search.highlight import more_like_this_text
+    from solr_ray.search.searcher import IndexReader
+
+    idx = _build_docs_index(sf_dir, "whitespace", 1)
+    text = duckdb.sql(
+        f"SELECT text FROM read_parquet('{_tbl(sf_dir, 'documents')}') "
+        "WHERE doc_id = 0"
+    ).fetchone()[0]
+    reader = IndexReader(idx)
+    ids, scores = more_like_this_text(reader, text, k=10, exclude_doc=0)
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+    })
+
+
+def _q_random_sample(sf_dir: str):
+    """Rows-only: seeded sampling (RandomStream / RandomSortField class)."""
+    return _read(sf_dir, "events").random_sample(0.1, seed=7)
+
+
 def _q_significant_terms(sf_dir: str):
     from solr_ray.ops.grouping import significant_terms
 
@@ -625,6 +725,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_max_order": _q_collapse_max_order,
         "group_topk_orders": _q_group_topk_orders,
         "top100_orders": _q_top100_orders,
+        "cursor_page2": _q_cursor_page2,
+        # filters / updates
+        "filter_bool": _q_filter_bool,
+        "atomic_update_inc": _q_atomic_update_inc,
+        # highlight / mlt / sampling (rows-only)
+        "highlight": _q_highlight,
+        "mlt": _q_mlt,
+        "random_sample": _q_random_sample,
         # joins / lookups / set ops
         "semi_join_building": _q_semi_join_building,
         "anti_join_small_customers": _q_anti_join_small_customers,
@@ -821,6 +929,25 @@ SELECT o_orderpriority, o_totalprice FROM (
 """,
         "top100_orders": """
 SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+        "cursor_page2": """
+SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 50
+""",
+        "filter_bool": """
+SELECT * FROM events
+WHERE (event_type IN ('click', 'view') AND value >= 10 AND value < 50)
+   OR (event_type = 'error' AND NOT (value < 80))
+""",
+        "atomic_update_inc": """
+WITH u AS (
+  SELECT o_custkey, COUNT(*)::DOUBLE AS delta,
+         CASE WHEN COUNT(*) >= 15 THEN 'HEAVY' ELSE 'LIGHT' END AS seg
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey,
+       c.c_acctbal + COALESCE(u.delta, 0) AS c_acctbal,
+       COALESCE(u.seg, c.c_mktsegment) AS c_mktsegment
+FROM customer c LEFT JOIN u ON u.o_custkey = c.c_custkey
 """,
         "semi_join_building": """
 SELECT * FROM orders WHERE o_custkey IN

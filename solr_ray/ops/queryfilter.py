@@ -1,0 +1,119 @@
+"""Structured filter queries: the non-scoring QParser surface as vectorized
+Arrow predicates over a Dataset.
+
+Reference: QParserPlugin registry (solr/core/src/java/org/apache/solr/search/
+QParserPlugin.java:50-91). The parsers that restrict a result set without
+scoring map to pure column predicates:
+
+- {!term f=x}v / {!terms f=x}a,b,c  -> equality / set membership
+- {!prefix f=x}pre                  -> utf8 starts_with
+- {!frange l=.. u=..}field          -> numeric range
+- {!bool must=.. must_not=.. should=..} -> AND / NOT / OR composition
+- lucene field:[a TO b], field:val  -> same primitives
+
+A filter spec is a nested dict (JSON-able, like Solr's JSON query DSL):
+
+    {"op": "and"|"or"|"not", "clauses": [spec, ...]}
+    {"op": "term",   "field": f, "value": v}
+    {"op": "terms",  "field": f, "values": [..]}
+    {"op": "prefix", "field": f, "value": "pre"}
+    {"op": "range",  "field": f, "lo": a, "hi": b,
+     "include_lo": True, "include_hi": False}
+    {"op": "exists", "field": f}
+
+`compile_filter` builds a per-batch pyarrow predicate; `filter_query`
+applies it with map_batches (streaming, no shuffle).
+
+Also here: CursorMark keyset paging (search/CursorMark.java:46) —
+`cursor_page` returns the next page strictly after a (sort-key) cursor,
+the deep-paging pattern that avoids start+rows offset scans.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def compile_filter(spec: dict):
+    """spec -> fn(pa.Table) -> BooleanArray (vectorized, stateless)."""
+    op = spec["op"]
+    if op in ("and", "or"):
+        subs = [compile_filter(s) for s in spec["clauses"]]
+        comb = pc.and_ if op == "and" else pc.or_
+
+        def f(t: pa.Table):
+            m = subs[0](t)
+            for s in subs[1:]:
+                m = comb(m, s(t))
+            return m
+
+        return f
+    if op == "not":
+        sub = compile_filter(spec["clauses"][0])
+        return lambda t: pc.invert(sub(t))
+    if op == "term":
+        return lambda t: pc.equal(t[spec["field"]], pa.scalar(spec["value"]))
+    if op == "terms":
+        vals = list(spec["values"])
+        return lambda t: pc.is_in(t[spec["field"]],
+                                  value_set=pa.array(vals))
+    if op == "prefix":
+        return lambda t: pc.starts_with(t[spec["field"]],
+                                        pattern=spec["value"])
+    if op == "range":
+        fld, lo, hi = spec["field"], spec.get("lo"), spec.get("hi")
+        ilo = spec.get("include_lo", True)
+        ihi = spec.get("include_hi", False)
+
+        def f(t: pa.Table):
+            c = t[fld]
+            m = None
+            if lo is not None:
+                m = (pc.greater_equal if ilo else pc.greater)(c, pa.scalar(lo))
+            if hi is not None:
+                h = (pc.less_equal if ihi else pc.less)(c, pa.scalar(hi))
+                m = h if m is None else pc.and_(m, h)
+            return m if m is not None else pa.array([True] * len(t))
+
+        return f
+    if op == "exists":
+        return lambda t: pc.is_valid(t[spec["field"]])
+    raise ValueError(f"unknown filter op {op!r}")
+
+
+def filter_query(ds, spec: dict):
+    """Apply a structured filter spec to a Dataset (streaming map_batches)."""
+    pred = compile_filter(spec)
+    return ds.map_batches(lambda t: t.filter(pred(t)), batch_format="pyarrow")
+
+
+def cursor_page(ds, sort_cols: list[str], after: tuple | None, limit: int,
+                descending: bool | list[bool] = False):
+    """Keyset pagination: rows strictly after `after` in (sort_cols) order.
+
+    after: the last sort-key tuple of the previous page (None = first page).
+    The sort keys must be a total order (include the unique key last, like
+    Solr requires the uniqueKey in a cursor sort).
+    """
+    desc = ([descending] * len(sort_cols)
+            if isinstance(descending, bool) else list(descending))
+
+    if after is not None:
+        def beyond(t: pa.Table):
+            # lexicographic "row > after" under mixed asc/desc
+            gt = None  # strictly-after on prefix
+            eq = None  # all-equal on prefix
+            for c, a, d in zip(sort_cols, after, desc):
+                col = t[c]
+                cmp_gt = pc.less(col, pa.scalar(a)) if d else pc.greater(
+                    col, pa.scalar(a))
+                cmp_eq = pc.equal(col, pa.scalar(a))
+                term = cmp_gt if eq is None else pc.and_(eq, cmp_gt)
+                gt = term if gt is None else pc.or_(gt, term)
+                eq = cmp_eq if eq is None else pc.and_(eq, cmp_eq)
+            return gt
+
+        ds = ds.map_batches(lambda t: t.filter(beyond(t)),
+                            batch_format="pyarrow")
+    return ds.sort(sort_cols, descending=desc).limit(limit)

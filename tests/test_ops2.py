@@ -1,0 +1,173 @@
+"""Tests for atomic updates, structured filters, cursor paging,
+highlighting, and more-like-this."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+# ------------------------------------------------------------ atomic update
+
+def test_atomic_update_set_inc():
+    from solr_ray.ops.updates import atomic_update
+
+    base = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "bal": [10.0, 20.0, 30.0, 40.0],
+        "seg": ["a", "b", "c", "d"],
+    })
+    updates = pd.DataFrame({
+        "id": [2, 4, 99],
+        "bal": [5.0, -10.0, 1.0],
+        "seg": ["VIP", "VIP", "x"],
+    })
+    ds = ray.data.from_pandas(base).repartition(2)
+    out = atomic_update(ds, updates, "id", {"bal": "inc", "seg": "set"})
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["bal"].tolist() == [10.0, 25.0, 30.0, 30.0]
+    assert got["seg"].tolist() == ["a", "VIP", "c", "VIP"]
+
+
+def test_atomic_update_list_ops():
+    from solr_ray.ops.updates import atomic_update
+
+    base = pd.DataFrame({
+        "id": [1, 2, 3],
+        "tags": [["x"], ["x", "y"], []],
+    })
+    updates = pd.DataFrame({"id": [1, 2, 3], "tags": ["y", "y", "z"]})
+    ds = ray.data.from_pandas(base)
+    add = atomic_update(ds, updates, "id", {"tags": "add_distinct"}) \
+        .to_pandas().sort_values("id")
+    assert add["tags"].tolist() == [["x", "y"], ["x", "y"], ["z"]]
+    rem = atomic_update(ds, updates, "id", {"tags": "remove"}) \
+        .to_pandas().sort_values("id")
+    assert rem["tags"].tolist() == [["x"], ["x"], []]
+
+
+def test_atomic_update_last_write_wins():
+    from solr_ray.ops.updates import atomic_update
+
+    base = pd.DataFrame({"id": [1], "v": [0.0]})
+    updates = pd.DataFrame({"id": [1, 1], "v": [5.0, 7.0]})
+    out = atomic_update(ray.data.from_pandas(base), updates, "id",
+                        {"v": "set"}).to_pandas()
+    assert out["v"].tolist() == [7.0]
+
+
+# ------------------------------------------------------- structured filters
+
+@pytest.fixture(scope="module")
+def events_df():
+    rng = np.random.default_rng(3)
+    return pd.DataFrame({
+        "etype": rng.choice(["click", "view", "error"], 200).tolist(),
+        "value": np.round(rng.uniform(0, 100, 200), 3),
+        "name": [f"u{i%17}" for i in range(200)],
+    })
+
+
+def test_filter_query_matches_pandas(events_df):
+    from solr_ray.ops.queryfilter import filter_query
+
+    spec = {"op": "or", "clauses": [
+        {"op": "and", "clauses": [
+            {"op": "terms", "field": "etype", "values": ["click", "view"]},
+            {"op": "range", "field": "value", "lo": 10.0, "hi": 50.0},
+        ]},
+        {"op": "and", "clauses": [
+            {"op": "term", "field": "etype", "value": "error"},
+            {"op": "not", "clauses": [
+                {"op": "range", "field": "value", "hi": 80.0}]},
+        ]},
+    ]}
+    ds = ray.data.from_pandas(events_df).repartition(3)
+    got = filter_query(ds, spec).to_pandas()
+    exp = events_df[
+        (events_df.etype.isin(["click", "view"])
+         & (events_df.value >= 10) & (events_df.value < 50))
+        | ((events_df.etype == "error") & ~(events_df.value < 80))
+    ]
+    assert sorted(map(tuple, got.to_numpy().tolist())) == \
+        sorted(map(tuple, exp.to_numpy().tolist()))
+
+
+def test_filter_prefix(events_df):
+    from solr_ray.ops.queryfilter import filter_query
+
+    ds = ray.data.from_pandas(events_df)
+    got = filter_query(ds, {"op": "prefix", "field": "name",
+                            "value": "u1"}).to_pandas()
+    assert set(got["name"]) == {n for n in events_df.name if n.startswith("u1")}
+
+
+# ---------------------------------------------------------- cursor paging
+
+def test_cursor_page_stitches_full_order(events_df):
+    from solr_ray.ops.queryfilter import cursor_page
+
+    events_df = events_df.reset_index().rename(columns={"index": "rid"})
+    ds = ray.data.from_pandas(events_df).repartition(3)
+    full = events_df.sort_values(["value", "rid"],
+                                 ascending=[False, True]).reset_index(drop=True)
+    pages, after = [], None
+    for _ in range(4):
+        page = cursor_page(ds, ["value", "rid"], after, 30,
+                           descending=[True, False]).to_pandas()
+        if page.empty:
+            break
+        pages.append(page)
+        after = (page["value"].iloc[-1], page["rid"].iloc[-1])
+    got = pd.concat(pages).reset_index(drop=True)
+    assert got["rid"].tolist() == full["rid"].tolist()[:len(got)]
+    assert len(got) == 120
+
+
+# ------------------------------------------------------------- highlight
+
+def test_highlight_batch():
+    from solr_ray.search.highlight import highlight_batch
+
+    t = pa.table({"text": [
+        "the quick brown foxes jumped over lazy dogs " * 5,
+        "nothing relevant here at all",
+    ]})
+    out = highlight_batch(t, "fox jump", analyzer="text_en", window=8)
+    s0 = out["snippet"][0].as_py()
+    assert "<em>foxes</em>" in s0 and "<em>jumped</em>" in s0
+    assert out["snippet"][1].as_py() == ""
+
+
+def test_mlt_finds_near_duplicate(pages_300_path, tmp_path):
+    import ray
+
+    from solr_ray.fixtures import gen_pages
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.highlight import more_like_this_text
+    from solr_ray.search.searcher import IndexReader
+
+    out = str(tmp_path / "mlt_idx")
+    build_index(pages_300_path, out, analyzer="text_en", num_buckets=4)
+    reader = IndexReader(out)
+    pages = gen_pages(300, seed=42)
+    texts = pages["text"].to_pylist()
+    # the fixture corpus has exact duplicate bodies (dup_fraction=0.02):
+    # MLT from a duplicated text must surface its twin at the top
+    seen = {}
+    dup = None
+    for i, t in enumerate(texts):
+        if t in seen:
+            dup = (seen[t], i)
+            break
+        seen[t] = i
+    assert dup is not None
+    ids, scores = more_like_this_text(reader, texts[dup[1]], k=5)
+    # twin doc and source doc should be the two top hits (identical text)
+    urls = pages["url"].to_pylist()
+    sorted_urls = sorted(urls)
+    top_urls = {reader.url_of(int(d)) for d in ids[:2]}
+    assert {urls[dup[0]], urls[dup[1]]} == top_urls
+    assert scores[0] == scores[1]
