@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 SF_SMOKE = "/root/testdata/sf0.001"
 _CACHE_ROOT = "/tmp/solr_ray_entry"
-_VER = "v3"  # bump to invalidate cached /tmp indexes after engine changes
+_VER = "v4"  # bump to invalidate cached /tmp indexes after engine changes
 
 K1, B = 1.2, 0.75
 
@@ -802,7 +802,7 @@ scored AS (
   SELECT qt.qid, tf.doc_id,
          SUM(
            LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl))
+           * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl)))
          ) AS score
   FROM qterms qt
   JOIN df ON df.term = qt.term

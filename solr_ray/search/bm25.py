@@ -18,6 +18,8 @@ dl is intentionally NOT applied (exact dl), a documented divergence
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 K1 = 1.2
@@ -25,7 +27,17 @@ B = 0.75
 
 
 def idf(df, n_docs: float):
-    """Vectorized or scalar idf."""
+    """Vectorized or scalar idf.
+
+    The scalar path uses math.log (glibc libm) rather than np.log: numpy's
+    SIMD log diverges from libm by 1 ulp on ~30% of inputs, which flips
+    near-tie rankings against SQL oracles (DuckDB's LN is libm log). The
+    vectorized path (np.log) only feeds WAND block upper bounds, where a
+    1-ulp difference cannot change correctness margins materially.
+    """
+    if np.ndim(df) == 0:
+        dff = float(df)
+        return math.log(1.0 + (n_docs - dff + 0.5) / (dff + 0.5))
     df = np.asarray(df, dtype=np.float64)
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 

@@ -37,7 +37,7 @@ class OracleIndex:
 
         h = stable_hash64(np.array(urls, dtype=object))
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)
-        order = np.lexsort((np.array(urls, dtype=object), h, bucket))
+        order = np.lexsort((np.array(urls, dtype=object), bucket))
         self.urls = [urls[i] for i in order]
         self.analyzer = az
 

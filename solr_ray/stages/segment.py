@@ -148,13 +148,15 @@ def build_segment_tables(
 ) -> tuple[pa.Table, pa.Table]:
     """One bucket group (url, h, dl, tokens [, stored...]) -> (postings, docs).
 
-    Doc order within the segment is (h, url) ascending — deterministic and
-    independent of how Ray blocked the shuffle (stages/docids.py).
+    Doc order within the segment is url ascending — deterministic,
+    independent of how Ray blocked the shuffle, and (because buckets
+    partition the url space) equivalent to "doc_id = rank of url within
+    bucket" per SURVEY.md §7.0; with one bucket it is the global url rank.
     """
     group = group.combine_chunks()
     order = pc.sort_indices(
-        group.select(["h", "url"]),
-        sort_keys=[("h", "ascending"), ("url", "ascending")],
+        group.select(["url"]),
+        sort_keys=[("url", "ascending")],
     )
     group = group.take(order)
     n = group.num_rows

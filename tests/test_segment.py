@@ -26,9 +26,8 @@ def test_hand_checked_segment():
     ]
     urls = [f"https://x/{i}" for i in [3, 1, 2, 0]]
     postings, docs = _build(texts, urls, offset=100)
-    # doc order is (hash, url): recompute expected independently
-    h = stable_hash64(urls)
-    order = np.lexsort((np.array(urls, dtype=object), h))
+    # doc order is url ascending: recompute expected independently
+    order = np.argsort(np.array(urls, dtype=object), kind="stable")
     url_to_doc = {urls[j]: 100 + i for i, j in enumerate(order)}
     text_of = dict(zip(urls, texts))
 
