@@ -51,15 +51,18 @@ class _SegmentWriter:
     """groupby(bucket).map_groups body: build + atomically publish one segment."""
 
     def __init__(self, out_dir: str, offsets: dict[int, int],
-                 lineages: dict[int, str], stored_cols: tuple[str, ...]):
+                 lineages: dict[int, str], stored_cols: tuple[str, ...],
+                 dir_prefix: str = "seg"):
         self.out_dir = out_dir
         self.offsets = offsets
         self.lineages = lineages
         self.stored_cols = stored_cols
+        self.dir_prefix = dir_prefix
 
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
-        seg_dir = _seg_dir(self.out_dir, bucket)
+        seg_dir = os.path.join(
+            self.out_dir, "segments", f"{self.dir_prefix}={bucket:05d}")
         lineage = self.lineages[bucket]
         t0 = time.time()
         if is_complete(seg_dir, lineage):  # resume: idempotent skip
@@ -71,7 +74,10 @@ class _SegmentWriter:
             group, self.offsets[bucket], self.stored_cols
         )
         os.makedirs(seg_dir, exist_ok=True)
-        pq.write_table(postings, os.path.join(seg_dir, "postings.parquet"))
+        # small row groups (term-sorted) let the lazy reader load only the
+        # row groups containing queried terms (searcher.SegmentIndex lazy=True)
+        pq.write_table(postings, os.path.join(seg_dir, "postings.parquet"),
+                       row_group_size=2048)
         pq.write_table(docs, os.path.join(seg_dir, "docs.parquet"))
         n_tokens = int(docs["dl"].to_numpy().sum()) if docs.num_rows else 0
         write_manifest(seg_dir, {
@@ -87,6 +93,48 @@ class _SegmentWriter:
         return pa.table({"bucket": [bucket], "n_docs": [docs.num_rows],
                          "n_terms": [postings.num_rows], "n_tokens": [n_tokens],
                          "skipped": [False]})
+
+
+def _write_global_stats(out_dir: str, postings_files: list[str]) -> None:
+    """Global (term -> df, cf) from per-segment partials.
+
+    Partials are one row per (term, segment) — tiny relative to the corpus.
+    Below ~20M partial rows a single-process Arrow group_by beats a Ray
+    shuffle by an order of magnitude; above it (the 100 TB path, where
+    vocab × segments explodes) fall back to the distributed groupby.
+    """
+    if not postings_files:
+        return
+    stats_dir = os.path.join(out_dir, "stats")
+    n_partial_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in postings_files
+    )
+    os.makedirs(stats_dir, exist_ok=True)
+    for old in os.listdir(stats_dir):  # clear prior generation's files
+        os.remove(os.path.join(stats_dir, old))
+    if n_partial_rows <= 20_000_000:
+        part = pa.concat_tables(
+            pq.read_table(f, columns=["term", "df", "cf"])
+            for f in postings_files
+        )
+        merged = part.group_by("term", use_threads=True).aggregate(
+            [("df", "sum"), ("cf", "sum")]
+        )
+        merged = pa.table({
+            "term": merged["term"],
+            "df": merged["df_sum"],
+            "cf": merged["cf_sum"],
+        })
+        pq.write_table(merged, os.path.join(stats_dir, "stats.parquet"))
+    else:
+        stats = (
+            ray.data.read_parquet(postings_files,
+                                  columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(ray.data.aggregate.Sum("df", alias_name="df"),
+                       ray.data.aggregate.Sum("cf", alias_name="cf"))
+        )
+        stats.write_parquet(stats_dir)
 
 
 def build_index(
@@ -201,44 +249,10 @@ def build_index(
 
     # pass 2: global term stats from per-segment partials (≤ n_segments rows/term)
     t1 = time.time()
-    stats_dir = os.path.join(out_dir, "stats")
-    postings_files = [
+    _write_global_stats(out_dir, [
         os.path.join(_seg_dir(out_dir, b), "postings.parquet")
         for b in range(num_buckets) if counts.get(b, 0)
-    ]
-    if postings_files:
-        # Partials are one row per (term, segment) — tiny relative to the
-        # corpus. Below ~20M partial rows a single-process Arrow group_by
-        # beats a Ray shuffle by an order of magnitude; above it (the 100 TB
-        # path, where vocab × segments explodes) fall back to the
-        # distributed groupby.
-        n_partial_rows = sum(
-            pq.ParquetFile(f).metadata.num_rows for f in postings_files
-        )
-        os.makedirs(stats_dir, exist_ok=True)
-        if n_partial_rows <= 20_000_000:
-            part = pa.concat_tables(
-                pq.read_table(f, columns=["term", "df", "cf"])
-                for f in postings_files
-            )
-            merged = part.group_by("term", use_threads=True).aggregate(
-                [("df", "sum"), ("cf", "sum")]
-            )
-            merged = pa.table({
-                "term": merged["term"],
-                "df": merged["df_sum"],
-                "cf": merged["cf_sum"],
-            })
-            pq.write_table(merged, os.path.join(stats_dir, "stats.parquet"))
-        else:
-            stats = (
-                ray.data.read_parquet(postings_files,
-                                      columns=["term", "df", "cf"])
-                .groupby("term")
-                .aggregate(ray.data.aggregate.Sum("df", alias_name="df"),
-                           ray.data.aggregate.Sum("cf", alias_name="cf"))
-            )
-            stats.write_parquet(stats_dir)
+    ])
     stats_sec = time.time() - t1
 
     n_tokens = int(sum(s["n_tokens"] for s in summaries))
@@ -268,4 +282,120 @@ def build_index(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, index_json)  # atomic publish = the "commit"
+    return manifest
+
+
+def append_to_index(
+    pages,
+    index_dir: str,
+    num_buckets: int | None = None,
+) -> dict:
+    """Incremental build: index new pages as ADDITIONAL segments appended
+    after the existing doc_id space, refresh global stats, republish
+    index.json (SURVEY.md §2.9: incremental index build = append new
+    partitions + merge; the reference's add-then-commit visibility).
+
+    New urls must be disjoint from already-indexed urls (the caller dedups —
+    e.g. anti_join on url against the indexed set, or a crawl-frontier
+    guarantee). Analyzer / text_source come from the existing manifest so
+    the appended segments are scoring-compatible. Run stages.merge.
+    merge_index afterwards to fold appended segments into the tiers.
+    """
+    index_json = os.path.join(index_dir, "index.json")
+    with open(index_json) as f:
+        manifest = json.load(f)
+    analyzer = manifest["analyzer"]
+    text_source = manifest.get("text_source", "html")
+    base = int(manifest["n_docs"])
+    gen = int(manifest.get("append_gen", 0)) + 1
+    nb = num_buckets or int(manifest["num_buckets"])
+    prefix = f"app{gen}"
+
+    get_analyzer(analyzer)
+    if isinstance(pages, (str, list)):
+        pages = ray.data.read_parquet(pages)
+
+    ray.data.DataContext.get_current().shuffle_strategy = (
+        ray.data.context.ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    )
+
+    t0 = time.time()
+    ds = pages
+    if text_source == "html":
+        ds = ds.map_batches(
+            extract_batch, batch_format="pyarrow", zero_copy_batch=True,
+        )
+    az_name = analyzer
+
+    def _analyze_and_bucket(t: pa.Table) -> pa.Table:
+        t = analyze_batch(t, "text", az_name)
+        t = t.select([c for c in ("url", "tokens") if c in t.column_names])
+        return add_bucket(t, "url", nb)
+
+    tokenized = ds.map_batches(
+        _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _count_existing(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        binc = np.bincount(b, minlength=nb)
+        nz = np.flatnonzero(binc)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(binc[nz].astype(np.int64))})
+
+    counts: dict[int, int] = {}
+    for row in tokenized.select_columns(["bucket"]).map_batches(
+            _count_existing, batch_format="pyarrow").take_all():
+        counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["cnt"])
+    offsets: dict[int, int] = {}
+    acc = base
+    for b in range(nb):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    n_new = acc - base
+    lineages = {
+        b: f"v1|{prefix}|az={analyzer}|nb={nb}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        for b in range(nb)
+    }
+    writer = _SegmentWriter(index_dir, offsets, lineages, (), dir_prefix=prefix)
+
+    def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
+        return _w(group)
+
+    summaries = (
+        tokenized.groupby("bucket")
+        .map_groups(write_segment_group, batch_format="pyarrow")
+        .take_all()
+    )
+    build_sec = time.time() - t0
+
+    new_segments = [
+        {"dir": f"segments/{prefix}={b:05d}", "bucket": b,
+         "doc_id_offset": offsets[b], "n_docs": counts.get(b, 0)}
+        for b in range(nb) if counts.get(b, 0)
+    ]
+    manifest["segments"] = manifest["segments"] + new_segments
+    all_postings = [
+        os.path.join(index_dir, s["dir"], "postings.parquet")
+        for s in manifest["segments"]
+    ]
+    t1 = time.time()
+    _write_global_stats(index_dir, all_postings)
+    stats_sec = time.time() - t1
+
+    n_tokens_new = int(sum(s["n_tokens"] for s in summaries))
+    manifest["n_docs"] = base + n_new
+    manifest["n_tokens"] = int(manifest["n_tokens"]) + n_tokens_new
+    manifest["avgdl"] = (manifest["n_tokens"] / manifest["n_docs"]
+                         if manifest["n_docs"] else 0.0)
+    manifest["append_gen"] = gen
+    manifest.setdefault("metrics", {})[f"append_{gen}"] = {
+        "n_new_docs": n_new,
+        "build_sec": round(build_sec, 3),
+        "stats_sec": round(stats_sec, 3),
+    }
+    tmp = index_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, index_json)
     return manifest

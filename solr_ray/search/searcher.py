@@ -28,52 +28,93 @@ from solr_ray.search.wand import PostingCursor, bmw_topk, taat_topk
 from solr_ray.stages.codec import varint_decode, delta_decode
 
 
-class SegmentIndex:
-    """One immutable segment, held compressed in memory.
+_HEAVY_COLS = [
+    "doc_ids_delta_varint", "tfs_varint", "block_last_doc", "block_max_tf",
+    "block_min_dl", "block_off_docs", "block_off_tfs",
+]
 
-    postings stay varint-encoded (≈2 B/posting); term lookup is a dict built
-    once. At 100 TB scale a segment would instead keep the postings parquet
-    mmapped and binary-search row groups by the term sort order — the layout
-    (term-sorted parquet) already supports that.
+
+class SegmentIndex:
+    """One immutable segment.
+
+    eager (default): the whole postings table is held varint-compressed in
+    memory (≈2 B/posting) — the low-latency serving mode.
+
+    lazy=True: only the (term, df) dictionary is resident; posting payloads
+    are fetched per-term by parquet ROW-GROUP (postings are term-sorted and
+    written with 2048-row groups), with a small LRU of decoded row groups.
+    This is the 100 TB path — per-actor memory stays O(vocab + touched row
+    groups) instead of O(segment postings).
     """
 
-    def __init__(self, seg_dir: str):
-        t = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
-        self.terms = t["term"].to_pylist()
+    def __init__(self, seg_dir: str, lazy: bool = False,
+                 rg_cache_size: int = 64):
+        ppath = os.path.join(seg_dir, "postings.parquet")
+        self.lazy = lazy
+        if lazy:
+            self._pf = pq.ParquetFile(ppath)
+            light = self._pf.read(columns=["term", "df"])
+            self.terms = light["term"].to_pylist()
+            self.df = light["df"].to_numpy(zero_copy_only=False)
+            md = self._pf.metadata
+            bounds = np.cumsum(
+                [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            )
+            self._rg_bounds = bounds  # exclusive upper row bound per group
+            self._rg_cache: dict[int, pa.Table] = {}
+            self._rg_cache_size = rg_cache_size
+        else:
+            t = pq.read_table(ppath)
+            self.terms = t["term"].to_pylist()
+            self.df = t["df"].to_numpy(zero_copy_only=False)
+            self._cols = {c: t[c] for c in _HEAVY_COLS}
         self.lookup = {term: i for i, term in enumerate(self.terms)}
-        self.df = t["df"].to_numpy(zero_copy_only=False)
-        self.enc_docs = t["doc_ids_delta_varint"]
-        self.enc_tfs = t["tfs_varint"]
-        self.block_last = t["block_last_doc"]
-        self.block_max_tf = t["block_max_tf"]
-        self.block_min_dl = t["block_min_dl"]
-        self.block_off_docs = t["block_off_docs"]
-        self.block_off_tfs = t["block_off_tfs"]
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.doc_ids = d["doc_id"].to_numpy(zero_copy_only=False)
         self.doc_base = int(self.doc_ids[0]) if len(self.doc_ids) else 0
         self.urls = d["url"]
         self.dl = d["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
 
+    def _row(self, i: int) -> dict:
+        """Heavy posting columns for term-row i (row-group fetch when lazy)."""
+        if not self.lazy:
+            return {c: self._cols[c][i] for c in _HEAVY_COLS}
+        rg = int(np.searchsorted(self._rg_bounds, i, side="right"))
+        tbl = self._rg_cache.get(rg)
+        if tbl is None:
+            tbl = self._pf.read_row_group(rg, columns=_HEAVY_COLS)
+            if len(self._rg_cache) >= self._rg_cache_size:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[rg] = tbl
+        start = 0 if rg == 0 else int(self._rg_bounds[rg - 1])
+        local = i - start
+        return {c: tbl[c][local] for c in _HEAVY_COLS}
+
     def full_posting(self, term: str):
         i = self.lookup.get(term)
         if i is None:
             return None
-        ids = delta_decode(varint_decode(self.enc_docs[i].as_py(), int(self.df[i])))
-        tfs = varint_decode(self.enc_tfs[i].as_py(), int(self.df[i])).astype(np.int64)
+        row = self._row(i)
+        ids = delta_decode(
+            varint_decode(row["doc_ids_delta_varint"].as_py(), int(self.df[i]))
+        )
+        tfs = varint_decode(
+            row["tfs_varint"].as_py(), int(self.df[i])
+        ).astype(np.int64)
         return ids, tfs
 
     def cursor(self, term: str, term_idf: float, avgdl: float, ord: int = 0):
         i = self.lookup.get(term)
         if i is None:
             return None
-        bmax = np.asarray(self.block_max_tf[i].as_py(), dtype=np.float64)
-        bmin = np.asarray(self.block_min_dl[i].as_py(), dtype=np.float64)
+        row = self._row(i)
+        bmax = np.asarray(row["block_max_tf"].as_py(), dtype=np.float64)
+        bmin = np.asarray(row["block_min_dl"].as_py(), dtype=np.float64)
         ub = term_idf * tf_norm(bmax, bmin, avgdl)
         return PostingCursor(
-            self.enc_docs[i].as_py(), self.enc_tfs[i].as_py(),
-            self.block_last[i].as_py(), self.block_off_docs[i].as_py(),
-            self.block_off_tfs[i].as_py(), int(self.df[i]), term_idf, ub, ord,
+            row["doc_ids_delta_varint"].as_py(), row["tfs_varint"].as_py(),
+            row["block_last_doc"].as_py(), row["block_off_docs"].as_py(),
+            row["block_off_tfs"].as_py(), int(self.df[i]), term_idf, ub, ord,
         )
 
     def url_of(self, doc_id: int) -> str:
@@ -83,7 +124,8 @@ class SegmentIndex:
 class IndexReader:
     """Whole-index (or segment-subset) reader with global stats."""
 
-    def __init__(self, index_dir: str, segment_ids: list[int] | None = None):
+    def __init__(self, index_dir: str, segment_ids: list[int] | None = None,
+                 lazy: bool = False):
         with open(os.path.join(index_dir, "index.json")) as f:
             self.manifest = json.load(f)
         self.n_docs = int(self.manifest["n_docs"])
@@ -96,7 +138,8 @@ class IndexReader:
             wanted = set(segment_ids)
             segs = [s for s in segs if s["bucket"] in wanted]
         self.segments = [
-            SegmentIndex(os.path.join(index_dir, s["dir"])) for s in segs
+            SegmentIndex(os.path.join(index_dir, s["dir"]), lazy=lazy)
+            for s in segs
         ]
         # global df: exact-stats table (term -> df across ALL segments)
         self.global_df: dict[str, int] = {}
@@ -177,8 +220,8 @@ class SearchActor:
     """
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "taat",
-                 segment_ids: list[int] | None = None):
-        self.reader = IndexReader(index_dir, segment_ids)
+                 segment_ids: list[int] | None = None, lazy: bool = False):
+        self.reader = IndexReader(index_dir, segment_ids, lazy=lazy)
         self.k = k
         self.mode = mode
 
@@ -211,6 +254,7 @@ def search_dataset(
     concurrency: int | None = None,
     num_shards: int = 1,
     batch_size: int = 64,
+    lazy: bool = False,
 ):
     """Queries Dataset -> results Dataset (qid, rank, doc_id, url, score).
 
@@ -223,7 +267,7 @@ def search_dataset(
     concurrency = concurrency or 4
     if num_shards <= 1:
         return queries_ds.map_batches(
-            SearchActor, fn_constructor_args=(index_dir, k, mode),
+            SearchActor, fn_constructor_args=(index_dir, k, mode, None, lazy),
             batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
         )
 
@@ -234,7 +278,7 @@ def search_dataset(
     shards = [s for s in shards if s]
     parts = [
         queries_ds.map_batches(
-            SearchActor, fn_constructor_args=(index_dir, k, mode, shard),
+            SearchActor, fn_constructor_args=(index_dir, k, mode, shard, lazy),
             batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
         )
         for shard in shards

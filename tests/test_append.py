@@ -1,0 +1,99 @@
+"""Incremental append + lazy segment reading."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def split_corpus():
+    from solr_ray.fixtures import gen_pages
+
+    pages = gen_pages(400, seed=42)
+    return pages.slice(0, 300), pages.slice(300, 100), pages
+
+
+def test_append_matches_full_build(split_corpus, tmp_path):
+    from solr_ray.pipelines.build_index import append_to_index, build_index
+    from solr_ray.search.oracle import OracleIndex
+    from solr_ray.search.searcher import IndexReader
+
+    first, extra, full = split_corpus
+    idx = str(tmp_path / "inc_idx")
+    build_index(ray.data.from_arrow(first), idx,
+                analyzer="text_en", num_buckets=4)
+    man = append_to_index(ray.data.from_arrow(extra), idx)
+    assert man["n_docs"] == 400
+    assert man["append_gen"] == 1
+
+    reader = IndexReader(idx)
+    # global stats must equal a from-scratch oracle over the full corpus
+    orc = OracleIndex(full, "text_en", num_buckets=4)
+    assert reader.n_docs == orc.n_docs
+    assert abs(reader.avgdl - orc.avgdl) < 1e-9
+    for term in ("the", "page", "crawl"):
+        if term in orc.df:
+            assert reader.global_df.get(term) == orc.df[term]
+
+    # ranking over the appended index must match the oracle's SCORES and
+    # retrieve the same documents (by url); docIDs themselves differ from a
+    # from-scratch build because appended docs live in a later id range
+    from solr_ray.fixtures import gen_queries
+
+    texts = gen_queries(30)["text"].to_pylist()
+    for t in texts:
+        ids, sc = reader.search(t, 10)
+        o_ids, o_sc, o_urls = orc.search(t, 10)
+        assert np.allclose(sc, o_sc, rtol=0, atol=0), t
+        # urls must agree wherever the score is unique; within tied-score
+        # runs the tie-break is internal docID, and appended docs sit in a
+        # different id range than a from-scratch build would place them
+        urls = [reader.url_of(int(d)) for d in ids]
+        uniq = {s for s in sc.tolist() if sc.tolist().count(s) == 1}
+        for u, ou, s in zip(urls, o_urls, sc.tolist()):
+            if s in uniq:
+                assert u == ou, (t, s)
+
+
+def test_append_then_merge(split_corpus, tmp_path):
+    from solr_ray.pipelines.build_index import append_to_index, build_index
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.stages.merge import merge_index
+
+    from solr_ray.fixtures import gen_queries
+
+    first, extra, full = split_corpus
+    idx = str(tmp_path / "incm_idx")
+    build_index(ray.data.from_arrow(first), idx,
+                analyzer="text_en", num_buckets=4)
+    append_to_index(ray.data.from_arrow(extra), idx)
+    pre = IndexReader(idx)
+    texts = gen_queries(25)["text"].to_pylist()
+    pre_results = [pre.search(t, 10) for t in texts]
+    man = merge_index(idx, merge_factor=8)
+    assert len(man["segments"]) < 8
+    post = IndexReader(idx)
+    for t, (ids, sc) in zip(texts, pre_results):
+        pids, psc = post.search(t, 10)
+        assert pids.tolist() == ids.tolist(), t
+        assert psc.tolist() == sc.tolist(), t
+
+
+def test_lazy_reader_identical(split_corpus, tmp_path):
+    from solr_ray.fixtures import gen_queries
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    _, _, full = split_corpus
+    idx = str(tmp_path / "lazy_idx")
+    build_index(ray.data.from_arrow(full), idx,
+                analyzer="text_en", num_buckets=4)
+    eager = IndexReader(idx)
+    lazy = IndexReader(idx, lazy=True)
+    for t in gen_queries(30)["text"].to_pylist():
+        for mode in ("taat", "bmw"):
+            a = eager.search(t, 10, mode)
+            b = lazy.search(t, 10, mode)
+            assert a[0].tolist() == b[0].tolist()
+            assert a[1].tolist() == b[1].tolist()
