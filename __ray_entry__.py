@@ -608,6 +608,77 @@ def _q_mlt(sf_dir: str):
     })
 
 
+def _q_gather_nodes(sf_dir: str):
+    """Graph BFS (gatherNodes): customer c1 -> their orders -> the suppliers
+    on those orders' lineitems, depth 2, namespaced string node ids."""
+    from solr_ray.ops.graph import gather_nodes
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def o_edges(t: pa.Table) -> pa.Table:
+        src = pa.array([f"c{v}" for v in t["o_custkey"].to_pylist()])
+        dst = pa.array([f"o{v}" for v in t["o_orderkey"].to_pylist()])
+        return pa.table({"src": src, "dst": dst})
+
+    def l_edges(t: pa.Table) -> pa.Table:
+        src = pa.array([f"o{v}" for v in t["l_orderkey"].to_pylist()])
+        dst = pa.array([f"s{v}" for v in t["l_suppkey"].to_pylist()])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = orders.map_batches(o_edges, batch_format="pyarrow").union(
+        li.map_batches(l_edges, batch_format="pyarrow"))
+    return gather_nodes(edges, "src", "dst", seeds=["c1"], depth=2)
+
+
+def _q_spellcheck(sf_dir: str):
+    """Rows-only: suggestions for misspelled query terms from the index's
+    term dictionary (SpellCheckComponent semantics)."""
+    import ray.data
+
+    from solr_ray.search.spellcheck import SpellcheckActor
+
+    idx = _build_docs_index(sf_dir, "whitespace", 1)
+    qds = ray.data.from_items([
+        {"qid": 0, "text": "tabel scann"},
+        {"qid": 1, "text": "merg joinn"},
+        {"qid": 2, "text": "sparkk"},
+    ])
+    return qds.map_batches(
+        SpellcheckActor, fn_constructor_args=(idx, "whitespace"),
+        batch_format="pyarrow", concurrency=1)
+
+
+def _q_rerank(sf_dir: str):
+    """Rows-only: rerank BM25 top-50 with a linear doc-length prior
+    (ReRankQParser + LTR LinearModel semantics)."""
+    import duckdb
+
+    from solr_ray.search.rerank import LinearModel, rerank_results
+
+    res = _search_docs(sf_dir, "whitespace", 1, BM25_QUERIES, k=50)
+    nchars = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{_tbl(sf_dir, 'documents')}')"
+    ).df().set_index("doc_id")["n_chars"]
+
+    def to_int_doc(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pc.cast(t["url"], pa.int64()))
+
+    res = res.map_batches(to_int_doc, batch_format="pyarrow")
+
+    def feats(g):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "short": 1.0 / (1.0 + nchars.loc[g["doc_id"]].to_numpy()),
+        }, index=g.index)
+
+    model = LinearModel({"short": 5.0})
+    return rerank_results(res, feats, model, rerank_depth=10)
+
+
 def _q_random_sample(sf_dir: str):
     """Rows-only: seeded sampling (RandomStream / RandomSortField class)."""
     return _read(sf_dir, "events").random_sample(0.1, seed=7)
@@ -729,10 +800,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filters / updates
         "filter_bool": _q_filter_bool,
         "atomic_update_inc": _q_atomic_update_inc,
-        # highlight / mlt / sampling (rows-only)
+        # highlight / mlt / spellcheck / rerank / sampling / graph
         "highlight": _q_highlight,
         "mlt": _q_mlt,
+        "spellcheck": _q_spellcheck,
+        "rerank": _q_rerank,
         "random_sample": _q_random_sample,
+        "gather_nodes": _q_gather_nodes,
         # joins / lookups / set ops
         "semi_join_building": _q_semi_join_building,
         "anti_join_small_customers": _q_anti_join_small_customers,
@@ -1028,6 +1102,20 @@ SELECT query_id, rank, vec_id FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 5
+""",
+        "gather_nodes": """
+WITH RECURSIVE e AS (
+  SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'o' || l_orderkey, 's' || l_suppkey FROM lineitem
+),
+walk(node, level) AS (
+  SELECT 'c1', 0
+  UNION
+  SELECT e.dst, w.level + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.level < 2
+)
+SELECT node, MIN(level) AS level FROM walk GROUP BY node
 """,
         "scale_acctbal": """
 SELECT c_custkey,

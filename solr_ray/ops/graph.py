@@ -1,0 +1,91 @@
+"""Graph traversal over an edge table.
+
+Reference: gatherNodes/nodes streaming expression (solr/solrj-streaming/
+.../io/graph/GatherNodesStream.java:69) — iterative frontier expansion where
+each step queries the index for edges whose `from` field matches the current
+frontier; ShortestPathStream.java:63 does the same with path tracking.
+
+Ray mapping (SURVEY §2.4): a driver loop of per-level distributed
+semi-joins. Each level: broadcast the frontier set (ray.put), stream the
+edge Dataset through a membership filter, collect the distinct destination
+nodes. Level count is small (BFS depth); per-level work is fully
+distributed; the frontier is the only driver-side state (bounded by the
+reachable-set size, same as the reference's in-memory visited set).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def gather_nodes(edges, from_col: str, to_col: str, seeds, depth: int = 1):
+    """BFS from `seeds` over directed edges; returns pa.Table(node, level)
+    with level = first (minimum) depth each node was reached at, seeds at 0.
+    """
+    import ray
+
+    visited: dict = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for level in range(1, depth + 1):
+        if not frontier:
+            break
+        ref = ray.put(frontier)
+
+        def step(t: pa.Table) -> pa.Table:
+            f = ray.get(ref)
+            mask = pa.array([v in f for v in t[from_col].to_pylist()])
+            return t.filter(mask).select([to_col])
+
+        reached = (edges.map_batches(step, batch_format="pyarrow")
+                   .unique(to_col) or [])  # empty frontier -> None in Ray
+        nxt = set()
+        for n in reached:
+            if n not in visited:
+                visited[n] = level
+                nxt.add(n)
+        frontier = nxt
+    nodes = sorted(visited)
+    return pa.table({
+        "node": pa.array(nodes),
+        "level": pa.array([visited[n] for n in nodes], pa.int64()),
+    })
+
+
+def shortest_path(edges, from_col: str, to_col: str, src, dst,
+                  max_depth: int = 6):
+    """ShortestPathStream: one shortest path src -> dst (BFS with parent
+    tracking), or None if dst is unreachable within max_depth."""
+    import ray
+
+    parent: dict = {src: None}
+    frontier = {src}
+    for _ in range(max_depth):
+        if dst in parent or not frontier:
+            break
+        ref = ray.put(frontier)
+
+        def step(t: pa.Table) -> pa.Table:
+            f = ray.get(ref)
+            mask = pa.array([v in f for v in t[from_col].to_pylist()])
+            return t.filter(mask).select([from_col, to_col])
+
+        hops = (
+            edges.map_batches(step, batch_format="pyarrow")
+            .groupby(to_col)
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        )
+        nxt = set()
+        for row in hops.take_all():
+            n = row[to_col]
+            if n not in parent:
+                parent[n] = row[from_col]
+                nxt.add(n)
+        frontier = nxt
+    if dst not in parent:
+        return None
+    path = [dst]
+    while parent[path[-1]] is not None:
+        path.append(parent[path[-1]])
+    return list(reversed(path))

@@ -1,0 +1,41 @@
+"""Graph traversal (gatherNodes / shortestPath) tests."""
+
+import pandas as pd
+
+import ray.data
+
+
+def _edges():
+    # a -> b -> c -> d, plus a -> x, and a disconnected z1 -> z2
+    return ray.data.from_pandas(pd.DataFrame({
+        "src": ["a", "b", "c", "a", "z1"],
+        "dst": ["b", "c", "d", "x", "z2"],
+    })).repartition(2)
+
+
+def test_gather_nodes_levels():
+    from solr_ray.ops.graph import gather_nodes
+
+    out = gather_nodes(_edges(), "src", "dst", seeds=["a"], depth=2)
+    got = dict(zip(out["node"].to_pylist(), out["level"].to_pylist()))
+    assert got == {"a": 0, "b": 1, "x": 1, "c": 2}
+
+
+def test_gather_nodes_min_level_on_diamond():
+    from solr_ray.ops.graph import gather_nodes
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": ["a", "a", "b", "c"],
+        "dst": ["b", "c", "d", "d"],
+    }))
+    out = gather_nodes(edges, "src", "dst", seeds=["a"], depth=3)
+    got = dict(zip(out["node"].to_pylist(), out["level"].to_pylist()))
+    assert got["d"] == 2
+
+
+def test_shortest_path():
+    from solr_ray.ops.graph import shortest_path
+
+    assert shortest_path(_edges(), "src", "dst", "a", "d") == \
+        ["a", "b", "c", "d"]
+    assert shortest_path(_edges(), "src", "dst", "a", "z2") is None
