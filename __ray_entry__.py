@@ -318,6 +318,49 @@ def _q_join_customer_region(sf_dir: str):
     )
 
 
+def _q_shuffle_join_orders(sf_dir: str):
+    """Both-sides-large hash-partitioned join (Ray Dataset.join): orders ⋈
+    customer, then count + acctbal-cents sum per market segment."""
+    from ray.data.aggregate import Count, Sum
+
+    from solr_ray.ops.joins import shuffle_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "price_c": pa.array(np.round(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    left = orders.map_batches(keyed, batch_format="pyarrow")
+    joined = shuffle_join(left, cust, on="c_custkey", num_partitions=8)
+    g = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": t["n_orders"],
+            "sum_totalprice": pa.array(
+                t["price_c"].to_numpy(zero_copy_only=False) / 100.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_sliding_window(sf_dir: str):
+    """Rows-only: per-user rolling mean over the last 5 events."""
+    from solr_ray.ops.windows import sliding_window
+
+    out = sliding_window(_read(sf_dir, "events",
+                               columns=["user_id", "ts", "value"]),
+                         "user_id", "ts", "value", n=5)
+    return out
+
+
 def _q_explode_embeddings(sf_dir: str):
     from solr_ray.ops.joins import explode
 
@@ -811,12 +854,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_building": _q_semi_join_building,
         "anti_join_small_customers": _q_anti_join_small_customers,
         "join_customer_region": _q_join_customer_region,
+        "shuffle_join_orders": _q_shuffle_join_orders,
         "explode_embeddings": _q_explode_embeddings,
         "fetch_supplier_nation": _q_fetch_supplier_nation,
         # windows / streams
         "timeseries_hourly": _q_timeseries_hourly,
         "sessions_per_user": _q_sessions_per_user,
         "tumbling_daily": _q_tumbling_daily,
+        "sliding_window": _q_sliding_window,
         "topic_incremental": _q_topic_incremental,
         # text analysis
         "token_counts": _q_token_counts,
@@ -1039,6 +1084,13 @@ FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY r.r_name
+""",
+        "shuffle_join_orders": """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
 """,
         "explode_embeddings": """
 SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
