@@ -201,6 +201,34 @@ class IndexReader:
         raise KeyError(doc_id)
 
 
+def fetch_stored(index_dir: str, doc_ids, cols: list[str] | None = None):
+    """GET_FIELDS phase (SURVEY §3.2 step GET_FIELDS / SolrDocumentFetcher):
+    materialize stored fields for winning doc ids only. Reads just the
+    segments whose doc_id ranges intersect the requested ids, columns
+    pruned. Returns pa.Table(doc_id, url[, stored cols...])."""
+    with open(os.path.join(index_dir, "index.json")) as f:
+        manifest = json.load(f)
+    want = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    out = []
+    for s in manifest["segments"]:
+        lo = int(s["doc_id_offset"])
+        hi = lo + int(s["n_docs"])
+        sel = want[(want >= lo) & (want < hi)]
+        if sel.size == 0:
+            continue
+        d = pq.read_table(os.path.join(index_dir, s["dir"], "docs.parquet"),
+                          columns=None if cols is None
+                          else ["doc_id", "url", *cols])
+        ids = d["doc_id"].to_numpy(zero_copy_only=False)
+        rows = np.searchsorted(ids, sel)  # doc_ids are sorted within segment
+        out.append(d.take(pa.array(rows)))
+    if not out:
+        schema = pa.schema([("doc_id", pa.int64()), ("url", pa.string())])
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "url": pa.array([], pa.string())}).cast(schema)
+    return pa.concat_tables(out)
+
+
 RESULT_SCHEMA = pa.schema(
     [
         ("qid", pa.int64()),

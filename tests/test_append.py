@@ -97,3 +97,37 @@ def test_lazy_reader_identical(split_corpus, tmp_path):
             b = lazy.search(t, 10, mode)
             assert a[0].tolist() == b[0].tolist()
             assert a[1].tolist() == b[1].tolist()
+
+
+def test_fetch_stored_fields(split_corpus, tmp_path):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader, fetch_stored
+
+    _, _, full = split_corpus
+    idx = str(tmp_path / "stored_idx")
+    build_index(ray.data.from_arrow(full), idx, analyzer="text_en",
+                num_buckets=4, stored_cols=("lang",))
+    reader = IndexReader(idx)
+    ids, _ = reader.search("the page data", 10)
+    want = [3, 7, 150, 399] + [int(i) for i in ids[:3]]
+    got = fetch_stored(idx, want, cols=["lang"])
+    assert set(got.column_names) >= {"doc_id", "url", "lang"}
+    assert sorted(got["doc_id"].to_pylist()) == sorted(set(want))
+    # url/lang must match the source rows
+    urls = full["url"].to_pylist()
+    langs = full["lang"].to_pylist()
+    src = dict(zip(urls, langs))
+    for u, lg in zip(got["url"].to_pylist(), got["lang"].to_pylist()):
+        assert src[u] == lg
+
+
+def test_fetch_stored_empty(split_corpus, tmp_path):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import fetch_stored
+
+    _, _, full = split_corpus
+    idx = str(tmp_path / "stored_idx2")
+    build_index(ray.data.from_arrow(full), idx, analyzer="text_en",
+                num_buckets=2)
+    got = fetch_stored(idx, [])
+    assert got.num_rows == 0
