@@ -77,7 +77,7 @@ class _SegmentWriter:
         # small row groups (term-sorted) let the lazy reader load only the
         # row groups containing queried terms (searcher.SegmentIndex lazy=True)
         pq.write_table(postings, os.path.join(seg_dir, "postings.parquet"),
-                       row_group_size=2048)
+                       row_group_size=8192)
         pq.write_table(docs, os.path.join(seg_dir, "docs.parquet"))
         n_tokens = int(docs["dl"].to_numpy().sum()) if docs.num_rows else 0
         write_manifest(seg_dir, {

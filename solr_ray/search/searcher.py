@@ -42,7 +42,7 @@ class SegmentIndex:
 
     lazy=True: only the (term, df) dictionary is resident; posting payloads
     are fetched per-term by parquet ROW-GROUP (postings are term-sorted and
-    written with 2048-row groups), with a small LRU of decoded row groups.
+    written with 8192-row groups), with a small LRU of decoded row groups.
     This is the 100 TB path — per-actor memory stays O(vocab + touched row
     groups) instead of O(segment postings).
     """

@@ -106,7 +106,7 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
     postings = encode_postings_columns(uniq_terms, ids_f, tfs_f, dls_f, term_starts)
     os.makedirs(out_seg_dir, exist_ok=True)
     pq.write_table(postings, os.path.join(out_seg_dir, "postings.parquet"),
-                   row_group_size=2048)
+                   row_group_size=8192)
     pq.write_table(docs, os.path.join(out_seg_dir, "docs.parquet"))
     m = {
         "merged_from": [os.path.basename(d) for d in seg_dirs],
