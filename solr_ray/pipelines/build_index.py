@@ -278,6 +278,7 @@ def build_index(
             "skipped_segments": int(sum(1 for s in summaries if s.get("skipped"))),
         },
     }
+    os.makedirs(out_dir, exist_ok=True)  # may not exist yet for 0 segments
     tmp = index_json + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -131,3 +131,35 @@ def test_fetch_stored_empty(split_corpus, tmp_path):
                 num_buckets=2)
     got = fetch_stored(idx, [])
     assert got.num_rows == 0
+
+
+def test_empty_corpus_build_and_search(tmp_path):
+    import pyarrow as pa
+
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+    idx = str(tmp_path / "empty_idx")
+    man = build_index(ray.data.from_arrow(empty), idx, analyzer="text_en",
+                      num_buckets=4, text_source="text")
+    assert man["n_docs"] == 0 and man["segments"] == []
+    r = IndexReader(idx)
+    ids, sc = r.search("anything at all", 10)
+    assert len(ids) == 0
+
+
+def test_k_exceeds_matches(split_corpus, tmp_path):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    _, _, full = split_corpus
+    idx = str(tmp_path / "bigk_idx")
+    build_index(ray.data.from_arrow(full), idx, analyzer="text_en",
+                num_buckets=2)
+    r = IndexReader(idx)
+    text = full["text"][0].as_py().split()[0]
+    ids, sc = r.search(text, 100000)
+    assert 0 < len(ids) <= 400
+    assert (sc[:-1] >= sc[1:]).all()
