@@ -755,6 +755,23 @@ def _q_simhash_candidates(sf_dir: str):
                               id_col="doc_id", text_col="text")
 
 
+def _q_text_profile_sigs(sf_dir: str):
+    """Rows-only: Nutch-style quantized term-profile near-dup signatures."""
+    from solr_ray.ops.dedup import add_text_profile_sig
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: add_text_profile_sig(t, "text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "sig"])
+
+
+def _q_pairwise_cosine(sf_dir: str):
+    """Rows-only: embedding-cosine near-dup top-k pairs over the corpus."""
+    from solr_ray.ops.similarity import pairwise_cosine_topk
+
+    return pairwise_cosine_topk(_read(sf_dir, "embeddings"), k=3,
+                                threshold=0.25)
+
+
 def _q_langid(sf_dir: str):
     from solr_ray.ops.textstats import LangIdStage
 
@@ -870,6 +887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_candidates": _q_simhash_candidates,
+        "text_profile_sigs": _q_text_profile_sigs,
+        "pairwise_cosine": _q_pairwise_cosine,
         # similarity
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
