@@ -556,6 +556,34 @@ def _q_topic_incremental(sf_dir: str):
     return tc.pull(_read(sf_dir, "events"), "ts")
 
 
+def _q_facet_on_query(sf_dir: str):
+    """Facet over a query's FULL match set (FacetComponent on /select):
+    lang counts of documents matching any of {table, scan}."""
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    out = _idx_dir(sf_dir, "whitespace_nb1_stored")
+    build_index(_docs_as_pages_with_lang(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text", stored_cols=("lang",))
+    reader = IndexReader(out)
+    facets = reader.facet_search("table scan", "lang", limit=10)
+    return pa.table({
+        "lang": pa.array([v for v, _ in facets], pa.string()),
+        "cnt": pa.array([c for _, c in facets], pa.int64()),
+    })
+
+
+def _docs_as_pages_with_lang(sf_dir: str):
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array([f"{i:08d}" for i in ids], pa.string())
+        return pa.table({"url": urls, "text": t["text"], "lang": t["lang"]})
+
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"]).map_batches(
+        to_pages, batch_format="pyarrow")
+
+
 def _q_atomic_update_inc(sf_dir: str):
     """AtomicUpdateDocumentMerger 'inc'/'set' semantics: bump each
     customer's balance by their order count; flag big customers."""
@@ -847,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "facet_lang": _q_facet_lang,
         "facet_range_value": _q_facet_range_value,
+        "facet_on_query": _q_facet_on_query,
         "pivot_lang_source": _q_pivot_lang_source,
         "distinct_event_types": _q_distinct_event_types,
         "stats_quantity": _q_stats_quantity,
@@ -1030,6 +1059,12 @@ ORDER BY "count" DESC, lang LIMIT 10
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
 FROM events WHERE value >= 0 AND value < 500
 GROUP BY 1 ORDER BY 1
+""",
+        "facet_on_query": """
+SELECT lang, COUNT(*) AS cnt FROM documents
+WHERE list_has_any(regexp_split_to_array(text, '\\s+'),
+                   ['table', 'scan'])
+GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
 """,
         "pivot_lang_source": """
 SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source

@@ -50,6 +50,7 @@ class SegmentIndex:
     def __init__(self, seg_dir: str, lazy: bool = False,
                  rg_cache_size: int = 64):
         ppath = os.path.join(seg_dir, "postings.parquet")
+        self.seg_dir = seg_dir
         self.lazy = lazy
         if lazy:
             self._pf = pq.ParquetFile(ppath)
@@ -120,6 +121,17 @@ class SegmentIndex:
     def url_of(self, doc_id: int) -> str:
         return self.urls[int(doc_id) - self.doc_base].as_py()
 
+    def stored_column(self, name: str) -> np.ndarray:
+        """Stored-field column aligned to local doc order (cached)."""
+        cache = getattr(self, "_stored_cache", None)
+        if cache is None:
+            cache = self._stored_cache = {}
+        if name not in cache:
+            d = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"),
+                              columns=[name])
+            cache[name] = d[name].to_numpy(zero_copy_only=False)
+        return cache[name]
+
 
 class IndexReader:
     """Whole-index (or segment-subset) reader with global stats."""
@@ -141,6 +153,11 @@ class IndexReader:
             SegmentIndex(os.path.join(index_dir, s["dir"]), lazy=lazy)
             for s in segs
         ]
+        # delete tombstones (state/tombstones.py): logical deletes applied
+        # at search time, like Lucene live-docs
+        from solr_ray.state.tombstones import read_tombstones
+
+        self.tombstones = read_tombstones(index_dir)
         # global df: exact-stats table (term -> df across ALL segments)
         self.global_df: dict[str, int] = {}
         stats_dir = os.path.join(index_dir, "stats")
@@ -165,7 +182,16 @@ class IndexReader:
         }
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
+        tomb = self.tombstones
         for seg in self.segments:
+            # deleted docs may occupy top slots: ask each segment for
+            # k + (its tombstone count) and filter — exact top-k of live docs
+            n_dead = 0
+            if tomb.size:
+                lo, hi = seg.doc_base, seg.doc_base + seg.dl.size
+                n_dead = int(np.searchsorted(tomb, hi)
+                             - np.searchsorted(tomb, lo))
+            k_seg = k + n_dead
             if mode == "bmw":
                 cursors = [
                     c for ordi, t in enumerate(terms)
@@ -174,7 +200,7 @@ class IndexReader:
                 if not cursors:
                     continue
                 ids, sc = bmw_topk(cursors, seg.dl, seg.doc_base, self.avgdl,
-                                   k, self.k1, self.b)
+                                   k_seg, self.k1, self.b)
             else:
                 postings = []
                 for t in terms:
@@ -184,7 +210,10 @@ class IndexReader:
                 if not postings:
                     continue
                 ids, sc = taat_topk(postings, seg.dl, seg.doc_base,
-                                    self.avgdl, k, self.k1, self.b)
+                                    self.avgdl, k_seg, self.k1, self.b)
+            if n_dead and ids.size:
+                live = ~np.isin(ids, tomb)
+                ids, sc = ids[live], sc[live]
             all_ids.append(ids)
             all_scores.append(sc)
         if not all_ids:
@@ -199,6 +228,51 @@ class IndexReader:
             if seg.doc_base <= doc_id < seg.doc_base + seg.dl.size:
                 return seg.url_of(doc_id)
         raise KeyError(doc_id)
+
+    def matching_doc_ids(self, text: str) -> np.ndarray:
+        """ALL live docs matching any query term (the full result set a
+        facet counts over — Solr facets count matches, not just top-k)."""
+        terms = [t for t in self.query_terms(text) if self.global_df.get(t)]
+        if not terms:
+            return np.empty(0, np.int64)
+        parts = []
+        for seg in self.segments:
+            seg_parts = [p[0] for t in terms
+                         if (p := seg.full_posting(t)) is not None]
+            if seg_parts:
+                parts.append(np.unique(np.concatenate(seg_parts)))
+        if not parts:
+            return np.empty(0, np.int64)
+        ids = np.concatenate(parts)  # segments are disjoint id ranges
+        if self.tombstones.size:
+            ids = ids[~np.isin(ids, self.tombstones)]
+        return ids
+
+    def facet_search(self, text: str, field: str, limit: int = 10,
+                     mincount: int = 1):
+        """Term facet over the query's FULL match set using a stored field
+        (FacetComponent on a query; SURVEY §2.5). Returns
+        [(value, count)] ordered count desc then value asc."""
+        from collections import Counter
+
+        counts: Counter = Counter()
+        tomb = self.tombstones
+        for seg in self.segments:
+            terms = [t for t in self.query_terms(text)
+                     if self.global_df.get(t)]
+            seg_parts = [p[0] for t in terms
+                         if (p := seg.full_posting(t)) is not None]
+            if not seg_parts:
+                continue
+            ids = np.unique(np.concatenate(seg_parts))
+            if tomb.size:
+                ids = ids[~np.isin(ids, tomb)]
+            vals = seg.stored_column(field)[ids - seg.doc_base]
+            for v, c in zip(*np.unique(vals, return_counts=True)):
+                counts[v] += int(c)
+        out = [(v, c) for v, c in counts.items() if c >= mincount]
+        out.sort(key=lambda vc: (-vc[1], vc[0]))
+        return out[:limit]
 
 
 def fetch_stored(index_dir: str, doc_ids, cols: list[str] | None = None):
