@@ -556,6 +556,42 @@ def _q_topic_incremental(sf_dir: str):
     return tc.pull(_read(sf_dir, "events"), "ts")
 
 
+def _q_stream_expr(sf_dir: str):
+    """Streaming-expression DSL (the /stream surface): parse + evaluate
+    top(rollup(search(...))) against the documents table."""
+    from solr_ray.expr import eval_expr
+
+    tables = {"documents": _read(sf_dir, "documents")}
+    out = eval_expr(
+        'top(rollup(search(documents), over="lang", count(*), '
+        'sum(n_chars)), n=10, sort="count(*) desc")', tables)
+    return out.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "cnt": t["count(*)"],
+            "sum_chars": t["sum(n_chars)"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_json_facet(sf_dir: str):
+    """JSON Facet API: terms facet with nested stats."""
+    from solr_ray.ops.jsonfacet import json_facet
+
+    resp = json_facet(_read(sf_dir, "documents"), {
+        "type": "terms", "field": "lang", "limit": 10,
+        "facet": {"avg_chars": "avg(n_chars)", "n_sources": "unique(source)"},
+    })
+    b = resp["buckets"]
+    return pa.table({
+        "lang": pa.array([x["val"] for x in b], pa.string()),
+        "cnt": pa.array([x["count"] for x in b], pa.int64()),
+        "avg_chars": pa.array([x["avg_chars"] for x in b], pa.float64()),
+        "n_sources": pa.array([x["n_sources"] for x in b], pa.int64()),
+    })
+
+
 def _q_facet_on_query(sf_dir: str):
     """Facet over a query's FULL match set (FacetComponent on /select):
     lang counts of documents matching any of {table, scan}."""
@@ -876,6 +912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": _q_facet_lang,
         "facet_range_value": _q_facet_range_value,
         "facet_on_query": _q_facet_on_query,
+        "json_facet_lang": _q_json_facet,
+        "stream_expr_rollup": _q_stream_expr,
         "pivot_lang_source": _q_pivot_lang_source,
         "distinct_event_types": _q_distinct_event_types,
         "stats_quantity": _q_stats_quantity,
@@ -1059,6 +1097,16 @@ ORDER BY "count" DESC, lang LIMIT 10
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
 FROM events WHERE value >= 0 AND value < 500
 GROUP BY 1 ORDER BY 1
+""",
+        "json_facet_lang": """
+SELECT lang, COUNT(*) AS cnt,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
+""",
+        "stream_expr_rollup": """
+SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
 """,
         "facet_on_query": """
 SELECT lang, COUNT(*) AS cnt FROM documents

@@ -1,0 +1,163 @@
+"""JSON Facet API executor: the reference's nested-facet request DSL
+evaluated as Ray Data groupby/aggregate pipelines.
+
+Reference: the JSON Facet module (solr/core/src/java/org/apache/solr/search/
+facet/FacetModule.java:45, FacetRequest parsing; SURVEY §2.5). Supported
+request shape (a practical subset of the public API):
+
+    {
+      "type": "terms", "field": "lang", "limit": 10, "mincount": 1,
+      "sort": "count desc",
+      "facet": {
+          "avg_chars": "avg(n_chars)",
+          "sum_chars": "sum(n_chars)",
+          "max_chars": "max(n_chars)",
+          "min_chars": "min(n_chars)",
+          "n_sources": "unique(source)"
+      }
+    }
+    {"type": "range", "field": "value", "start": 0, "end": 500, "gap": 50,
+     "facet": {...}}
+    {"type": "query", "q": {<ops.queryfilter spec>}, "facet": {...}}
+
+Aggregation functions: count (implicit per bucket), sum/avg/min/max over a
+numeric field, unique (exact distinct). Nested bucket facets (a terms facet
+inside a terms facet) evaluate as a multi-key groupby, like pivot facets.
+One groupby shuffle per facet level — Ray's exact shuffle replaces the
+reference's two-phase overrequest+refine protocol (FacetModule.java:162-198).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_AGG_RE = re.compile(r"^(count|sum|avg|min|max|unique)\((\w*)\)$")
+
+
+def _parse_aggs(facet: dict | None):
+    """facet sub-dict -> ([(out_name, fn, field)], [nested (name, spec)])"""
+    stats, nested = [], []
+    for name, spec in (facet or {}).items():
+        if isinstance(spec, str):
+            m = _AGG_RE.match(spec.replace(" ", ""))
+            if not m:
+                raise ValueError(f"unsupported facet function {spec!r}")
+            stats.append((name, m.group(1), m.group(2)))
+        elif isinstance(spec, dict):
+            nested.append((name, spec))
+        else:
+            raise ValueError(f"bad facet spec for {name!r}")
+    return stats, nested
+
+
+def _agg_group(g: pd.DataFrame, stats) -> dict:
+    out = {"count": int(len(g))}
+    for name, fn, field in stats:
+        if fn == "count":
+            out[name] = int(len(g))
+        elif fn == "unique":
+            out[name] = int(g[field].nunique())
+        else:
+            v = g[field].to_numpy(dtype=np.float64)
+            out[name] = float(getattr(np, fn if fn != "avg" else "mean")(v)) \
+                if v.size else float("nan")
+    return out
+
+
+def json_facet(ds, request: dict) -> dict:
+    """Evaluate a JSON facet request against a Dataset; returns the
+    response dict: {"buckets": [{"val":..., "count":..., <stats>,
+    <nested>: {...}}, ...]} (terms/range) or flat stats (query facet)."""
+    ftype = request.get("type", "terms")
+    stats, nested = _parse_aggs(request.get("facet"))
+
+    if ftype == "query":
+        from solr_ray.ops.queryfilter import filter_query
+
+        sub = filter_query(ds, request["q"]) if request.get("q") else ds
+        df = sub.to_pandas()
+        out = _agg_group(df, stats)
+        for name, spec in nested:
+            out[name] = json_facet_pandas(df, spec)
+        return out
+
+    if ftype == "range":
+        field = request["field"]
+        start, end, gap = request["start"], request["end"], request["gap"]
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            v = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = (v >= start) & (v < end)
+            t = t.filter(pa.array(mask))
+            vv = v[mask]
+            b = (np.floor((vv - start) / gap) * gap + start)
+            return t.append_column("__bucket", pa.array(b))
+
+        ds = ds.map_batches(bucketize, batch_format="pyarrow")
+        key = "__bucket"
+    else:  # terms
+        key = request["field"]
+
+    limit = int(request.get("limit", 10))
+    mincount = int(request.get("mincount", 1))
+    sort = request.get("sort", "count desc" if ftype == "terms" else "index asc")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        row = {"val": [g[key].iloc[0]]}
+        row.update({k: [v] for k, v in _agg_group(g, stats).items()})
+        for name, spec in nested:
+            row[name] = [json_facet_pandas(g, spec)]
+        return pd.DataFrame(row)
+
+    rows = ds.groupby(key).map_groups(per_bucket,
+                                      batch_format="pandas").to_pandas()
+    rows = rows[rows["count"] >= mincount]
+    if sort.startswith("count"):
+        rows = rows.sort_values(["count", "val"],
+                                ascending=[False, True], kind="stable")
+    else:  # index order
+        rows = rows.sort_values("val", kind="stable")
+    rows = rows.head(limit)
+    return {"buckets": rows.to_dict(orient="records")}
+
+
+def json_facet_pandas(df: pd.DataFrame, request: dict) -> dict:
+    """Same evaluator over an in-memory group (used for nested facets —
+    the group is already small after the parent shuffle)."""
+    ftype = request.get("type", "terms")
+    stats, nested = _parse_aggs(request.get("facet"))
+    if ftype == "query":
+        raise ValueError("query facets are top-level only")
+    if ftype == "range":
+        field = request["field"]
+        start, end, gap = request["start"], request["end"], request["gap"]
+        v = df[field].to_numpy(dtype=np.float64)
+        mask = (v >= start) & (v < end)
+        df = df[mask].copy()
+        df["__bucket"] = np.floor((v[mask] - start) / gap) * gap + start
+        key = "__bucket"
+    else:
+        key = request["field"]
+    limit = int(request.get("limit", 10))
+    mincount = int(request.get("mincount", 1))
+    sort = request.get("sort", "count desc" if ftype == "terms" else "index asc")
+    buckets = []
+    for val, g in df.groupby(key, sort=True):
+        if len(g) < mincount:
+            continue
+        b = {"val": val}
+        b.update(_agg_group(g, stats))
+        for name, spec in nested:
+            b[name] = json_facet_pandas(g, spec)
+        buckets.append(b)
+    if sort.startswith("count"):
+        buckets.sort(key=lambda b: (-b["count"], b["val"]))
+    else:
+        buckets.sort(key=lambda b: b["val"])
+    return {"buckets": buckets[:limit]}
