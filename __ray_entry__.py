@@ -556,6 +556,32 @@ def _q_topic_incremental(sf_dir: str):
     return tc.pull(_read(sf_dir, "events"), "ts")
 
 
+def _q_select_fq(sf_dir: str):
+    """/select request: q='table scan' + fq lang='en', top-20 page with
+    stored lang. Filtered ranking is exact (stats stay corpus-global)."""
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.select import select as solr_select
+
+    out = _idx_dir(sf_dir, "whitespace_nb1_stored")
+    build_index(_docs_as_pages_with_lang(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text", stored_cols=("lang",))
+    reader = IndexReader(out)
+    resp = solr_select(reader, "table scan",
+                       fq=[{"op": "term", "field": "lang", "value": "en"}],
+                       rows=20, fl=("lang",))
+    docs = resp["docs"]
+    import math
+
+    return pa.table({
+        "rank": pa.array(range(1, len(docs) + 1), pa.int64()),
+        "doc_id": pa.array([int(d["url"]) for d in docs], pa.int64()),
+        "score_r": pa.array([math.floor(d["score"] * 1e5) / 1e5
+                             for d in docs], pa.float64()),
+        "lang": pa.array([d["lang"] for d in docs], pa.string()),
+    })
+
+
 def _q_stream_expr(sf_dir: str):
     """Streaming-expression DSL (the /stream surface): parse + evaluate
     top(rollup(search(...))) against the documents table."""
@@ -914,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_on_query": _q_facet_on_query,
         "json_facet_lang": _q_json_facet,
         "stream_expr_rollup": _q_stream_expr,
+        "select_fq": _q_select_fq,
         "pivot_lang_source": _q_pivot_lang_source,
         "distinct_event_types": _q_distinct_event_types,
         "stats_quantity": _q_stats_quantity,
@@ -1097,6 +1124,45 @@ ORDER BY "count" DESC, lang LIMIT 10
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
 FROM events WHERE value >= 0 AND value < 500
 GROUP BY 1 ORDER BY 1
+""",
+        "select_fq": """
+WITH docs AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+  WHERE tok <> '' GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)))
+         ) AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  WHERE tf.term IN ('table', 'scan')
+  GROUP BY tf.doc_id
+),
+filtered AS (
+  SELECT s.doc_id, s.score, d.lang,
+         ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r, lang
+FROM filtered WHERE rank <= 20
 """,
         "json_facet_lang": """
 SELECT lang, COUNT(*) AS cnt,

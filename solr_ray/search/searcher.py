@@ -138,6 +138,7 @@ class IndexReader:
 
     def __init__(self, index_dir: str, segment_ids: list[int] | None = None,
                  lazy: bool = False):
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "index.json")) as f:
             self.manifest = json.load(f)
         self.n_docs = int(self.manifest["n_docs"])

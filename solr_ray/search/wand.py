@@ -28,12 +28,19 @@ from solr_ray.stages.codec import varint_decode
 
 
 def _order_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
-    """Sort candidates by (-score, doc_id) and truncate to k."""
+    """Sort candidates by (-score, doc_id) and truncate to k.
+
+    The pre-cut keeps EVERY candidate whose score ties the k-th best —
+    dropping boundary ties before the doc_id sort would break the
+    deterministic tie-break (an argpartition[:m] slice is NOT safe: docs
+    tied at the k-th score can land anywhere past the partition point).
+    """
     if doc_ids.size == 0:
         return doc_ids, scores
-    if doc_ids.size > k * 4:
-        part = np.argpartition(-scores, min(k, scores.size - 1))[: k * 2]
-        doc_ids, scores = doc_ids[part], scores[part]
+    if doc_ids.size > k * 4 and k < doc_ids.size:
+        kth_best = -np.partition(-scores, k - 1)[k - 1]
+        keep = scores >= kth_best
+        doc_ids, scores = doc_ids[keep], scores[keep]
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
 
