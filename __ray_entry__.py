@@ -556,6 +556,28 @@ def _q_topic_incremental(sf_dir: str):
     return tc.pull(_read(sf_dir, "events"), "ts")
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact phrase query (PhraseQuery semantics: consecutive positions,
+    tf = phrase frequency, idf = sum of term idfs) over a positions index."""
+    import math
+
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    out = _idx_dir(sf_dir, "whitespace_nb1_pos")
+    build_index(_docs_as_pages(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text", store_positions=True)
+    reader = IndexReader(out)
+    ids, sc = reader.phrase_search("table scan", 20)
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "doc_id": pa.array([int(reader.url_of(int(d))) for d in ids],
+                           pa.int64()),
+        "score_r": pa.array([math.floor(s * 1e5) / 1e5 for s in sc.tolist()],
+                            pa.float64()),
+    })
+
+
 def _q_select_fq(sf_dir: str):
     """/select request: q='table scan' + fq lang='en', top-20 page with
     stored lang. Filtered ranking is exact (stats stay corpus-global)."""
@@ -941,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_facet_lang": _q_json_facet,
         "stream_expr_rollup": _q_stream_expr,
         "select_fq": _q_select_fq,
+        "phrase_search": _q_phrase_search,
         "pivot_lang_source": _q_pivot_lang_source,
         "distinct_event_types": _q_distinct_event_types,
         "stats_quantity": _q_stats_quantity,
@@ -1124,6 +1147,53 @@ ORDER BY "count" DESC, lang LIMIT 10
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
 FROM events WHERE value >= 0 AND value < 500
 GROUP BY 1 ORDER BY 1
+""",
+        "phrase_search": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+    WHERE tok IN ('table', 'scan')) GROUP BY term
+),
+idfsum AS (
+  SELECT (SELECT LN(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+          FROM df WHERE term = 'table')
+       + (SELECT LN(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+          FROM df WHERE term = 'scan') AS v
+  FROM corpus c
+),
+tfq AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks)),
+                         i -> toks[i] = 'table' AND toks[i+1] = 'scan'))
+           AS tf
+  FROM docs
+),
+scored AS (
+  SELECT t.doc_id,
+         i.v * (t.tf / (t.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / c.avgdl))) AS score
+  FROM tfq t
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN corpus c CROSS JOIN idfsum i
+  WHERE t.tf > 0
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 20
 """,
         "select_fq": """
 WITH docs AS (

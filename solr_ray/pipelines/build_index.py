@@ -52,12 +52,13 @@ class _SegmentWriter:
 
     def __init__(self, out_dir: str, offsets: dict[int, int],
                  lineages: dict[int, str], stored_cols: tuple[str, ...],
-                 dir_prefix: str = "seg"):
+                 dir_prefix: str = "seg", store_positions: bool = False):
         self.out_dir = out_dir
         self.offsets = offsets
         self.lineages = lineages
         self.stored_cols = stored_cols
         self.dir_prefix = dir_prefix
+        self.store_positions = store_positions
 
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
@@ -71,7 +72,8 @@ class _SegmentWriter:
                              "n_terms": [m["n_terms"]], "n_tokens": [m["n_tokens"]],
                              "skipped": [True]})
         postings, docs = build_segment_tables(
-            group, self.offsets[bucket], self.stored_cols
+            group, self.offsets[bucket], self.stored_cols,
+            store_positions=self.store_positions,
         )
         os.makedirs(seg_dir, exist_ok=True)
         # small row groups (term-sorted) let the lazy reader load only the
@@ -145,6 +147,7 @@ def build_index(
     text_source: str = "html",
     stored_cols: tuple[str, ...] = (),
     resume: bool = True,
+    store_positions: bool = False,
 ) -> dict:
     """Build an index at out_dir from a pages Dataset or parquet path(s).
 
@@ -168,6 +171,7 @@ def build_index(
             prior.get("analyzer") == analyzer
             and prior.get("num_buckets") == num_buckets
             and prior.get("text_source") == text_source
+            and bool(prior.get("store_positions")) == store_positions
             and all(
                 is_complete(os.path.join(out_dir, s["dir"]))
                 for s in prior.get("segments", [])
@@ -230,12 +234,13 @@ def build_index(
         acc += counts.get(b, 0)
     n_docs = acc
     lineages = {
-        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|cnt={counts.get(b, 0)}|off={offsets[b]}"
         for b in range(num_buckets)
     }
 
     ds = tokenized
-    writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols)
+    writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols,
+                            store_positions=store_positions)
 
     def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
         return _w(group)
@@ -261,6 +266,7 @@ def build_index(
         "analyzer": analyzer,
         "num_buckets": num_buckets,
         "text_source": text_source,
+        "store_positions": store_positions,
         "n_docs": n_docs,
         "n_tokens": n_tokens,
         "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
@@ -358,7 +364,10 @@ def append_to_index(
         b: f"v1|{prefix}|az={analyzer}|nb={nb}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
         for b in range(nb)
     }
-    writer = _SegmentWriter(index_dir, offsets, lineages, (), dir_prefix=prefix)
+    writer = _SegmentWriter(index_dir, offsets, lineages, (),
+                            dir_prefix=prefix,
+                            store_positions=bool(
+                                manifest.get("store_positions")))
 
     def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
         return _w(group)

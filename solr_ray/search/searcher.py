@@ -54,6 +54,9 @@ class SegmentIndex:
         self.lazy = lazy
         if lazy:
             self._pf = pq.ParquetFile(ppath)
+            self.has_positions = "positions" in self._pf.schema_arrow.names
+            self._heavy = _HEAVY_COLS + (
+                ["positions"] if self.has_positions else [])
             light = self._pf.read(columns=["term", "df"])
             self.terms = light["term"].to_pylist()
             self.df = light["df"].to_numpy(zero_copy_only=False)
@@ -66,9 +69,12 @@ class SegmentIndex:
             self._rg_cache_size = rg_cache_size
         else:
             t = pq.read_table(ppath)
+            self.has_positions = "positions" in t.column_names
+            self._heavy = _HEAVY_COLS + (
+                ["positions"] if self.has_positions else [])
             self.terms = t["term"].to_pylist()
             self.df = t["df"].to_numpy(zero_copy_only=False)
-            self._cols = {c: t[c] for c in _HEAVY_COLS}
+            self._cols = {c: t[c] for c in self._heavy}
         self.lookup = {term: i for i, term in enumerate(self.terms)}
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.doc_ids = d["doc_id"].to_numpy(zero_copy_only=False)
@@ -79,17 +85,17 @@ class SegmentIndex:
     def _row(self, i: int) -> dict:
         """Heavy posting columns for term-row i (row-group fetch when lazy)."""
         if not self.lazy:
-            return {c: self._cols[c][i] for c in _HEAVY_COLS}
+            return {c: self._cols[c][i] for c in self._heavy}
         rg = int(np.searchsorted(self._rg_bounds, i, side="right"))
         tbl = self._rg_cache.get(rg)
         if tbl is None:
-            tbl = self._pf.read_row_group(rg, columns=_HEAVY_COLS)
+            tbl = self._pf.read_row_group(rg, columns=self._heavy)
             if len(self._rg_cache) >= self._rg_cache_size:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
             self._rg_cache[rg] = tbl
         start = 0 if rg == 0 else int(self._rg_bounds[rg - 1])
         local = i - start
-        return {c: tbl[c][local] for c in _HEAVY_COLS}
+        return {c: tbl[c][local] for c in self._heavy}
 
     def full_posting(self, term: str):
         i = self.lookup.get(term)
@@ -117,6 +123,26 @@ class SegmentIndex:
             row["block_last_doc"].as_py(), row["block_off_docs"].as_py(),
             row["block_off_tfs"].as_py(), int(self.df[i]), term_idf, ub, ord,
         )
+
+    def term_positions(self, term: str):
+        """(doc_ids, tfs, flat_positions int32) — flat positions slice per
+        doc by cumsum(tfs). Requires store_positions=True at build."""
+        i = self.lookup.get(term)
+        if i is None:
+            return None
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; "
+                "phrase queries need positions")
+        row = self._row(i)
+        ids = delta_decode(
+            varint_decode(row["doc_ids_delta_varint"].as_py(), int(self.df[i]))
+        )
+        tfs = varint_decode(
+            row["tfs_varint"].as_py(), int(self.df[i])
+        ).astype(np.int64)
+        pos = np.asarray(row["positions"].values, dtype=np.int32)
+        return ids, tfs, pos
 
     def url_of(self, doc_id: int) -> str:
         return self.urls[int(doc_id) - self.doc_base].as_py()
@@ -229,6 +255,84 @@ class IndexReader:
             if seg.doc_base <= doc_id < seg.doc_base + seg.dl.size:
                 return seg.url_of(doc_id)
         raise KeyError(doc_id)
+
+    def phrase_search(self, text: str, k: int = 10):
+        """Exact phrase top-k: docs where the analyzed terms occur at
+        CONSECUTIVE positions in the analyzed token stream (stop-filtered,
+        like a Lucene PhraseQuery after the analysis chain). Scoring is
+        BM25 with tf = phrase frequency and idf = sum of the constituent
+        terms' idfs (Lucene PhraseQuery semantics). Requires an index
+        built with store_positions=True."""
+        toks = self.analyzer.tokenize_text(text)  # ORDER preserved
+        toks = [t for t in toks if self.global_df.get(t)]
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(toks) == 1:
+            return self.search(toks[0], k)
+        phrase_idf = float(sum(
+            bm25_idf(self.global_df[t], self.n_docs) for t in toks))
+        tomb = self.tombstones
+        all_ids, all_scores = [], []
+        for seg in self.segments:
+            per_term = []
+            ok = True
+            for t in toks:
+                p = seg.term_positions(t)
+                if p is None:
+                    ok = False
+                    break
+                per_term.append(p)
+            if not ok:
+                continue
+            # docs containing every term
+            cand = per_term[0][0]
+            for ids, _, _ in per_term[1:]:
+                cand = cand[np.isin(cand, ids)]
+            if cand.size == 0:
+                continue
+            # per-doc position slices
+            lookups = []
+            for ids, tfs, pos in per_term:
+                offs = np.zeros(tfs.size + 1, dtype=np.int64)
+                np.cumsum(tfs, out=offs[1:])
+                idx = {int(d): (int(offs[j]), int(offs[j + 1]))
+                       for j, d in enumerate(ids.tolist())}
+                lookups.append((idx, pos))
+            ids_out, tf_out = [], []
+            for d in cand.tolist():
+                lo, hi = lookups[0][0][d]
+                live = lookups[0][1][lo:hi].astype(np.int64)
+                for off, (idx, pos) in enumerate(lookups[1:], 1):
+                    l2, h2 = idx[d]
+                    live = live[np.isin(live + off, pos[l2:h2])]
+                    if live.size == 0:
+                        break
+                if live.size:
+                    ids_out.append(d)
+                    tf_out.append(live.size)
+            if not ids_out:
+                continue
+            ids_np = np.asarray(ids_out, dtype=np.int64)
+            tfs_np = np.asarray(tf_out, dtype=np.float64)
+            if tomb.size:
+                livem = ~np.isin(ids_np, tomb)
+                ids_np, tfs_np = ids_np[livem], tfs_np[livem]
+            d = self.dl_of(seg, ids_np)
+            sc = phrase_idf * (tfs_np / (
+                tfs_np + self.k1 * (1.0 - self.b
+                                    + self.b * d / self.avgdl)))
+            all_ids.append(ids_np)
+            all_scores.append(sc)
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_scores)
+        order = np.lexsort((ids, -sc))[:k]
+        return ids[order], sc[order]
+
+    @staticmethod
+    def dl_of(seg, ids: np.ndarray) -> np.ndarray:
+        return seg.dl[ids - seg.doc_base].astype(np.float64)
 
     def matching_doc_ids(self, text: str) -> np.ndarray:
         """ALL live docs matching any query term (the full result set a

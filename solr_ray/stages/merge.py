@@ -32,14 +32,15 @@ from solr_ray.stages.segment import encode_postings_columns
 from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
 
 
-def decode_segment_flat(seg_dir: str):
+def decode_segment_flat(seg_dir: str, with_positions: bool = False):
     """postings.parquet -> (terms: pa.Array unique-per-row, df, flat doc_ids,
-    flat tfs). One varint_decode over the whole column (rows were sliced from
-    one stream at build time; concatenation restores a valid stream)."""
-    t = pq.read_table(
-        os.path.join(seg_dir, "postings.parquet"),
-        columns=["term", "df", "doc_ids_delta_varint", "tfs_varint"],
-    )
+    flat tfs[, per-posting positions ListArray]). One varint_decode over the
+    whole column (rows were sliced from one stream at build time;
+    concatenation restores a valid stream)."""
+    cols = ["term", "df", "doc_ids_delta_varint", "tfs_varint"]
+    if with_positions:
+        cols.append("positions")
+    t = pq.read_table(os.path.join(seg_dir, "postings.parquet"), columns=cols)
     df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = int(df.sum())
     enc_d = b"".join(t["doc_ids_delta_varint"].to_pylist())
@@ -52,7 +53,16 @@ def decode_segment_flat(seg_dir: str):
     cs = np.cumsum(deltas)
     base = np.repeat(cs[starts] - deltas[starts], df)
     doc_ids = cs - base
-    return t["term"].combine_chunks(), df, doc_ids, tfs
+    if not with_positions:
+        return t["term"].combine_chunks(), df, doc_ids, tfs
+    # per-POSTING position lists: the stored per-term flat positions are in
+    # (doc asc, pos asc) order, so slicing at cumsum(tf) boundaries yields
+    # one list per posting
+    pos_values = t["positions"].combine_chunks().flatten()
+    pp_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pp_offs[1:])
+    per_posting = pa.LargeListArray.from_arrays(pa.array(pp_offs), pos_values)
+    return t["term"].combine_chunks(), df, doc_ids, tfs, per_posting
 
 
 def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> dict:
@@ -61,14 +71,22 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
     if is_complete(out_seg_dir, lineage):
         return read_manifest(out_seg_dir)
 
-    terms_l, df_l, ids_l, tfs_l, ranks_l, segord_l = [], [], [], [], [], []
+    with_pos = all(
+        "positions" in pq.ParquetFile(
+            os.path.join(d, "postings.parquet")).schema_arrow.names
+        for d in seg_dirs
+    )
+    terms_l, df_l, ids_l, tfs_l, pos_l, segord_l = [], [], [], [], [], []
     docs_tables = []
     for s, d in enumerate(seg_dirs):
-        terms, df, ids, tfs = decode_segment_flat(d)
+        out = decode_segment_flat(d, with_positions=with_pos)
+        terms, df, ids, tfs = out[:4]
         terms_l.append(terms)
         df_l.append(df)
         ids_l.append(ids)
         tfs_l.append(tfs)
+        if with_pos:
+            pos_l.append(out[4])
         segord_l.append(s)
         docs_tables.append(pq.read_table(os.path.join(d, "docs.parquet")))
 
@@ -104,6 +122,19 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
     dls_f = dl_all[ids_f - doc_base] if keys.size else np.empty(0, np.int64)
 
     postings = encode_postings_columns(uniq_terms, ids_f, tfs_f, dls_f, term_starts)
+    if with_pos and keys.size:
+        # reorder per-posting position lists into merged posting order, then
+        # regroup per merged term (per-term counts = cf = sum tf over run)
+        pp_all = pa.concat_arrays(
+            [arr.cast(pa.large_list(pa.int32())) for arr in pos_l])
+        taken = pp_all.take(pa.array(order))
+        cf_m = np.add.reduceat(tfs_f, term_starts)
+        term_offs = np.zeros(cf_m.size + 1, dtype=np.int64)
+        np.cumsum(cf_m, out=term_offs[1:])
+        postings = postings.append_column(
+            "positions",
+            pa.LargeListArray.from_arrays(pa.array(term_offs),
+                                          taken.flatten()))
     os.makedirs(out_seg_dir, exist_ok=True)
     pq.write_table(postings, os.path.join(out_seg_dir, "postings.parquet"),
                    row_group_size=8192)

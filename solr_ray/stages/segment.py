@@ -145,6 +145,7 @@ def build_segment_tables(
     group: pa.Table,
     doc_id_offset: int,
     stored_cols: tuple[str, ...] = (),
+    store_positions: bool = False,
 ) -> tuple[pa.Table, pa.Table]:
     """One bucket group (url, h, dl, tokens [, stored...]) -> (postings, docs).
 
@@ -175,6 +176,12 @@ def build_segment_tables(
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
             np.empty(0, np.int64),
         )
+        if store_positions:
+            postings = postings.append_column(
+                "positions",
+                pa.LargeListArray.from_arrays(
+                    pa.array(np.zeros(1, dtype=np.int64)),
+                    pa.array([], pa.int32())))
     else:
         # (doc, term) -> tf in one C++ hash groupby, then term-major sort
         tf_tbl = (
@@ -198,6 +205,31 @@ def build_segment_tables(
         starts = np.flatnonzero(np.diff(tidx, prepend=tidx[0] - 1))
         uniq_terms = terms_f.take(pa.array(starts))
         postings = encode_postings_columns(uniq_terms, did_f, tfs_f, dls_f, starts)
+
+        if store_positions:
+            # token position within the ANALYZED stream (stop-filtered, no
+            # gaps — phrase == adjacency in the analyzed token sequence).
+            # Sorting (term, did, pos) yields values aligned with the
+            # posting order (term, did); per-TERM list offsets = cumsum(cf).
+            tok_start = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=tok_start[1:])
+            pos_all = (np.arange(int(counts.sum()), dtype=np.int64)
+                       - np.repeat(tok_start[:-1], counts))
+            ptab = pa.table({
+                "term": flat_terms,
+                "did": pa.array(parent + doc_id_offset),
+                "pos": pa.array(pos_all.astype(np.int32)),
+            })
+            pidx = pc.sort_indices(ptab, sort_keys=[
+                ("term", "ascending"), ("did", "ascending"),
+                ("pos", "ascending")])
+            pos_sorted = ptab["pos"].take(pidx).combine_chunks()
+            cf = postings["cf"].to_numpy(zero_copy_only=False)
+            pos_offs = np.zeros(cf.size + 1, dtype=np.int64)
+            np.cumsum(cf, out=pos_offs[1:])
+            postings = postings.append_column(
+                "positions",
+                pa.LargeListArray.from_arrays(pa.array(pos_offs), pos_sorted))
 
     docs_cols = {
         "doc_id": pa.array(doc_ids),

@@ -1,0 +1,109 @@
+"""Term positions + phrase query tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _mk_pages(texts):
+    urls = [f"https://p/{i:04d}" for i in range(len(texts))]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def pos_idx(tmp_path_factory):
+    from solr_ray.pipelines.build_index import build_index
+
+    texts = [
+        "alpha beta gamma delta",          # has "alpha beta" and "beta gamma"
+        "beta alpha beta gamma",           # "beta gamma" once, "alpha beta" once
+        "gamma beta alpha",                # reversed only
+        "alpha beta alpha beta",           # "alpha beta" twice
+        "unrelated words here entirely",
+    ]
+    out = str(tmp_path_factory.mktemp("pos") / "idx")
+    build_index(ray.data.from_arrow(_mk_pages(texts)), out,
+                analyzer="whitespace", num_buckets=2, text_source="text",
+                store_positions=True)
+    return out
+
+
+def test_phrase_exact_matches(pos_idx):
+    from solr_ray.search.searcher import IndexReader
+
+    r = IndexReader(pos_idx)
+    ids, sc = r.phrase_search("alpha beta", 10)
+    urls = [r.url_of(int(d)) for d in ids]
+    assert set(urls) == {"https://p/0000", "https://p/0001", "https://p/0003"}
+    # doc 3 has phrase tf=2 -> highest score
+    assert r.url_of(int(ids[0])) == "https://p/0003"
+
+    ids2, _ = r.phrase_search("beta gamma", 10)
+    assert {r.url_of(int(d)) for d in ids2} == \
+        {"https://p/0000", "https://p/0001"}
+
+    ids3, _ = r.phrase_search("gamma alpha", 10)
+    assert len(ids3) == 0  # never adjacent in order
+
+
+def test_phrase_three_terms(pos_idx):
+    from solr_ray.search.searcher import IndexReader
+
+    r = IndexReader(pos_idx)
+    ids, _ = r.phrase_search("alpha beta gamma", 10)
+    # doc 1 "beta alpha beta gamma" contains the phrase at positions 1-3
+    assert {r.url_of(int(d)) for d in ids} == \
+        {"https://p/0000", "https://p/0001"}
+
+
+def test_phrase_lazy_reader_identical(pos_idx):
+    from solr_ray.search.searcher import IndexReader
+
+    eager = IndexReader(pos_idx)
+    lazy = IndexReader(pos_idx, lazy=True)
+    for q in ("alpha beta", "beta gamma", "alpha beta gamma"):
+        a = eager.phrase_search(q, 10)
+        b = lazy.phrase_search(q, 10)
+        assert a[0].tolist() == b[0].tolist()
+        assert a[1].tolist() == b[1].tolist()
+
+
+def test_phrase_survives_merge(pos_idx):
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.stages.merge import merge_index
+
+    r = IndexReader(pos_idx)
+    pre = {q: r.phrase_search(q, 10)
+           for q in ("alpha beta", "beta gamma", "alpha beta gamma")}
+    man = merge_index(pos_idx, merge_factor=4)
+    assert len(man["segments"]) == 1
+    r2 = IndexReader(pos_idx)
+    for q, (ids, sc) in pre.items():
+        i2, s2 = r2.phrase_search(q, 10)
+        assert i2.tolist() == ids.tolist(), q
+        assert s2.tolist() == sc.tolist(), q
+
+
+def test_phrase_requires_positions(pages_300_path, tmp_path):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    out = str(tmp_path / "nopos")
+    build_index(pages_300_path, out, analyzer="text_en", num_buckets=2)
+    r = IndexReader(out)
+    t1, t2 = sorted(r.global_df)[:2]
+    with pytest.raises(ValueError, match="store_positions"):
+        r.phrase_search(f"{t1} {t2}", 5)
+
+
+def test_regular_search_unaffected_by_positions(pos_idx):
+    from solr_ray.search.searcher import IndexReader
+
+    r = IndexReader(pos_idx)
+    ids, sc = r.search("alpha gamma", 10)
+    assert len(ids) == 4  # all docs containing alpha or gamma
