@@ -256,13 +256,14 @@ class IndexReader:
                 return seg.url_of(doc_id)
         raise KeyError(doc_id)
 
-    def phrase_search(self, text: str, k: int = 10):
-        """Exact phrase top-k: docs where the analyzed terms occur at
-        CONSECUTIVE positions in the analyzed token stream (stop-filtered,
-        like a Lucene PhraseQuery after the analysis chain). Scoring is
+    def phrase_search(self, text: str, k: int = 10, slop: int = 0):
+        """Phrase top-k over the analyzed token stream (stop-filtered, like
+        a Lucene PhraseQuery after the analysis chain). slop=0: terms at
+        CONSECUTIVE positions. slop>0: ordered in-document chains whose
+        total extra displacement (span - (n-1)) is <= slop. Scoring is
         BM25 with tf = phrase frequency and idf = sum of the constituent
-        terms' idfs (Lucene PhraseQuery semantics). Requires an index
-        built with store_positions=True."""
+        terms' idfs (PhraseQuery semantics). Requires an index built with
+        store_positions=True."""
         toks = self.analyzer.tokenize_text(text)  # ORDER preserved
         toks = [t for t in toks if self.global_df.get(t)]
         if not toks:
@@ -302,14 +303,34 @@ class IndexReader:
             for d in cand.tolist():
                 lo, hi = lookups[0][0][d]
                 live = lookups[0][1][lo:hi].astype(np.int64)
-                for off, (idx, pos) in enumerate(lookups[1:], 1):
-                    l2, h2 = idx[d]
-                    live = live[np.isin(live + off, pos[l2:h2])]
-                    if live.size == 0:
-                        break
-                if live.size:
+                if slop == 0:
+                    for off, (idx, pos) in enumerate(lookups[1:], 1):
+                        l2, h2 = idx[d]
+                        live = live[np.isin(live + off, pos[l2:h2])]
+                        if live.size == 0:
+                            break
+                    n_match = int(live.size)
+                else:
+                    # ordered minimal chain per start: p_i = smallest
+                    # position of term i strictly after p_{i-1}
+                    last = live.copy()
+                    for idx, pos in lookups[1:]:
+                        l2, h2 = idx[d]
+                        p = pos[l2:h2].astype(np.int64)
+                        j = np.searchsorted(p, last, side="right")
+                        okm = j < p.size
+                        last = np.where(okm, p[np.minimum(j, p.size - 1)],
+                                        -1)
+                        keep = okm
+                        live, last = live[keep], last[keep]
+                        if live.size == 0:
+                            break
+                    span_extra = last - live - (len(lookups) - 1)
+                    n_match = int((span_extra <= slop).sum()) \
+                        if live.size else 0
+                if n_match:
                     ids_out.append(d)
-                    tf_out.append(live.size)
+                    tf_out.append(n_match)
             if not ids_out:
                 continue
             ids_np = np.asarray(ids_out, dtype=np.int64)

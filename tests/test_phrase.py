@@ -107,3 +107,31 @@ def test_regular_search_unaffected_by_positions(pos_idx):
     r = IndexReader(pos_idx)
     ids, sc = r.search("alpha gamma", 10)
     assert len(ids) == 4  # all docs containing alpha or gamma
+
+
+def test_sloppy_phrase(tmp_path):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    texts = [
+        "alpha beta",            # slop 0 ok
+        "alpha x beta",          # gap 1 -> slop >= 1
+        "alpha x y beta",        # gap 2 -> slop >= 2
+        "beta alpha",            # reversed: never (ordered chains only)
+        "alpha alpha x beta",    # chain from 2nd alpha needs slop 1
+    ]
+    out = str(tmp_path / "slop_idx")
+    build_index(ray.data.from_arrow(_mk_pages(texts)), out,
+                analyzer="whitespace", num_buckets=1, text_source="text",
+                store_positions=True)
+    r = IndexReader(out)
+
+    def urls(q, slop):
+        ids, _ = r.phrase_search(q, 10, slop=slop)
+        return {r.url_of(int(d)) for d in ids}
+
+    assert urls("alpha beta", 0) == {"https://p/0000"}
+    assert urls("alpha beta", 1) == {"https://p/0000", "https://p/0001",
+                                     "https://p/0004"}
+    assert urls("alpha beta", 2) == {"https://p/0000", "https://p/0001",
+                                     "https://p/0002", "https://p/0004"}
