@@ -34,6 +34,61 @@ _HEAVY_COLS = [
 ]
 
 
+def _segment_phrase_match(seg, toks: list[str], slop: int = 0):
+    """(doc_ids, phrase_tfs) of docs in `seg` containing the ordered phrase
+    `toks` (slop=0: consecutive; slop>0: ordered minimal chains with extra
+    displacement <= slop)."""
+    per_term = []
+    for t in toks:
+        p = seg.term_positions(t)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        per_term.append(p)
+    cand = per_term[0][0]
+    for ids, _, _ in per_term[1:]:
+        cand = cand[np.isin(cand, ids)]
+    if cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lookups = []
+    for ids, tfs, pos in per_term:
+        offs = np.zeros(tfs.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offs[1:])
+        idx = {int(d): (int(offs[j]), int(offs[j + 1]))
+               for j, d in enumerate(ids.tolist())}
+        lookups.append((idx, pos))
+    ids_out, tf_out = [], []
+    for d in cand.tolist():
+        lo, hi = lookups[0][0][d]
+        live = lookups[0][1][lo:hi].astype(np.int64)
+        if slop == 0:
+            for off, (idx, pos) in enumerate(lookups[1:], 1):
+                l2, h2 = idx[d]
+                live = live[np.isin(live + off, pos[l2:h2])]
+                if live.size == 0:
+                    break
+            n_match = int(live.size)
+        else:
+            # ordered minimal chain per start: p_i = smallest position of
+            # term i strictly after p_{i-1}
+            last = live.copy()
+            for idx, pos in lookups[1:]:
+                l2, h2 = idx[d]
+                p = pos[l2:h2].astype(np.int64)
+                j = np.searchsorted(p, last, side="right")
+                okm = j < p.size
+                last = np.where(okm, p[np.minimum(j, p.size - 1)], -1)
+                live, last = live[okm], last[okm]
+                if live.size == 0:
+                    break
+            span_extra = last - live - (len(lookups) - 1)
+            n_match = int((span_extra <= slop).sum()) if live.size else 0
+        if n_match:
+            ids_out.append(d)
+            tf_out.append(n_match)
+    return (np.asarray(ids_out, dtype=np.int64),
+            np.asarray(tf_out, dtype=np.int64))
+
+
 class SegmentIndex:
     """One immutable segment.
 
@@ -275,66 +330,10 @@ class IndexReader:
         tomb = self.tombstones
         all_ids, all_scores = [], []
         for seg in self.segments:
-            per_term = []
-            ok = True
-            for t in toks:
-                p = seg.term_positions(t)
-                if p is None:
-                    ok = False
-                    break
-                per_term.append(p)
-            if not ok:
+            ids_np, tfs_np = _segment_phrase_match(seg, toks, slop)
+            if ids_np.size == 0:
                 continue
-            # docs containing every term
-            cand = per_term[0][0]
-            for ids, _, _ in per_term[1:]:
-                cand = cand[np.isin(cand, ids)]
-            if cand.size == 0:
-                continue
-            # per-doc position slices
-            lookups = []
-            for ids, tfs, pos in per_term:
-                offs = np.zeros(tfs.size + 1, dtype=np.int64)
-                np.cumsum(tfs, out=offs[1:])
-                idx = {int(d): (int(offs[j]), int(offs[j + 1]))
-                       for j, d in enumerate(ids.tolist())}
-                lookups.append((idx, pos))
-            ids_out, tf_out = [], []
-            for d in cand.tolist():
-                lo, hi = lookups[0][0][d]
-                live = lookups[0][1][lo:hi].astype(np.int64)
-                if slop == 0:
-                    for off, (idx, pos) in enumerate(lookups[1:], 1):
-                        l2, h2 = idx[d]
-                        live = live[np.isin(live + off, pos[l2:h2])]
-                        if live.size == 0:
-                            break
-                    n_match = int(live.size)
-                else:
-                    # ordered minimal chain per start: p_i = smallest
-                    # position of term i strictly after p_{i-1}
-                    last = live.copy()
-                    for idx, pos in lookups[1:]:
-                        l2, h2 = idx[d]
-                        p = pos[l2:h2].astype(np.int64)
-                        j = np.searchsorted(p, last, side="right")
-                        okm = j < p.size
-                        last = np.where(okm, p[np.minimum(j, p.size - 1)],
-                                        -1)
-                        keep = okm
-                        live, last = live[keep], last[keep]
-                        if live.size == 0:
-                            break
-                    span_extra = last - live - (len(lookups) - 1)
-                    n_match = int((span_extra <= slop).sum()) \
-                        if live.size else 0
-                if n_match:
-                    ids_out.append(d)
-                    tf_out.append(n_match)
-            if not ids_out:
-                continue
-            ids_np = np.asarray(ids_out, dtype=np.int64)
-            tfs_np = np.asarray(tf_out, dtype=np.float64)
+            tfs_np = tfs_np.astype(np.float64)
             if tomb.size:
                 livem = ~np.isin(ids_np, tomb)
                 ids_np, tfs_np = ids_np[livem], tfs_np[livem]
