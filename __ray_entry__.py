@@ -556,6 +556,29 @@ def _q_topic_incremental(sf_dir: str):
     return tc.pull(_read(sf_dir, "events"), "ts")
 
 
+def _q_synonym_search(sf_dir: str):
+    """Query-side synonym expansion (SynonymQuery scoring: df = group max,
+    tf = group sum): 'merge' expands to {merge, join}."""
+    import math
+
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.synonyms import synonym_search
+
+    out = _idx_dir(sf_dir, "whitespace_nb1")
+    build_index(_docs_as_pages(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text")
+    reader = IndexReader(out)
+    ids, sc = synonym_search(reader, "merge", {"merge": ["join"]}, 20)
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "doc_id": pa.array([int(reader.url_of(int(d))) for d in ids],
+                           pa.int64()),
+        "score_r": pa.array([math.floor(s * 1e5) / 1e5 for s in sc.tolist()],
+                            pa.float64()),
+    })
+
+
 def _q_boolean_query(sf_dir: str):
     """Lucene/dismax user syntax: '+table -scan merge' — must/must_not/
     should clauses over the BM25 core."""
@@ -988,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_fq": _q_select_fq,
         "phrase_search": _q_phrase_search,
         "boolean_query": _q_boolean_query,
+        "synonym_search": _q_synonym_search,
         "pivot_lang_source": _q_pivot_lang_source,
         "distinct_event_types": _q_distinct_event_types,
         "stats_quantity": _q_stats_quantity,
@@ -1171,6 +1195,44 @@ ORDER BY "count" DESC, lang LIMIT 10
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
 FROM events WHERE value >= 0 AND value < 500
 GROUP BY 1 ORDER BY 1
+""",
+        "synonym_search": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+  WHERE tok IN ('merge', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+grouped AS (
+  SELECT doc_id, SUM(tf) AS tf_sum FROM tf GROUP BY doc_id
+),
+scored AS (
+  SELECT g.doc_id,
+         LN(1.0 + (c.n_docs - m.df_max + 0.5) / (m.df_max + 0.5))
+         * (g.tf_sum / (g.tf_sum + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / c.avgdl)))
+           AS score
+  FROM grouped g
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  CROSS JOIN (SELECT MAX(df) AS df_max FROM df) m
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 20
 """,
         "boolean_query": """
 WITH docs AS (
