@@ -163,3 +163,30 @@ def test_k_exceeds_matches(split_corpus, tmp_path):
     ids, sc = r.search(text, 100000)
     assert 0 < len(ids) <= 400
     assert (sc[:-1] >= sc[1:]).all()
+
+
+def test_num_buckets_invariance(split_corpus, tmp_path):
+    """Different bucket counts produce identical (url, score) rankings —
+    scores use global stats; only id-based tie order may differ."""
+    from solr_ray.fixtures import gen_queries
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    _, _, full = split_corpus
+    readers = []
+    for nb in (1, 4):
+        idx = str(tmp_path / f"nb{nb}_idx")
+        build_index(ray.data.from_arrow(full), idx, analyzer="text_en",
+                    num_buckets=nb)
+        readers.append(IndexReader(idx))
+    a, b = readers
+    assert a.n_docs == b.n_docs and a.avgdl == b.avgdl
+    for t in gen_queries(25)["text"].to_pylist():
+        ia, sa = a.search(t, 10)
+        ib, sb = b.search(t, 10)
+        assert sa.tolist() == sb.tolist(), t
+        # where scores are unique the url must agree
+        uniq = {s for s in sa.tolist() if sa.tolist().count(s) == 1}
+        for da, db, s in zip(ia, ib, sa.tolist()):
+            if s in uniq:
+                assert a.url_of(int(da)) == b.url_of(int(db)), t
