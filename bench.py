@@ -29,7 +29,8 @@ BENCH_BASE_DOCS = 100_000
 BENCH_REP = int(os.environ.get("GRAFT_BENCH_REP", "10"))
 SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "30"))
 NUM_BUCKETS = 256
-N_QUERIES = 200
+N_QUERIES = 200          # p50 probe
+N_QUERIES_BATCH = 1000   # throughput batch (amortizes actor-pool startup)
 
 
 def _init_ray(num_cpus: int):
@@ -144,18 +145,18 @@ def run_bench() -> None:
                  lambda: merge_index(idx_dir, merge_factor=16, concurrency=16))
     extra["segments_after_merge"] = len(man2["segments"])
 
-    # 3. BM25 batch throughput: 200 fixture queries over the merged index
+    # 3. BM25 batch throughput: 1000 fixture queries over the merged index
     #    (vectorized TAAT; python-loop block-max WAND is rank-identical but
     #    slower at this scale — see BASELINE.md)
     from solr_ray.search.searcher import IndexReader, search_dataset
 
     def bm25_batch():
-        qds = ray.data.from_arrow(gen_queries(N_QUERIES))
+        qds = ray.data.from_arrow(gen_queries(N_QUERIES_BATCH))
         return search_dataset(qds, idx_dir, k=10, mode="taat",
-                              concurrency=8, batch_size=16).count()
+                              concurrency=8, batch_size=32).count()
 
-    timed("bm25_batch_200q", bm25_batch)
-    extra["bm25_qps"] = round(N_QUERIES / timings["bm25_batch_200q"], 1)
+    timed("bm25_batch_1000q", bm25_batch)
+    extra["bm25_qps"] = round(N_QUERIES_BATCH / timings["bm25_batch_1000q"], 1)
 
     # 4. BM25 single-query p50 latency (one warm reader, per-query timing)
     def bm25_p50():

@@ -492,6 +492,13 @@ def search_dataset(
     scores use global stats.
     """
     concurrency = concurrency or 4
+    # a query set built with from_arrow/from_items arrives as ONE block,
+    # which would pin every batch to a single actor — spread it first.
+    # materialize() so the repartition finishes BEFORE the actor pool
+    # reserves CPUs (an actor pool sized near num_cpus would starve the
+    # upstream repartition tasks and deadlock the pipeline).
+    queries_ds = queries_ds.repartition(
+        target_num_rows_per_block=batch_size).materialize()
     if num_shards <= 1:
         return queries_ds.map_batches(
             SearchActor, fn_constructor_args=(index_dir, k, mode, None, lazy),
