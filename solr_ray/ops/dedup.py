@@ -140,11 +140,16 @@ def minhash_lsh_candidates(
     id_col: str,
     text_col: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
 ):
     """Stage 1+2 of MinHash-LSH dedup: per-doc signatures -> banded bucket
     rows -> groupby(band, bucket) -> candidate pairs (id_a < id_b).
+
+    Band geometry sets the LSH S-curve threshold ~ (1/bands)^(bands/num_perm):
+    8 bands x 8 rows targets ~0.77 Jaccard (near-dup dedup); 16 x 4 targets
+    ~0.5 (looser similarity search) but floods the verify stage with false
+    candidates when the corpus shares vocabulary.
 
     The (band, bucket) shuffle is the only exchange; bucket keys are hashes
     (uniform except true near-dup clusters, which must co-locate by design).
@@ -185,7 +190,10 @@ def minhash_lsh_candidates(
     from solr_ray.ops.grouping import distinct
 
     cand = (
-        ds.map_batches(sigs, batch_format="pyarrow")
+        # single-file sources arrive as one block; spread so signature
+        # computation (the CPU-heavy stage) parallelizes
+        ds.repartition(target_num_rows_per_block=512)
+        .map_batches(sigs, batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .map_groups(pairs, batch_format="pandas")
     )
@@ -321,7 +329,8 @@ def simhash_candidates(ds, id_col: str, text_col: str = "text",
     from solr_ray.ops.grouping import distinct
 
     return distinct(
-        ds.map_batches(chunks, batch_format="pyarrow")
+        ds.repartition(target_num_rows_per_block=512)
+        .map_batches(chunks, batch_format="pyarrow")
         .groupby(["chunk_idx", "chunk_val"])
         .map_groups(pairs, batch_format="pandas"),
         ["id_a", "id_b"],
