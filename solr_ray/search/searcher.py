@@ -44,6 +44,25 @@ def _segment_phrase_match(seg, toks: list[str], slop: int = 0):
         if p is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         per_term.append(p)
+    if slop == 0:
+        # fully vectorized: encode every (doc, pos) occurrence of term i as
+        # doc*M + pos; an exact phrase start k survives iff k+i is present
+        # in term i's key set for all i. No per-doc python loop.
+        mult = np.int64(int(seg.dl.max(initial=0)) + len(toks) + 2)
+        keys = []
+        for ids, tfs, pos in per_term:
+            did_flat = np.repeat(ids, tfs)
+            keys.append(did_flat * mult + pos.astype(np.int64))
+        live = keys[0]
+        for i, k in enumerate(keys[1:], 1):
+            if live.size == 0:
+                break
+            live = live[np.isin(live + i, k)]
+        if live.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs = live // mult
+        uniq, counts = np.unique(docs, return_counts=True)
+        return uniq.astype(np.int64), counts.astype(np.int64)
     cand = per_term[0][0]
     for ids, _, _ in per_term[1:]:
         cand = cand[np.isin(cand, ids)]
@@ -60,28 +79,20 @@ def _segment_phrase_match(seg, toks: list[str], slop: int = 0):
     for d in cand.tolist():
         lo, hi = lookups[0][0][d]
         live = lookups[0][1][lo:hi].astype(np.int64)
-        if slop == 0:
-            for off, (idx, pos) in enumerate(lookups[1:], 1):
-                l2, h2 = idx[d]
-                live = live[np.isin(live + off, pos[l2:h2])]
-                if live.size == 0:
-                    break
-            n_match = int(live.size)
-        else:
-            # ordered minimal chain per start: p_i = smallest position of
-            # term i strictly after p_{i-1}
-            last = live.copy()
-            for idx, pos in lookups[1:]:
-                l2, h2 = idx[d]
-                p = pos[l2:h2].astype(np.int64)
-                j = np.searchsorted(p, last, side="right")
-                okm = j < p.size
-                last = np.where(okm, p[np.minimum(j, p.size - 1)], -1)
-                live, last = live[okm], last[okm]
-                if live.size == 0:
-                    break
-            span_extra = last - live - (len(lookups) - 1)
-            n_match = int((span_extra <= slop).sum()) if live.size else 0
+        # ordered minimal chain per start: p_i = smallest position of
+        # term i strictly after p_{i-1}
+        last = live.copy()
+        for idx, pos in lookups[1:]:
+            l2, h2 = idx[d]
+            p = pos[l2:h2].astype(np.int64)
+            j = np.searchsorted(p, last, side="right")
+            okm = j < p.size
+            last = np.where(okm, p[np.minimum(j, p.size - 1)], -1)
+            live, last = live[okm], last[okm]
+            if live.size == 0:
+                break
+        span_extra = last - live - (len(lookups) - 1)
+        n_match = int((span_extra <= slop).sum()) if live.size else 0
         if n_match:
             ids_out.append(d)
             tf_out.append(n_match)
