@@ -669,6 +669,52 @@ def _q_stream_expr(sf_dir: str):
     )
 
 
+def _q_stream_expr_join(sf_dir: str):
+    """Streaming-expression innerJoin + rollup: orders ⋈ customer by
+    custkey, order counts per market segment."""
+    from solr_ray.expr import eval_expr
+
+    tables = {
+        "orders": _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        "customer": _read(sf_dir, "customer",
+                          columns=["c_custkey", "c_mktsegment"]),
+    }
+    out = eval_expr(
+        'rollup(innerJoin(search(orders), search(customer), '
+        'on="c_custkey"), over="c_mktsegment", count(*))', tables)
+    return out.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "n_orders": t["count(*)"]}),
+        batch_format="pyarrow")
+
+
+def _q_json_facet_range(sf_dir: str):
+    """JSON facet: range buckets over event values with a per-bucket
+    integer-quantized sum stat."""
+    from solr_ray.ops.jsonfacet import json_facet
+
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "v_milli", pa.array(np.floor(v * 1000.0).astype(np.int64)))
+
+    resp = json_facet(ev.map_batches(milli, batch_format="pyarrow"), {
+        "type": "range", "field": "value", "start": 0, "end": 500,
+        "gap": 100, "limit": 10, "facet": {"sum_m": "sum(v_milli)"},
+    })
+    b = resp["buckets"]
+    return pa.table({
+        "bucket_start": pa.array([x["val"] for x in b], pa.float64()),
+        "n": pa.array([x["count"] for x in b], pa.int64()),
+        "sum_value_m": pa.array([x["sum_m"] / 1000.0 for x in b],
+                                pa.float64()),
+    })
+
+
 def _q_json_facet(sf_dir: str):
     """JSON Facet API: terms facet with nested stats."""
     from solr_ray.ops.jsonfacet import json_facet
@@ -1007,7 +1053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_range_value": _q_facet_range_value,
         "facet_on_query": _q_facet_on_query,
         "json_facet_lang": _q_json_facet,
+        "json_facet_range": _q_json_facet_range,
         "stream_expr_rollup": _q_stream_expr,
+        "stream_expr_join": _q_stream_expr_join,
         "select_fq": _q_select_fq,
         "phrase_search": _q_phrase_search,
         "boolean_query": _q_boolean_query,
@@ -1367,6 +1415,20 @@ FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
         "stream_expr_rollup": """
 SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
 FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
+""",
+        "stream_expr_join": """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+        "json_facet_range": """
+WITH m AS (
+  SELECT value, CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli FROM events
+  WHERE value >= 0 AND value < 500)
+SELECT FLOOR(value / 100.0) * 100.0 AS bucket_start,
+       COUNT(*) AS n,
+       CAST(SUM(v_milli) AS DOUBLE) / 1000 AS sum_value_m
+FROM m GROUP BY 1 ORDER BY 1 LIMIT 10
 """,
         "facet_on_query": """
 SELECT lang, COUNT(*) AS cnt FROM documents
