@@ -40,6 +40,7 @@ from solr_ray.analysis.chain import analyze_batch, get_analyzer
 from solr_ray.stages.docids import add_bucket
 from solr_ray.stages.extract import extract_batch
 from solr_ray.stages.segment import build_segment_tables
+from solr_ray.stages.worker_gc import tune_worker_gc
 from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
 
 
@@ -61,6 +62,7 @@ class _SegmentWriter:
         self.store_positions = store_positions
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        tune_worker_gc()
         bucket = int(group["bucket"][0].as_py())
         seg_dir = os.path.join(
             self.out_dir, "segments", f"{self.dir_prefix}={bucket:05d}")
@@ -200,6 +202,7 @@ def build_index(
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
         # stateless tasks (elastic, no CPU reservation); analyzer state is
         # process-cached (analysis/chain.py:process_analyzer)
+        tune_worker_gc()
         t = analyze_batch(t, "text", az_name)
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", num_buckets)
@@ -335,6 +338,7 @@ def append_to_index(
     az_name = analyzer
 
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
+        tune_worker_gc()
         t = analyze_batch(t, "text", az_name)
         t = t.select([c for c in ("url", "tokens") if c in t.column_names])
         return add_bucket(t, "url", nb)
