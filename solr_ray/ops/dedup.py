@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from solr_ray.analysis.chain import process_analyzer
+from solr_ray.stages.worker_gc import tune_worker_gc
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -158,6 +159,7 @@ def minhash_lsh_candidates(
     assert bands * rows_per_band == num_perm
 
     def sigs(batch: pa.Table) -> pa.Table:
+        tune_worker_gc()
         ids = batch[id_col].to_pylist()
         out_ids, out_band, out_bucket = [], [], []
         for i, t in zip(ids, batch[text_col].to_pylist()):
@@ -297,6 +299,7 @@ def simhash_candidates(ds, id_col: str, text_col: str = "text",
     in-group."""
 
     def chunks(batch: pa.Table) -> pa.Table:
+        tune_worker_gc()
         t = add_simhash(batch, text_col, "simhash", analyzer)
         sh = t["simhash"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)

@@ -459,6 +459,9 @@ class SearchActor:
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "taat",
                  segment_ids: list[int] | None = None, lazy: bool = False):
+        from solr_ray.stages.worker_gc import tune_worker_gc
+
+        tune_worker_gc()
         self.reader = IndexReader(index_dir, segment_ids, lazy=lazy)
         self.k = k
         self.mode = mode

@@ -29,6 +29,7 @@ import pyarrow.parquet as pq
 
 from solr_ray.stages.codec import varint_decode
 from solr_ray.stages.segment import encode_postings_columns
+from solr_ray.stages.worker_gc import tune_worker_gc
 from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
 
 
@@ -67,6 +68,7 @@ def decode_segment_flat(seg_dir: str, with_positions: bool = False):
 
 def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> dict:
     """Merge adjacent segments (ascending doc ranges) into out_seg_dir."""
+    tune_worker_gc()
     t0 = time.time()
     if is_complete(out_seg_dir, lineage):
         return read_manifest(out_seg_dir)
