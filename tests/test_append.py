@@ -190,3 +190,23 @@ def test_num_buckets_invariance(split_corpus, tmp_path):
         for da, db, s in zip(ia, ib, sa.tolist()):
             if s in uniq:
                 assert a.url_of(int(da)) == b.url_of(int(db)), t
+
+
+def test_search_dataset_lazy_sharded_identical(split_corpus, tmp_path):
+    import ray.data as rd
+
+    from solr_ray.fixtures import gen_queries
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import search_dataset
+
+    _, _, full = split_corpus
+    idx = str(tmp_path / "lazy_shard_idx")
+    build_index(ray.data.from_arrow(full), idx, analyzer="text_en",
+                num_buckets=4)
+    qds = rd.from_arrow(gen_queries(20))
+    a = search_dataset(qds, idx, k=10).to_pandas()
+    b = search_dataset(qds, idx, k=10, num_shards=2, lazy=True).to_pandas()
+    a = a.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
