@@ -183,27 +183,33 @@ def build_segment_tables(
                     pa.array(np.zeros(1, dtype=np.int64)),
                     pa.array([], pa.int32())))
     else:
-        # (doc, term) -> tf in one C++ hash groupby, then term-major sort
+        # dictionary-encode ONCE, then all grouping/sorting runs on int32
+        # codes instead of strings (micro-profiled ~1.9x on group_by+sort;
+        # macro gain is workload-dependent). The code->rank remap uses
+        # UTF-8-byte sort order, identical to sorting term strings.
+        denc = flat_terms.dictionary_encode()
+        vocab = denc.dictionary
         tf_tbl = (
-            pa.table({"did": pa.array(parent + doc_id_offset), "term": flat_terms})
-            .group_by(["did", "term"], use_threads=False)
+            pa.table({"did": pa.array(parent + doc_id_offset),
+                      "code": denc.indices})
+            .group_by(["did", "code"], use_threads=False)
             .aggregate([([], "count_all")])
         )
-        sort_idx = pc.sort_indices(
-            tf_tbl.select(["term", "did"]),
-            sort_keys=[("term", "ascending"), ("did", "ascending")],
-        )
-        tf_tbl = tf_tbl.take(sort_idx)
-        terms_f = tf_tbl["term"].combine_chunks()
-        did_f = tf_tbl["did"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tfs_f = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did_g = tf_tbl["did"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code_g = tf_tbl["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs_g = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vorder = pc.sort_indices(vocab)
+        inv = np.empty(len(vocab), dtype=np.int64)
+        inv[vorder.to_numpy(zero_copy_only=False)] = np.arange(len(vocab))
+        ranks_g = inv[code_g]
+        sort_idx = np.lexsort((did_g, ranks_g))
+        did_f = did_g[sort_idx]
+        tfs_f = tfs_g[sort_idx]
+        ranks_f = ranks_g[sort_idx]
         dls_f = dl[did_f - doc_id_offset]
-
-        # term run boundaries via dictionary indices
-        denc = terms_f.dictionary_encode()
-        tidx = denc.indices.to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.diff(tidx, prepend=tidx[0] - 1))
-        uniq_terms = terms_f.take(pa.array(starts))
+        starts = np.flatnonzero(np.diff(ranks_f, prepend=ranks_f[0] - 1))
+        vocab_sorted = vocab.take(vorder)
+        uniq_terms = vocab_sorted.take(pa.array(ranks_f[starts]))
         postings = encode_postings_columns(uniq_terms, did_f, tfs_f, dls_f, starts)
 
         if store_positions:
@@ -215,15 +221,10 @@ def build_segment_tables(
             np.cumsum(counts, out=tok_start[1:])
             pos_all = (np.arange(int(counts.sum()), dtype=np.int64)
                        - np.repeat(tok_start[:-1], counts))
-            ptab = pa.table({
-                "term": flat_terms,
-                "did": pa.array(parent + doc_id_offset),
-                "pos": pa.array(pos_all.astype(np.int32)),
-            })
-            pidx = pc.sort_indices(ptab, sort_keys=[
-                ("term", "ascending"), ("did", "ascending"),
-                ("pos", "ascending")])
-            pos_sorted = ptab["pos"].take(pidx).combine_chunks()
+            rank_flat = inv[
+                denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+            pidx = np.lexsort((pos_all, parent, rank_flat))
+            pos_sorted = pa.array(pos_all[pidx].astype(np.int32))
             cf = postings["cf"].to_numpy(zero_copy_only=False)
             pos_offs = np.zeros(cf.size + 1, dtype=np.int64)
             np.cumsum(cf, out=pos_offs[1:])
