@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 SF_SMOKE = "/root/testdata/sf0.001"
 _CACHE_ROOT = "/tmp/solr_ray_entry"
-_VER = "v4"  # bump to invalidate cached /tmp indexes after engine changes
+_VER = "v5"  # bump to invalidate cached /tmp indexes after engine changes
 
 K1, B = 1.2, 0.75
 
@@ -1413,7 +1413,7 @@ SELECT lang, COUNT(*) AS cnt,
 FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
 """,
         "stream_expr_rollup": """
-SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
 """,
         "stream_expr_join": """

@@ -209,18 +209,37 @@ def jaccard_verify_pairs(
 ):
     """Stage 3: verify candidate pairs by true shingle Jaccard.
 
-    Texts are broadcast via ray.put (small-side lookup pattern) — candidate
-    verification needs random access to both members of each pair. At 100 TB
-    the corpus side would be a fetch-join against the docs store keyed by id;
-    here docs-with-candidates is itself small (near-dup clusters are sparse).
+    Scale path: the corpus is first SEMI-JOINED down to ids that appear in a
+    candidate pair (a distributed `pc.is_in` filter — only the sparse
+    near-dup subset ever leaves the workers), and only that subset is
+    broadcast via ray.put for random access during verification. The full
+    corpus is never materialized on the driver; driver memory is
+    O(candidate ids + candidate texts), which is small by construction
+    (candidates come from LSH-bucket collisions).
     """
+    import pyarrow.compute as pc
     import ray
 
-    docs = {}
-    for b in corpus_ds.select_columns([id_col, text_col]).iter_batches(
+    pairs_ds = pairs_ds.materialize()  # iterated twice (id set + verify)
+    id_set: set = set()
+    for b in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
         batch_format="pyarrow"
     ):
-        docs.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+        id_set.update(b["id_a"].to_pylist())
+        id_set.update(b["id_b"].to_pylist())
+    docs = {}
+    if id_set:
+        want_ref = ray.put(pa.array(sorted(id_set)))
+
+        def keep_candidates(t: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            return t.filter(pc.is_in(t[id_col], value_set=w))
+
+        needed = corpus_ds.select_columns([id_col, text_col]).map_batches(
+            keep_candidates, batch_format="pyarrow"
+        )
+        for b in needed.iter_batches(batch_format="pyarrow"):
+            docs.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
     ref = ray.put(docs)
 
     def verify(batch: pa.Table) -> pa.Table:

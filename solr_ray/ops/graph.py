@@ -31,12 +31,11 @@ def gather_nodes(edges, from_col: str, to_col: str, seeds, depth: int = 1):
     for level in range(1, depth + 1):
         if not frontier:
             break
-        ref = ray.put(frontier)
+        ref = ray.put(pa.array(sorted(frontier)))
 
         def step(t: pa.Table) -> pa.Table:
             f = ray.get(ref)
-            mask = pa.array([v in f for v in t[from_col].to_pylist()])
-            return t.filter(mask).select([to_col])
+            return t.filter(pc.is_in(t[from_col], value_set=f)).select([to_col])
 
         reached = (edges.map_batches(step, batch_format="pyarrow")
                    .unique(to_col) or [])  # empty frontier -> None in Ray
@@ -64,12 +63,12 @@ def shortest_path(edges, from_col: str, to_col: str, src, dst,
     for _ in range(max_depth):
         if dst in parent or not frontier:
             break
-        ref = ray.put(frontier)
+        ref = ray.put(pa.array(sorted(frontier)))
 
         def step(t: pa.Table) -> pa.Table:
             f = ray.get(ref)
-            mask = pa.array([v in f for v in t[from_col].to_pylist()])
-            return t.filter(mask).select([from_col, to_col])
+            return t.filter(
+                pc.is_in(t[from_col], value_set=f)).select([from_col, to_col])
 
         hops = (
             edges.map_batches(step, batch_format="pyarrow")

@@ -44,19 +44,27 @@ def shuffle_join(left, right, on: str | list[str], how: str = "inner",
     return left.join(right, join_type=how, num_partitions=num_partitions, on=on_t)
 
 
+def _key_array(keys) -> pa.Array:
+    """Normalize a key side (iterable / Dataset / DataFrame column) into a
+    deduped Arrow array for `pc.is_in` (one vectorized kernel call per batch
+    instead of a per-row python membership loop — ~10-100x on wide batches).
+    The key side is broadcast, so it must be small (the {!join} small side);
+    large key sets belong in shuffle_join."""
+    if hasattr(keys, "to_pandas"):
+        keys = keys.to_pandas().iloc[:, 0].tolist()
+    return pa.array(sorted(set(keys)))
+
+
 def semi_join(ds, keys, on: str):
     """Rows of ds whose `on` value appears in keys (index-time {!join}
     semantics). keys: iterable or Dataset of a single column."""
     import ray
 
-    if hasattr(keys, "to_pandas"):
-        keys = keys.to_pandas().iloc[:, 0].tolist()
-    ref = ray.put(set(keys))
+    ref = ray.put(_key_array(keys))
 
     def f(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        mask = pa.array([v in s for v in t[on].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t[on], value_set=s))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -65,14 +73,11 @@ def anti_join(ds, keys, on: str):
     """complement/ComplementStream semantics: rows whose key is NOT in keys."""
     import ray
 
-    if hasattr(keys, "to_pandas"):
-        keys = keys.to_pandas().iloc[:, 0].tolist()
-    ref = ray.put(set(keys))
+    ref = ray.put(_key_array(keys))
 
     def f(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        mask = pa.array([v not in s for v in t[on].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t[on], value_set=s)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

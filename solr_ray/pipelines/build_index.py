@@ -174,6 +174,7 @@ def build_index(
             and prior.get("num_buckets") == num_buckets
             and prior.get("text_source") == text_source
             and bool(prior.get("store_positions")) == store_positions
+            and tuple(prior.get("stored_cols", ())) == tuple(stored_cols)
             and all(
                 is_complete(os.path.join(out_dir, s["dir"]))
                 for s in prior.get("segments", [])
@@ -236,8 +237,9 @@ def build_index(
         offsets[b] = acc
         acc += counts.get(b, 0)
     n_docs = acc
+    sc_tag = ",".join(stored_cols)
     lineages = {
-        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}"
         for b in range(num_buckets)
     }
 
@@ -270,6 +272,7 @@ def build_index(
         "num_buckets": num_buckets,
         "text_source": text_source,
         "store_positions": store_positions,
+        "stored_cols": list(stored_cols),
         "n_docs": n_docs,
         "n_tokens": n_tokens,
         "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
@@ -316,6 +319,7 @@ def append_to_index(
         manifest = json.load(f)
     analyzer = manifest["analyzer"]
     text_source = manifest.get("text_source", "html")
+    stored_cols = tuple(manifest.get("stored_cols", ()))
     base = int(manifest["n_docs"])
     gen = int(manifest.get("append_gen", 0)) + 1
     nb = num_buckets or int(manifest["num_buckets"])
@@ -337,10 +341,12 @@ def append_to_index(
         )
     az_name = analyzer
 
+    keep = ["url", "tokens", *stored_cols]
+
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
         tune_worker_gc()
         t = analyze_batch(t, "text", az_name)
-        t = t.select([c for c in ("url", "tokens") if c in t.column_names])
+        t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", nb)
 
     tokenized = ds.map_batches(
@@ -364,11 +370,12 @@ def append_to_index(
         offsets[b] = acc
         acc += counts.get(b, 0)
     n_new = acc - base
+    sc_tag = ",".join(stored_cols)
     lineages = {
-        b: f"v1|{prefix}|az={analyzer}|nb={nb}|src={text_source}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        b: f"v1|{prefix}|az={analyzer}|nb={nb}|src={text_source}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}"
         for b in range(nb)
     }
-    writer = _SegmentWriter(index_dir, offsets, lineages, (),
+    writer = _SegmentWriter(index_dir, offsets, lineages, stored_cols,
                             dir_prefix=prefix,
                             store_positions=bool(
                                 manifest.get("store_positions")))

@@ -230,6 +230,10 @@ class IndexReader:
 
     def __init__(self, index_dir: str, segment_ids: list[int] | None = None,
                  lazy: bool = False):
+        """segment_ids selects a subset of segments by MANIFEST LIST INDEX
+        (position in index.json's "segments" array) — the only id that is
+        globally unique; 'bucket' values repeat after append_to_index /
+        merge_index, which made bucket-based sharding double-load segments."""
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "index.json")) as f:
             self.manifest = json.load(f)
@@ -241,7 +245,7 @@ class IndexReader:
         segs = self.manifest["segments"]
         if segment_ids is not None:
             wanted = set(segment_ids)
-            segs = [s for s in segs if s["bucket"] in wanted]
+            segs = [s for i, s in enumerate(segs) if i in wanted]
         self.segments = [
             SegmentIndex(os.path.join(index_dir, s["dir"]), lazy=lazy)
             for s in segs
@@ -393,9 +397,8 @@ class IndexReader:
 
         counts: Counter = Counter()
         tomb = self.tombstones
+        terms = [t for t in self.query_terms(text) if self.global_df.get(t)]
         for seg in self.segments:
-            terms = [t for t in self.query_terms(text)
-                     if self.global_df.get(t)]
             seg_parts = [p[0] for t in terms
                          if (p := seg.full_posting(t)) is not None]
             if not seg_parts:
@@ -521,8 +524,10 @@ def search_dataset(
 
     with open(os.path.join(index_dir, "index.json")) as f:
         manifest = json.load(f)
-    buckets = [s["bucket"] for s in manifest["segments"]]
-    shards = [buckets[i::num_shards] for i in range(num_shards)]
+    # shard on manifest list index — globally unique even after
+    # append_to_index / merge_index reuse bucket numbers
+    seg_idx = list(range(len(manifest["segments"])))
+    shards = [seg_idx[i::num_shards] for i in range(num_shards)]
     shards = [s for s in shards if s]
     parts = [
         queries_ds.map_batches(

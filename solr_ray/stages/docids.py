@@ -8,8 +8,9 @@ define the GLOBAL doc order as ``(bucket(url), hash64(url), url)`` where
 ``bucket = hash64(url) % num_buckets``:
 
 - bucket  → which index partition (segment) owns the doc (the shuffle key);
-- within a bucket, docs sort by (hash64, url) — uniform, deterministic,
-  independent of Ray parallelism / block layout;
+- within a bucket, docs sort by url (segment.py:158; the SQL oracles rely
+  on docID = rank of url within bucket) — deterministic, independent of
+  Ray parallelism / block layout;
 - doc_id = bucket_offset + local_rank, where bucket_offset is the exclusive
   prefix sum of bucket counts (a cheap url-column-only pre-pass).
 

@@ -162,6 +162,65 @@ def test_pairwise_cosine_topk(emb_ds, emb_pd):
     assert set(zip(out["id_a"], out["id_b"])) == expect
 
 
+def test_pairwise_cosine_topk_per_id_cut(emb_ds, emb_pd):
+    from solr_ray.ops.similarity import pairwise_cosine_topk
+
+    full = pairwise_cosine_topk(emb_ds, threshold=0.3).to_pandas()
+    cut = pairwise_cosine_topk(emb_ds, k=2, threshold=0.3).to_pandas()
+    assert (cut.groupby("id_a").size() <= 2).all()
+    # kept pairs are each id_a's highest-cosine partners
+    for ida, g in cut.groupby("id_a"):
+        best = (full[full.id_a == ida]
+                .sort_values(["cosine", "id_b"], ascending=[False, True])
+                .head(2))
+        assert sorted(g["id_b"]) == sorted(best["id_b"])
+
+
+def test_pairwise_cosine_lsh_recovers_planted_dups(emb_pd):
+    from solr_ray.ops.similarity import pairwise_cosine_topk
+
+    # plant near-duplicate vectors: ids 9000+i ~ copy of row i + tiny noise
+    rng = np.random.default_rng(3)
+    m = np.array(emb_pd["embedding"].tolist(), dtype=np.float32)
+    planted = m[:10] + rng.normal(0, 1e-3, (10, m.shape[1])).astype(np.float32)
+    pdf = pd.concat([
+        pd.DataFrame({"vec_id": emb_pd["vec_id"],
+                      "embedding": list(map(list, m))}),
+        pd.DataFrame({"vec_id": np.arange(9000, 9010),
+                      "embedding": list(map(list, planted))}),
+    ], ignore_index=True)
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    out = pairwise_cosine_topk(ds, threshold=0.99, method="lsh",
+                               n_bits=6, bands=8).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    ids = emb_pd["vec_id"].to_numpy()
+    want = {(int(ids[i]), 9000 + i) for i in range(10)}
+    assert want <= got  # every planted near-dup pair collides in >=1 band
+    assert (out["cosine"] >= 0.99).all()
+    assert len(got) == len(out)  # band-deduped
+
+
+def test_knn_lsh_index_prunes_io(emb_ds, emb_pd, tmp_path):
+    from solr_ray.ops.similarity import build_lsh_index, knn_lsh, knn_lsh_index
+
+    idx = str(tmp_path / "lshidx")
+    build_lsh_index(emb_ds, idx, n_bits=6)
+    m = np.array(emb_pd["embedding"].tolist(), dtype=np.float32)
+    q = m[:5]
+    stats = {}
+    got = knn_lsh_index(idx, q, k=5, probe_radius=2,
+                        stats_out=stats).to_pandas()
+    # I/O pruning: probed partitions are a strict subset of the layout
+    assert 0 < stats["files_probed"] < stats["files_total"]
+    # identical results to the in-stream variant (same planes/probing)
+    ref = knn_lsh(emb_ds, q, k=5, n_bits=6, probe_radius=2).to_pandas()
+    key = ["query_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert np.allclose(got["score"], ref["score"])
+
+
 # --------------------------------------------------------------- textstats
 
 def test_language_id():
