@@ -91,6 +91,33 @@ def _build_docs_index(sf_dir: str, analyzer: str, num_buckets: int) -> str:
     return out
 
 
+def _title_pages(sf_dir: str):
+    """documents -> pages whose text is the doc's 'title' (first 5
+    whitespace tokens) — the second field for multi-field (edismax) search.
+    Derived deterministically so the SQL oracle can reconstruct it."""
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array([f"{i:08d}" for i in ids], pa.string())
+        titles = pa.array(
+            [" ".join((x or "").split()[:5]) for x in t["text"].to_pylist()],
+            pa.string())
+        return pa.table({"url": urls, "text": titles})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+
+
+def _build_title_index(sf_dir: str) -> str:
+    from solr_ray.pipelines.build_index import build_index
+
+    out = _idx_dir(sf_dir, "title_whitespace_nb1")
+    build_index(_title_pages(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text")
+    return out
+
+
 def _search_docs(sf_dir: str, analyzer: str, num_buckets: int, queries,
                  k: int = 10, mode: str = "taat", num_shards: int = 1):
     import ray.data
@@ -139,6 +166,39 @@ def _q_bm25_top10(sf_dir: str):
             "qid": t["qid"],
             "rank": pc.cast(t["rank"], pa.int64()),
             "doc_id": doc,
+            "score_r": score_r,
+        })
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_dismax(sf_dir: str):
+    """edismax core with a full SQL oracle: qf={title^2, body^1}, tie=0.3,
+    mm=2 (both clauses must match), pf={body^1.5} phrase boost. title =
+    first 5 whitespace tokens of text (SQL-reconstructable)."""
+    import ray.data
+
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.edismax import edismax_search
+
+    body = _idx_dir(sf_dir, "whitespace_nb1_pos")  # shared with phrase entry
+    build_index(_docs_as_pages(sf_dir), body, analyzer="whitespace",
+                num_buckets=1, text_source="text", store_positions=True)
+    dirs = {"title": _build_title_index(sf_dir), "body": body}
+    qds = ray.data.from_arrow(pa.table({
+        "qid": pa.array(range(len(BM25_QUERIES)), pa.int64()),
+        "text": pa.array(BM25_QUERIES, pa.string()),
+    }))
+    res = edismax_search(qds, dirs, qf={"title": 2.0, "body": 1.0},
+                         k=10, mm=2, pf={"body": 1.5}, tie=0.3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5))
+        return pa.table({
+            "qid": t["qid"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": pc.cast(t["url"], pa.int64()),
             "score_r": score_r,
         })
 
@@ -351,14 +411,69 @@ def _q_shuffle_join_orders(sf_dir: str):
     )
 
 
+def _q_block_join_parents(sf_dir: str):
+    """{!parent} block join: nest lineitem children under orders, return
+    orders with >=1 child of quantity >= 45, scored by ScoreMode=total over
+    the matching children's price (cents -> exact integer sum)."""
+    from solr_ray.ops.blockjoin import nest_children, parent_query
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "qty_i": pa.array(np.round(qty).astype(np.int64)),
+            "price_c": pa.array(np.round(price * 100.0).astype(np.int64)),
+        })
+
+    nested = nest_children(orders, li.map_batches(prep, batch_format="pyarrow"),
+                           "o_orderkey", "l_orderkey")
+    out = parent_query(
+        nested,
+        child_filter={"op": "range", "field": "qty_i", "lo": 45,
+                      "include_lo": True},
+        score_field="price_c", score_mode="total",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "score_c": pc.cast(t["score"], pa.int64()),
+            "n_matching_children": t["n_matching_children"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_sliding_window(sf_dir: str):
-    """Rows-only: per-user rolling mean over the last 5 events."""
+    """Per-user rolling SUM over the last 5 events (integer-quantized value
+    so the window accumulation is exact and matches the DuckDB window
+    function bit-for-bit)."""
     from solr_ray.ops.windows import sliding_window
 
-    out = sliding_window(_read(sf_dir, "events",
-                               columns=["user_id", "ts", "value"]),
-                         "user_id", "ts", "value", n=5)
-    return out
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(1000.0))),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("v_milli", v)
+
+    out = sliding_window(ds.map_batches(milli, batch_format="pyarrow"),
+                         "user_id", "ts", "v_milli", n=5, agg="sum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "roll_sum": pc.cast(t["rolling_v_milli"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_explode_embeddings(sf_dir: str):
@@ -615,6 +730,28 @@ def _q_phrase_search(sf_dir: str):
                 num_buckets=1, text_source="text", store_positions=True)
     reader = IndexReader(out)
     ids, sc = reader.phrase_search("table scan", 20)
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "doc_id": pa.array([int(reader.url_of(int(d))) for d in ids],
+                           pa.int64()),
+        "score_r": pa.array([math.floor(s * 1e5) / 1e5 for s in sc.tolist()],
+                            pa.float64()),
+    })
+
+
+def _q_sloppy_phrase(sf_dir: str):
+    """Sloppy phrase query (slop=2): ordered minimal chains with extra
+    displacement <= slop; tf = chain count, idf = sum of term idfs."""
+    import math
+
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    out = _idx_dir(sf_dir, "whitespace_nb1_pos")
+    build_index(_docs_as_pages(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text", store_positions=True)
+    reader = IndexReader(out)
+    ids, sc = reader.phrase_search("table scan", 20, slop=2)
     return pa.table({
         "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
         "doc_id": pa.array([int(reader.url_of(int(d))) for d in ids],
@@ -897,8 +1034,9 @@ def _q_spellcheck(sf_dir: str):
 
 
 def _q_rerank(sf_dir: str):
-    """Rows-only: rerank BM25 top-50 with a linear doc-length prior
-    (ReRankQParser + LTR LinearModel semantics)."""
+    """Rerank BM25 top-50 with a linear doc-length prior (ReRankQParser +
+    LTR LinearModel semantics): new_score = 5.0*(1/(1+n_chars)) + score for
+    the top-10, deeper rows keep original order below. SQL-oracled."""
     import duckdb
 
     from solr_ray.search.rerank import LinearModel, rerank_results
@@ -923,7 +1061,19 @@ def _q_rerank(sf_dir: str):
         }, index=g.index)
 
     model = LinearModel({"short": 5.0})
-    return rerank_results(res, feats, model, rerank_depth=10)
+    out = rerank_results(res, feats, model, rerank_depth=10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5))
+        return pa.table({
+            "qid": t["qid"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": t["doc_id"],
+            "score_r": score_r,
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_random_sample(sf_dir: str):
@@ -1044,6 +1194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # north-rule fulltext core
         "bm25_top10": _q_bm25_top10,
+        "dismax_search": _q_dismax,
+        "block_join_parents": _q_block_join_parents,
         "bm25_wand": _q_bm25_wand,
         "term_df": _q_term_df,
         "salted_term_counts": _q_salted_term_counts,
@@ -1058,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_join": _q_stream_expr_join,
         "select_fq": _q_select_fq,
         "phrase_search": _q_phrase_search,
+        "sloppy_phrase": _q_sloppy_phrase,
         "boolean_query": _q_boolean_query,
         "synonym_search": _q_synonym_search,
         "pivot_lang_source": _q_pivot_lang_source,
@@ -1120,7 +1273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; views pre-registered per table)
 # --------------------------------------------------------------------------
 
-def _bm25_oracle_sql() -> str:
+def _bm25_ranked_cte() -> str:
+    """Shared WITH-clause body: whitespace tokenization -> BM25 scoring ->
+    per-qid rank (mirrors the engine's op order; see _bm25_oracle_sql)."""
     qvals = ", ".join(
         f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES)
     )
@@ -1167,9 +1322,130 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
            AS rank
   FROM scored
+)"""
+
+
+def _bm25_oracle_sql() -> str:
+    return _bm25_ranked_cte() + """
+SELECT qid, rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _dismax_oracle_sql() -> str:
+    """edismax over (title = first 5 whitespace tokens, body = text):
+    per-clause DisMax GREATEST(boosted field scores) + tie*(sum-max);
+    clause scores sum; mm=2 (both clauses); pf adds a body phrase boost.
+    Op order parenthesized to match solr_ray.search.edismax exactly."""
+    qvals = ", ".join(
+        f"({i}, '{q.split()[0]}', '{q.split()[1]}')"
+        for i, q in enumerate(BM25_QUERIES)
+    )
+    return f"""
+WITH body AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+title AS (SELECT doc_id, toks[1:5] AS toks FROM body),
+dl_b AS (SELECT doc_id, len(toks) AS dl FROM body),
+dl_t AS (SELECT doc_id, len(toks) AS dl FROM title),
+c_b AS (SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl_b),
+c_t AS (SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl_t),
+tf_b AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+         FROM (SELECT doc_id, UNNEST(toks) AS tok FROM body) GROUP BY 1, 2),
+tf_t AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+         FROM (SELECT doc_id, UNNEST(toks) AS tok FROM title) GROUP BY 1, 2),
+df_b AS (SELECT term, COUNT(*) AS df FROM tf_b GROUP BY term),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf_t GROUP BY term),
+q(qid, t1, t2) AS (VALUES {qvals}),
+qterms AS (SELECT qid, t1 AS term FROM q UNION ALL SELECT qid, t2 AS term FROM q),
+s_b AS (
+  SELECT qt.qid, tf.doc_id, qt.term,
+         1.0 * (LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl)))) AS s
+  FROM qterms qt JOIN df_b df USING (term) JOIN tf_b tf USING (term)
+  JOIN dl_b dl ON dl.doc_id = tf.doc_id CROSS JOIN c_b c
+),
+s_t AS (
+  SELECT qt.qid, tf.doc_id, qt.term,
+         2.0 * (LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl)))) AS s
+  FROM qterms qt JOIN df_t df USING (term) JOIN tf_t tf USING (term)
+  JOIN dl_t dl ON dl.doc_id = tf.doc_id CROSS JOIN c_t c
+),
+sides AS (
+  SELECT COALESCE(b.qid, t.qid) AS qid,
+         COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         COALESCE(b.term, t.term) AS term,
+         COALESCE(b.s, 0.0) AS sb, COALESCE(t.s, 0.0) AS st
+  FROM s_b b FULL OUTER JOIN s_t t
+    ON b.qid = t.qid AND b.doc_id = t.doc_id AND b.term = t.term
+),
+contrib AS (
+  SELECT qid, doc_id,
+         GREATEST(st, sb) + 0.3 * ((st + sb) - GREATEST(st, sb)) AS c
+  FROM sides
+),
+main AS (SELECT qid, doc_id, SUM(c) AS s_terms, COUNT(*) AS nmatch
+         FROM contrib GROUP BY 1, 2),
+ppos AS (
+  SELECT q.qid, b.doc_id, COUNT(*) AS ptf
+  FROM body b, q, UNNEST(range(1, len(b.toks))) AS u(i)
+  WHERE b.toks[i] = q.t1 AND b.toks[i + 1] = q.t2
+  GROUP BY 1, 2
+),
+phrase AS (
+  SELECT p.qid, p.doc_id,
+         1.5 * (
+           (LN(1.0 + (c.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+            + LN(1.0 + (c.n_docs - d2.df + 0.5) / (d2.df + 0.5)))
+           * (p.ptf / (p.ptf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl)))
+         ) AS sp
+  FROM ppos p JOIN q USING (qid)
+  JOIN df_b d1 ON d1.term = q.t1 JOIN df_b d2 ON d2.term = q.t2
+  JOIN dl_b dl ON dl.doc_id = p.doc_id CROSS JOIN c_b c
+),
+merged AS (
+  SELECT m.qid, m.doc_id, m.s_terms + COALESCE(p.sp, 0.0) AS score
+  FROM main m LEFT JOIN phrase p ON p.qid = m.qid AND p.doc_id = m.doc_id
+  WHERE m.nmatch >= 2
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS rank
+  FROM merged
 )
 SELECT qid, rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+
+def _rerank_oracle_sql() -> str:
+    """ReRank semantics over the BM25 top-50: top-10 rescored with
+    new_score = 5.0*(1/(1+n_chars)) + score and re-sorted (score desc,
+    doc_id asc); ranks 11-50 keep original order below."""
+    return _bm25_ranked_cte() + """,
+rescored AS (
+  SELECT r.qid, r.doc_id, r.rank AS old_rank, (r.rank <= 10) AS top,
+         CASE WHEN r.rank <= 10
+              THEN 5.0 * (1.0 / (1.0 + d.n_chars)) + r.score
+              ELSE r.score END AS new_score
+  FROM ranked r JOIN documents d USING (doc_id)
+  WHERE r.rank <= 50
+),
+final AS (
+  SELECT qid, doc_id, new_score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           CASE WHEN top THEN 0 ELSE 1 END,
+           CASE WHEN top THEN new_score END DESC,
+           CASE WHEN top THEN doc_id END,
+           old_rank) AS rank
+  FROM rescored
+)
+SELECT qid, rank, doc_id, FLOOR(new_score * 1e5) / 1e5 AS score_r
+FROM final
 """
 
 
@@ -1207,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
     cutoff = _TOPIC_CUTOFF_US
     return {
         "bm25_top10": _bm25_oracle_sql(),
+        "dismax_search": _dismax_oracle_sql(),
         "term_df": """
 SELECT term, COUNT(*)::BIGINT AS df FROM (
   SELECT DISTINCT doc_id, tok AS term
@@ -1238,6 +1515,52 @@ FROM p GROUP BY l_returnflag, l_linestatus
         "facet_lang": """
 SELECT lang, COUNT(*) AS "count" FROM documents GROUP BY lang
 ORDER BY "count" DESC, lang LIMIT 10
+""",
+        "rerank": _rerank_oracle_sql(),
+        "block_join_parents": """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS score_c,
+       COUNT(*) AS n_matching_children
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(ROUND(l.l_quantity) AS BIGINT) >= 45
+GROUP BY o.o_orderkey
+""",
+        "sliding_window": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
+FROM events
+""",
+        "text_profile_sigs": """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks
+  WHERE length(tok) >= 2 GROUP BY doc_id, tok
+),
+quant AS (
+  SELECT doc_id,
+         CASE WHEN MAX(c) > 1
+              THEN GREATEST(2, CAST(ROUND(MAX(c) * 0.01) AS BIGINT))
+              ELSE 1 END AS q
+  FROM counts GROUP BY doc_id
+),
+prof AS (
+  SELECT c.doc_id, c.tok, (c.c // q.q) * q.q AS qc
+  FROM counts c JOIN quant q USING (doc_id)
+  WHERE (c.c // q.q) * q.q >= q.q
+),
+strs AS (
+  SELECT doc_id, string_agg(tok || ' ' || qc, ' ' ORDER BY qc DESC, tok)
+    AS profile
+  FROM prof GROUP BY doc_id
+)
+SELECT d.doc_id, md5(COALESCE(s.profile, '')) AS sig
+FROM documents d LEFT JOIN strs s USING (doc_id)
 """,
         "facet_range_value": """
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n
@@ -1316,6 +1639,65 @@ ranked AS (
   SELECT s.doc_id, s.score,
          ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
   FROM scored s JOIN allowed a USING (doc_id)
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 20
+""",
+        "sloppy_phrase": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+    WHERE tok IN ('table', 'scan')) GROUP BY term
+),
+idfsum AS (
+  SELECT (SELECT LN(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+          FROM df WHERE term = 'table')
+       + (SELECT LN(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+          FROM df WHERE term = 'scan') AS v
+  FROM corpus c
+),
+pos1 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'table')) AS p
+  FROM docs
+),
+pos2 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'scan')) AS p
+  FROM docs
+),
+chain AS (
+  SELECT a.doc_id, a.p AS p1, MIN(b.p) AS p2
+  FROM pos1 a JOIN pos2 b ON b.doc_id = a.doc_id AND b.p > a.p
+  GROUP BY a.doc_id, a.p
+),
+tfq AS (
+  SELECT doc_id, COUNT(*) AS tf FROM chain
+  WHERE (p2 - p1) - 1 <= 2 GROUP BY doc_id
+),
+scored AS (
+  SELECT t.doc_id,
+         i.v * (t.tf / (t.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / c.avgdl))) AS score
+  FROM tfq t
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN corpus c CROSS JOIN idfsum i
+  WHERE t.tf > 0
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
 )
 SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
 FROM ranked WHERE rank <= 20

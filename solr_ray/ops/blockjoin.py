@@ -1,0 +1,193 @@
+"""Block join over nested documents (parent rows + list<struct> children).
+
+Reference: BlockJoinParentQParserPlugin / BlockJoinChildQParserPlugin
+(solr/core/src/java/org/apache/solr/search/join/BlockJoinParentQParserPlugin.java:38,
+ToParentBlockJoinQuery semantics): {!parent which=...}childQuery returns
+parents with at least one matching child, scored by ScoreMode
+(none|max|total|avg) over the matching children; {!child of=...}parentQuery
+returns the children of matching parents.
+
+Ray-native layout: instead of Lucene's index-contiguous parent/child blocks,
+children live in a ``list<struct>`` column on the parent row (the
+_childDocuments_ representation of Solr's JSON nested docs) — the "block" is
+the row itself, so both directions are per-batch vectorized map_batches with
+NO join shuffle at query time. ``nest_children`` builds the layout from flat
+parent/child tables (one hash shuffle, done once at ingest).
+
+Child predicates reuse ops.queryfilter.compile_filter specs, evaluated over
+the flattened child struct viewed as a table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from solr_ray.ops.queryfilter import compile_filter
+
+
+def _flat_children(t: pa.Table, child_col: str):
+    """(child table view, parent row index per child) for one batch."""
+    col = t[child_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts.astype(np.float64), nan=0).astype(np.int64)
+    parent_idx = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+    flat = col.flatten()  # StructArray of all children in batch order
+    child_tbl = pa.table(
+        {f.name: flat.field(f.name) for f in flat.type})
+    return child_tbl, parent_idx
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset; pandas-backed blocks (from_pandas) report
+    a PandasBlockSchema with dtype `object` for strings, so convert one
+    batch to learn the real Arrow types."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    for b in ds.limit(100).iter_batches(batch_format="pyarrow",
+                                        batch_size=100):
+        return b.schema
+    raise ValueError("cannot infer schema of an empty dataset")
+
+
+def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
+                  child_col: str = "_childDocuments_"):
+    """Build the nested layout from flat tables: one row per parent with its
+    children packed into a list<struct> column. ONE hash shuffle total:
+    parents and (widened) child rows union on the parent key and a single
+    groupby packs each group arrow-natively — no Dataset.join (Arrow's hash
+    join rejects list<struct> payload columns). Parents with no children get
+    an empty list; orphan children (no parent row) are dropped."""
+    p_schema = _arrow_schema(parent_ds)
+    c_schema = _arrow_schema(child_ds)
+    child_fields = [f for f in c_schema if f.name != child_key]
+    kid_type = pa.struct([(f.name, f.type) for f in child_fields])
+    payload = [f for f in p_schema if f.name != parent_key]
+    col_order = [parent_key, *[f.name for f in payload], "_kid", "_is_parent"]
+
+    def widen_parent(t: pa.Table) -> pa.Table:
+        cols = {parent_key: t[parent_key]}
+        for f in payload:
+            cols[f.name] = t[f.name]
+        cols["_kid"] = pa.nulls(len(t), kid_type)
+        cols["_is_parent"] = pa.array(np.ones(len(t), dtype=bool))
+        return pa.table({c: cols[c] for c in col_order})
+
+    def widen_child(t: pa.Table) -> pa.Table:
+        kid = pa.StructArray.from_arrays(
+            [t[f.name].combine_chunks() if isinstance(t[f.name], pa.ChunkedArray)
+             else t[f.name] for f in child_fields],
+            names=[f.name for f in child_fields])
+        cols = {parent_key: t[child_key]}
+        for f in payload:
+            cols[f.name] = pa.nulls(len(t), f.type)
+        cols["_kid"] = kid
+        cols["_is_parent"] = pa.array(np.zeros(len(t), dtype=bool))
+        return pa.table({c: cols[c] for c in col_order})
+
+    unioned = parent_ds.map_batches(
+        widen_parent, batch_format="pyarrow"
+    ).union(child_ds.map_batches(widen_child, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [p_schema.field(parent_key), *payload,
+         (child_col, pa.list_(kid_type))])
+
+    def build(g: pa.Table) -> pa.Table:
+        isp = g["_is_parent"].to_numpy(zero_copy_only=False)
+        pmask = np.flatnonzero(isp)
+        if pmask.size == 0:  # orphan children
+            return out_schema.empty_table()
+        prow = g.take(pa.array(pmask[:1])).drop_columns(
+            ["_kid", "_is_parent"])
+        kid_col = g["_kid"]
+        if isinstance(kid_col, pa.ChunkedArray):
+            kid_col = kid_col.combine_chunks()
+        kids = kid_col.take(pa.array(np.flatnonzero(~isp)))
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(kids)], pa.int32()), kids)
+        return prow.append_column(child_col, lst).cast(out_schema)
+
+    return unioned.groupby(parent_key).map_groups(
+        build, batch_format="pyarrow")
+
+
+def parent_query(ds, child_filter: dict, score_field: str | None = None,
+                 score_mode: str = "max",
+                 child_col: str = "_childDocuments_",
+                 parent_filter: dict | None = None):
+    """{!parent}: parents with >=1 child matching child_filter.
+
+    score_mode over the MATCHING children's score_field: "max" | "total" |
+    "avg" | "none" (ToParentBlockJoinQuery ScoreMode). Output = parent
+    columns (minus the child list) + "score" + "n_matching_children".
+    """
+    pred = compile_filter(child_filter)
+    ppred = compile_filter(parent_filter) if parent_filter else None
+
+    def f(t: pa.Table) -> pa.Table:
+        if ppred is not None:
+            t = t.filter(ppred(t))
+        if len(t) == 0:
+            base = t.drop_columns([child_col])
+            return base.append_column(
+                "score", pa.array([], pa.float64())).append_column(
+                "n_matching_children", pa.array([], pa.int64()))
+        kids, parent_idx = _flat_children(t, child_col)
+        mask = pred(kids).to_numpy(zero_copy_only=False)
+        if mask.dtype == object:
+            mask = mask.astype(bool)
+        sel = np.flatnonzero(mask)
+        pidx = parent_idx[sel]
+        n = len(t)
+        n_match = np.bincount(pidx, minlength=n).astype(np.int64)
+        if score_mode == "none" or score_field is None:
+            score = n_match.astype(np.float64)
+        else:
+            vals = kids[score_field].to_numpy(
+                zero_copy_only=False).astype(np.float64)[sel]
+            if score_mode == "max":
+                score = np.full(n, -np.inf)
+                np.maximum.at(score, pidx, vals)
+            elif score_mode in ("total", "sum"):
+                score = np.bincount(pidx, weights=vals, minlength=n)
+            elif score_mode == "avg":
+                tot = np.bincount(pidx, weights=vals, minlength=n)
+                score = np.divide(tot, n_match,
+                                  out=np.zeros(n), where=n_match > 0)
+            else:
+                raise ValueError(score_mode)
+        keep = np.flatnonzero(n_match > 0)
+        out = t.drop_columns([child_col]).take(pa.array(keep))
+        return out.append_column(
+            "score", pa.array(score[keep], pa.float64())).append_column(
+            "n_matching_children", pa.array(n_match[keep], pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def child_query(ds, parent_filter: dict, child_filter: dict | None = None,
+                child_col: str = "_childDocuments_",
+                parent_cols: tuple[str, ...] = ()):
+    """{!child}: children of parents matching parent_filter (optionally
+    also filtered by child_filter). Output = child struct columns +
+    requested parent_cols carried onto each child row."""
+    ppred = compile_filter(parent_filter)
+    cpred = compile_filter(child_filter) if child_filter else None
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(ppred(t))
+        kids, parent_idx = _flat_children(t, child_col)
+        for c in parent_cols:
+            kids = kids.append_column(
+                c, t[c].combine_chunks().take(pa.array(parent_idx)))
+        if cpred is not None and len(kids):
+            kids = kids.filter(cpred(kids))
+        return kids
+
+    return ds.map_batches(f, batch_format="pyarrow")

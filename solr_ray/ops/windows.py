@@ -69,12 +69,16 @@ def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,
     return ds.groupby(key_col).map_groups(windows, batch_format="pandas")
 
 
-def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int):
-    """Per-key rolling mean over the last n events (ts-ordered)."""
+def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
+                   agg: str = "mean"):
+    """Per-key rolling agg (mean|sum|min|max) over the last n events
+    (ts-ordered). agg="sum" over integer values is exact (no float
+    accumulation), which makes it SQL-oracle-able bit-for-bit."""
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable").copy()
-        g[f"rolling_{value_col}"] = g[value_col].rolling(n, min_periods=1).mean()
+        r = g[value_col].rolling(n, min_periods=1)
+        g[f"rolling_{value_col}"] = getattr(r, agg)()
         return g
 
     return ds.groupby(key_col).map_groups(roll, batch_format="pandas")

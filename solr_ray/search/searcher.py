@@ -63,41 +63,37 @@ def _segment_phrase_match(seg, toks: list[str], slop: int = 0):
         docs = live // mult
         uniq, counts = np.unique(docs, return_counts=True)
         return uniq.astype(np.int64), counts.astype(np.int64)
-    cand = per_term[0][0]
-    for ids, _, _ in per_term[1:]:
-        cand = cand[np.isin(cand, ids)]
-    if cand.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    lookups = []
+    # slop>0, fully vectorized across ALL docs at once: encode every
+    # (doc, pos) occurrence as doc*M + pos (keys ascend by (doc, pos) since
+    # posting doc_ids ascend and positions ascend within a doc). The ordered
+    # minimal chain "p_i = smallest position of term i strictly after
+    # p_{i-1}" is then ONE searchsorted per term over the flat key arrays —
+    # the global successor is in the same doc or the start dies.
+    mult = np.int64(int(seg.dl.max(initial=0)) + len(toks) + 2)
+    keys = []
     for ids, tfs, pos in per_term:
-        offs = np.zeros(tfs.size + 1, dtype=np.int64)
-        np.cumsum(tfs, out=offs[1:])
-        idx = {int(d): (int(offs[j]), int(offs[j + 1]))
-               for j, d in enumerate(ids.tolist())}
-        lookups.append((idx, pos))
-    ids_out, tf_out = [], []
-    for d in cand.tolist():
-        lo, hi = lookups[0][0][d]
-        live = lookups[0][1][lo:hi].astype(np.int64)
-        # ordered minimal chain per start: p_i = smallest position of
-        # term i strictly after p_{i-1}
-        last = live.copy()
-        for idx, pos in lookups[1:]:
-            l2, h2 = idx[d]
-            p = pos[l2:h2].astype(np.int64)
-            j = np.searchsorted(p, last, side="right")
-            okm = j < p.size
-            last = np.where(okm, p[np.minimum(j, p.size - 1)], -1)
-            live, last = live[okm], last[okm]
-            if live.size == 0:
-                break
-        span_extra = last - live - (len(lookups) - 1)
-        n_match = int((span_extra <= slop).sum()) if live.size else 0
-        if n_match:
-            ids_out.append(d)
-            tf_out.append(n_match)
-    return (np.asarray(ids_out, dtype=np.int64),
-            np.asarray(tf_out, dtype=np.int64))
+        did_flat = np.repeat(ids, tfs)
+        keys.append(did_flat * mult + pos.astype(np.int64))
+    start = keys[0]
+    cur = start
+    for k in keys[1:]:
+        if start.size == 0:
+            break
+        j = np.searchsorted(k, cur, side="right")
+        ok = j < k.size
+        nxt = k[np.minimum(j, k.size - 1)]
+        ok &= (nxt // mult) == (cur // mult)
+        start, cur = start[ok], nxt[ok]
+    if start.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # same doc => key difference == position difference
+    span_extra = (cur - start) - np.int64(len(toks) - 1)
+    good = span_extra <= slop
+    if not good.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = start[good] // mult
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
 
 
 class SegmentIndex:
