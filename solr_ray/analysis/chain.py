@@ -89,8 +89,17 @@ class Analyzer:
 
     # ---- vectorized batch path ----
 
-    def tokenize_array(self, col: pa.Array | pa.ChunkedArray) -> pa.ListArray:
-        """texts column -> list<string> token lists (large_list offsets safe)."""
+    def tokenize_array(
+        self, col: pa.Array | pa.ChunkedArray, dict_encode: bool = False
+    ) -> pa.ListArray:
+        """texts column -> list<string> token lists (large_list offsets safe).
+
+        dict_encode=True returns list<dictionary<int32,string>> instead:
+        per-token payload is an int32 code and the batch's (deduped) output
+        vocabulary rides along as the dictionary. This is the index-build hot
+        path — it skips materializing the full output token string array and
+        ships ~4 B/token through the bucket shuffle instead of strings.
+        """
         texts = col.to_pylist()
         flat: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
@@ -108,8 +117,12 @@ class Analyzer:
 
         if not flat:
             offs = np.zeros(len(texts) + 1, dtype=np.int64)
+            empty = pa.array([], type=pa.string())
+            if dict_encode:
+                empty = pa.DictionaryArray.from_arrays(
+                    pa.array([], type=pa.int32()), empty)
             return pa.ListArray.from_arrays(
-                pa.array(offs, type=pa.int32()), pa.array([], type=pa.string())
+                pa.array(offs, type=pa.int32()), empty
             )
 
         flat_arr = pa.array(flat, type=pa.string())
@@ -118,21 +131,36 @@ class Analyzer:
         uniques = dict_arr.dictionary.to_pylist()
         mapped = [self._apply(u) for u in uniques]
         keep_u = np.array([m is not None for m in mapped], dtype=bool)
-        out_u = np.array(
-            [m if m is not None else "" for m in mapped], dtype=object
-        )
         idx = dict_arr.indices.to_numpy(zero_copy_only=False)
         keep = keep_u[idx]
-        out_flat = out_u[idx][keep]
 
         # rebuild per-row offsets after drops
         row_ids = np.repeat(np.arange(len(texts), dtype=np.int64), counts)[keep]
         new_counts = np.bincount(row_ids, minlength=len(texts))
         offsets = np.zeros(len(texts) + 1, dtype=np.int64)
         np.cumsum(new_counts, out=offsets[1:])
+
+        if dict_encode:
+            # dedupe the MAPPED uniques (distinct inputs can stem to the same
+            # output) so one term == one code, then remap token codes. All
+            # per-token work is int gathers; only the tiny vocab is strings.
+            kept_out = np.array(
+                [m for m in mapped if m is not None], dtype=object)
+            uniq_out, inverse = np.unique(kept_out, return_inverse=True)
+            remap = np.full(len(uniques), -1, dtype=np.int64)
+            remap[keep_u] = inverse
+            new_codes = remap[idx][keep]
+            values = pa.DictionaryArray.from_arrays(
+                pa.array(new_codes.astype(np.int32), type=pa.int32()),
+                pa.array(uniq_out.tolist(), type=pa.string()),
+            )
+        else:
+            out_u = np.array(
+                [m if m is not None else "" for m in mapped], dtype=object
+            )
+            values = pa.array(out_u[idx][keep], type=pa.string())
         return pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(out_flat, type=pa.string()),
+            pa.array(offsets, type=pa.int32()), values
         )
 
 
@@ -211,11 +239,11 @@ def process_analyzer(name: str) -> Analyzer:
 
 def analyze_batch(
     batch: pa.Table, text_col: str = "text", analyzer: str = "text_en",
-    out_col: str = "tokens",
+    out_col: str = "tokens", dict_encode: bool = False,
 ) -> pa.Table:
     """Stateless-task map_batches body with process-cached analyzer state."""
     az = process_analyzer(analyzer)
-    toks = az.tokenize_array(batch[text_col])
+    toks = az.tokenize_array(batch[text_col], dict_encode=dict_encode)
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, toks)

@@ -109,18 +109,23 @@ def _write_global_stats(out_dir: str, postings_files: list[str]) -> None:
     """
     if not postings_files:
         return
+    from concurrent.futures import ThreadPoolExecutor
+
     stats_dir = os.path.join(out_dir, "stats")
-    n_partial_rows = sum(
-        pq.ParquetFile(f).metadata.num_rows for f in postings_files
-    )
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        n_partial_rows = sum(ex.map(
+            lambda f: pq.ParquetFile(f).metadata.num_rows, postings_files
+        ))
     os.makedirs(stats_dir, exist_ok=True)
     for old in os.listdir(stats_dir):  # clear prior generation's files
         os.remove(os.path.join(stats_dir, old))
     if n_partial_rows <= 20_000_000:
-        part = pa.concat_tables(
-            pq.read_table(f, columns=["term", "df", "cf"])
-            for f in postings_files
-        )
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            part = pa.concat_tables(ex.map(
+                lambda f: pq.read_table(f, columns=["term", "df", "cf"],
+                                        use_threads=False),
+                postings_files,
+            ))
         merged = part.group_by("term", use_threads=True).aggregate(
             [("df", "sum"), ("cf", "sum")]
         )
@@ -190,6 +195,9 @@ def build_index(
     ray.data.DataContext.get_current().shuffle_strategy = (
         ray.data.context.ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     )
+    # task-only pipeline: operator resource reservation (deadlock guard for
+    # actor-pool stages) just idles CPUs here (~26/32 busy during analyze)
+    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
 
     t0 = time.time()
     ds = pages
@@ -204,7 +212,7 @@ def build_index(
         # stateless tasks (elastic, no CPU reservation); analyzer state is
         # process-cached (analysis/chain.py:process_analyzer)
         tune_worker_gc()
-        t = analyze_batch(t, "text", az_name)
+        t = analyze_batch(t, "text", az_name, dict_encode=True)
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", num_buckets)
 
@@ -213,10 +221,14 @@ def build_index(
     # counts from it (doc_id offsets), then shuffle. At cluster scale the
     # shuffle would buffer this data in the object store anyway (with
     # spilling), so the materialize adds no asymptotic memory cost — it
-    # replaces a second full read+extract of the raw corpus.
+    # replaces a second full read+extract of the raw corpus. (Measured: a
+    # streaming analyze fused into the shuffle map side is ~30% SLOWER than
+    # materialize-then-shuffle — the sort-shuffle pipelines poorly with an
+    # expensive fused map — so the barrier stays.)
     tokenized = ds.map_batches(
         _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    t_analyze = time.time() - t0
 
     def _count_existing(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False)
@@ -231,6 +243,7 @@ def build_index(
     counts: dict[int, int] = {}
     for row in counted.take_all():
         counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["cnt"])
+    t_count = time.time() - t0 - t_analyze
     offsets: dict[int, int] = {}
     acc = 0
     for b in range(num_buckets):
@@ -285,6 +298,9 @@ def build_index(
         ],
         "metrics": {
             "build_sec": round(build_sec, 3),
+            "analyze_sec": round(t_analyze, 3),
+            "count_sec": round(t_count, 3),
+            "segment_sec": round(build_sec - t_analyze - t_count, 3),
             "stats_sec": round(stats_sec, 3),
             "docs_per_sec": round(n_docs / build_sec, 1) if build_sec > 0 else None,
             "skipped_segments": int(sum(1 for s in summaries if s.get("skipped"))),
@@ -332,6 +348,9 @@ def append_to_index(
     ray.data.DataContext.get_current().shuffle_strategy = (
         ray.data.context.ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     )
+    # task-only pipeline: operator resource reservation (deadlock guard for
+    # actor-pool stages) just idles CPUs here (~26/32 busy during analyze)
+    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
 
     t0 = time.time()
     ds = pages
@@ -345,7 +364,7 @@ def append_to_index(
 
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
         tune_worker_gc()
-        t = analyze_batch(t, "text", az_name)
+        t = analyze_batch(t, "text", az_name, dict_encode=True)
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", nb)
 

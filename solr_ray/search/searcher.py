@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 from solr_ray.analysis.chain import get_analyzer
 from solr_ray.search.bm25 import idf as bm25_idf
 from solr_ray.search.bm25 import tf_norm
-from solr_ray.search.wand import PostingCursor, bmw_topk, taat_topk
+from solr_ray.search.wand import PostingCursor, bmt_topk, bmw_topk, taat_topk
 from solr_ray.stages.codec import varint_decode, delta_decode
 
 
@@ -143,6 +143,12 @@ class SegmentIndex:
         self.doc_base = int(self.doc_ids[0]) if len(self.doc_ids) else 0
         self.urls = d["url"]
         self.dl = d["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # decoded-posting LRU: query terms are zipfian, so hot terms'
+        # (ids, tfs) decode once and serve thousands of queries. Budgeted by
+        # posting count (16 B/posting decoded): 4M postings ≈ 64 MB/segment.
+        self._dec_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._dec_budget = 4_000_000
+        self._dec_used = 0
 
     def _row(self, i: int) -> dict:
         """Heavy posting columns for term-row i (row-group fetch when lazy)."""
@@ -163,6 +169,10 @@ class SegmentIndex:
         i = self.lookup.get(term)
         if i is None:
             return None
+        hit = self._dec_cache.get(term)
+        if hit is not None:
+            self._dec_cache[term] = self._dec_cache.pop(term)  # LRU touch
+            return hit
         row = self._row(i)
         ids = delta_decode(
             varint_decode(row["doc_ids_delta_varint"].as_py(), int(self.df[i]))
@@ -170,6 +180,13 @@ class SegmentIndex:
         tfs = varint_decode(
             row["tfs_varint"].as_py(), int(self.df[i])
         ).astype(np.int64)
+        n = ids.size
+        if n <= self._dec_budget:
+            while self._dec_used + n > self._dec_budget and self._dec_cache:
+                old_ids, _t = self._dec_cache.pop(next(iter(self._dec_cache)))
+                self._dec_used -= old_ids.size
+            self._dec_cache[term] = (ids, tfs)
+            self._dec_used += n
         return ids, tfs
 
     def cursor(self, term: str, term_idf: float, avgdl: float, ord: int = 0):
@@ -285,15 +302,16 @@ class IndexReader:
                 n_dead = int(np.searchsorted(tomb, hi)
                              - np.searchsorted(tomb, lo))
             k_seg = k + n_dead
-            if mode == "bmw":
+            if mode in ("bmw", "bmt"):
                 cursors = [
                     c for ordi, t in enumerate(terms)
                     if (c := seg.cursor(t, idfs[t], self.avgdl, ordi)) is not None
                 ]
                 if not cursors:
                     continue
-                ids, sc = bmw_topk(cursors, seg.dl, seg.doc_base, self.avgdl,
-                                   k_seg, self.k1, self.b)
+                fn = bmw_topk if mode == "bmw" else bmt_topk
+                ids, sc = fn(cursors, seg.dl, seg.doc_base, self.avgdl,
+                             k_seg, self.k1, self.b)
             else:
                 postings = []
                 for t in terms:

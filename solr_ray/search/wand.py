@@ -69,6 +69,122 @@ def taat_topk(
     return ids, sc
 
 
+def _decode_blocks(c: "PostingCursor", sel: np.ndarray):
+    """Decode the selected (ascending) block indices of one posting list.
+
+    Returns (absolute doc_ids int64, tfs int64) for exactly those blocks.
+    Deltas chain across blocks, so each block's ids = block_last[prev] +
+    cumsum(its deltas); a single flat cumsum with per-block correction
+    vectorizes the whole multi-block decode.
+    """
+    from solr_ray.stages.codec import BLOCK_SIZE
+
+    nb = c.n_blocks
+    counts = np.where(sel == nb - 1,
+                      c.df - BLOCK_SIZE * sel, BLOCK_SIZE).astype(np.int64)
+    d_end = np.append(c.off_d[1:], len(c.enc_docs))
+    t_end = np.append(c.off_t[1:], len(c.enc_tfs))
+    if sel.size == nb:
+        cat_d, cat_t = c.enc_docs, c.enc_tfs
+    else:
+        cat_d = b"".join(c.enc_docs[c.off_d[s]:d_end[s]] for s in sel.tolist())
+        cat_t = b"".join(c.enc_tfs[c.off_t[s]:t_end[s]] for s in sel.tolist())
+    total = int(counts.sum())
+    deltas = varint_decode(cat_d, total)
+    cs = np.cumsum(deltas.astype(np.int64))
+    first_idx = np.zeros(sel.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first_idx[1:])
+    base = np.where(sel > 0, c.block_last[np.maximum(sel - 1, 0)], 0)
+    prev_cs = np.where(first_idx > 0, cs[np.maximum(first_idx - 1, 0)], 0)
+    ids = cs + np.repeat(base - prev_cs, counts)
+    tfs = varint_decode(cat_t, total).astype(np.int64)
+    return ids, tfs
+
+
+def bmt_topk(
+    cursors: list["PostingCursor"],
+    dl: np.ndarray,
+    doc_base: int,
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max term-at-a-time top-k — the vectorized impact-skipping path.
+
+    Exactly taat_topk's results (rank AND bit-identical scores): terms are
+    accumulated in descending max-impact order with whole 128-posting blocks
+    pruned when max(acc over the block's doc range) + block_ub + (sum of
+    remaining terms' max scores) < theta (the current k-th best partial
+    score — a valid lower bound on the final k-th score, so pruned docs
+    provably can't make top-k). Survivors are then RE-scored in term order
+    over the decoded postings, which restores taat's float addition order
+    bit-for-bit (the repo's oracle-equality invariant).
+    """
+    cursors = [c for c in cursors if not c.exhausted and c.df > 0]
+    if not cursors:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    n = dl.size
+    acc = np.zeros(n, dtype=np.float64)
+    order = sorted(range(len(cursors)), key=lambda i: -cursors[i].max_score)
+    suffix = np.zeros(len(order) + 1, dtype=np.float64)
+    for j in range(len(order) - 1, -1, -1):
+        suffix[j] = suffix[j + 1] + cursors[order[j]].max_score
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    theta = 0.0  # k-th best partial score seen so far (monotone lower bound)
+    for pos, ci in enumerate(order):
+        c = cursors[ci]
+        rest = float(suffix[pos + 1])
+        if theta > 0.0:
+            starts = np.zeros(c.n_blocks, dtype=np.int64)
+            if c.n_blocks > 1:
+                starts[1:] = c.block_last[:-1] + 1 - doc_base
+            mx = np.maximum.reduceat(acc, np.minimum(starts, n - 1))
+            sel = np.flatnonzero(mx + c.block_ub + rest >= theta)
+        else:
+            sel = np.arange(c.n_blocks, dtype=np.int64)
+        if sel.size == 0:
+            continue
+        ids, tfs = _decode_blocks(c, sel)
+        loc = ids - doc_base
+        d = dl[loc].astype(np.float64)
+        acc[loc] += c.idf * (tfs / (tfs + k1 * (1.0 - b + b * d / avgdl)))
+        decoded[c.ord] = (ids, tfs)
+        # theta update from the docs just touched (their acc values are
+        # lower bounds on final scores) — O(df) partition, never a dense
+        # O(n_docs) pass
+        if loc.size >= k:
+            vals = acc[loc]
+            kth = float(np.partition(vals, vals.size - k)[vals.size - k])
+            if kth > theta:
+                theta = kth
+
+    cand = np.flatnonzero(acc > 0.0)
+    if cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if cand.size > k:
+        accc = acc[cand]
+        kth = -np.partition(-accc, k - 1)[k - 1]
+        cand = cand[accc >= kth]
+    # exact rescore in term (ord) order — bit-identical to taat's sums
+    sc = np.zeros(cand.size, dtype=np.float64)
+    cand_abs = cand + doc_base
+    d = dl[cand].astype(np.float64)
+    norm = k1 * (1.0 - b + b * d / avgdl)
+    for c in sorted(cursors, key=lambda c: c.ord):
+        got = decoded.get(c.ord)
+        if got is None:
+            continue
+        ids, tfs = got
+        if ids.size == 0:
+            continue
+        j = np.minimum(np.searchsorted(ids, cand_abs), ids.size - 1)
+        ok = ids[j] == cand_abs
+        tf = tfs[j[ok]].astype(np.float64)
+        sc[ok] += c.idf * (tf / (tf + norm[ok]))
+    return _order_topk(cand_abs, sc, k)
+
+
 class PostingCursor:
     """Block-addressable cursor over one term's compressed posting list."""
 

@@ -25,25 +25,39 @@ import pyarrow.compute as pc
 from solr_ray.stages.codec import BLOCK_SIZE
 
 
+_VARINT_THRESHOLDS = (np.uint64(1) << np.arange(7, 64, 7, dtype=np.uint64))
+
+
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
-    nb = np.ones(v.size, dtype=np.int64)
-    for shift in range(7, 64, 7):
-        nb += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
-    return nb
+    # one searchsorted pass (vs 9 full-array compares): nb = #thresholds <= v + 1
+    return np.searchsorted(_VARINT_THRESHOLDS, v, side="right") + 1
 
 
 def _varint_encode_flat(v: np.ndarray, nb: np.ndarray) -> np.ndarray:
-    """LEB128 bytes for the whole flat array (uint8 ndarray)."""
+    """LEB128 bytes for the whole flat array (uint8 ndarray).
+
+    Bandwidth-sensitive (runs once per posting per segment): works in
+    uint32 when values allow (halves memory traffic vs uint64), writes
+    the always-present first byte unmasked, and only mask-compresses the
+    rare continuation bytes.
+    """
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
+    kmax = int(nb.max())
+    w = v.astype(np.uint32) if kmax <= 4 else v  # nb<=4 => v < 2^28
     offsets = np.zeros(v.size, dtype=np.int64)
     np.cumsum(nb[:-1], out=offsets[1:])
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    for k in range(int(nb.max())):
+    out = np.empty(int(offsets[-1] + nb[-1]), dtype=np.uint8)
+    first = (w & np.uint8(0x7F)).astype(np.uint8)
+    if kmax > 1:
+        first |= (nb > 1).astype(np.uint8) << 7
+    out[offsets] = first
+    for k in range(1, kmax):
         mask = nb > k
-        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        wm = w[mask]
+        chunk = ((wm >> type(wm[0])(7 * k)) & type(wm[0])(0x7F)).astype(np.uint8)
         cont = (nb[mask] > k + 1).astype(np.uint8) << 7
-        out[offsets[mask] + k] = chunk.astype(np.uint8) | cont
+        out[offsets[mask] + k] = chunk | cont
     return out
 
 
@@ -186,27 +200,50 @@ def build_segment_tables(
         # dictionary-encode ONCE, then all grouping/sorting runs on int32
         # codes instead of strings (micro-profiled ~1.9x on group_by+sort;
         # macro gain is workload-dependent). The code->rank remap uses
-        # UTF-8-byte sort order, identical to sorting term strings.
-        denc = flat_terms.dictionary_encode()
+        # UTF-8-byte sort order, identical to sorting term strings. When the
+        # analyze stage already shipped dictionary-encoded tokens, the
+        # combine_chunks above unified the per-block dictionaries and we use
+        # the codes as-is — no re-hash of the token stream.
+        if isinstance(flat_terms, pa.DictionaryArray):
+            denc = flat_terms
+        else:
+            denc = flat_terms.dictionary_encode()
         vocab = denc.dictionary
-        tf_tbl = (
-            pa.table({"did": pa.array(parent + doc_id_offset),
-                      "code": denc.indices})
-            .group_by(["did", "code"], use_threads=False)
-            .aggregate([([], "count_all")])
-        )
-        did_g = tf_tbl["did"].to_numpy(zero_copy_only=False).astype(np.int64)
-        code_g = tf_tbl["code"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tfs_g = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
         vorder = pc.sort_indices(vocab)
         inv = np.empty(len(vocab), dtype=np.int64)
         inv[vorder.to_numpy(zero_copy_only=False)] = np.arange(len(vocab))
-        ranks_g = inv[code_g]
-        sort_idx = np.lexsort((did_g, ranks_g))
-        did_f = did_g[sort_idx]
-        tfs_f = tfs_g[sort_idx]
-        ranks_f = ranks_g[sort_idx]
-        dls_f = dl[did_f - doc_id_offset]
+
+        # ONE stable argsort of a composite (term-rank, doc) key over the
+        # flat token stream replaces the (did, code) hash aggregation AND the
+        # grouped-row lexsort: run-length-encoding the sorted keys yields the
+        # term-major / doc-ascending flat postings with their tfs directly.
+        # Stability keeps equal keys in stream order, so token positions come
+        # out (term, doc, pos)-sorted for free. rank*n + doc < vocab*n — far
+        # inside int64 at any per-segment size we allow.
+        codes_flat = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rank_flat = inv[codes_flat]
+        key = rank_flat * np.int64(n) + parent
+        if len(vocab) * n < 2**31:
+            key = key.astype(np.int32)  # halves sort bandwidth
+        if store_positions:
+            # positions need the permutation, and stability keeps equal keys
+            # (same term+doc) in stream order == position order
+            order = np.argsort(key, kind="stable")
+            ks = key[order].astype(np.int64)
+        else:
+            # only the sorted keys are needed: tf = run length, and
+            # (term-rank, doc) decompose from the key arithmetic
+            order = None
+            ks = np.sort(key).astype(np.int64)
+        run_start = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
+        ks_u = ks[run_start]
+        tfs_f = np.empty(run_start.size, dtype=np.int64)
+        tfs_f[:-1] = np.diff(run_start)
+        tfs_f[-1] = ks.size - run_start[-1]
+        did_local = ks_u % np.int64(n)
+        did_f = did_local + doc_id_offset
+        ranks_f = ks_u // np.int64(n)
+        dls_f = dl[did_local]
         starts = np.flatnonzero(np.diff(ranks_f, prepend=ranks_f[0] - 1))
         vocab_sorted = vocab.take(vorder)
         uniq_terms = vocab_sorted.take(pa.array(ranks_f[starts]))
@@ -215,16 +252,14 @@ def build_segment_tables(
         if store_positions:
             # token position within the ANALYZED stream (stop-filtered, no
             # gaps — phrase == adjacency in the analyzed token sequence).
-            # Sorting (term, did, pos) yields values aligned with the
-            # posting order (term, did); per-TERM list offsets = cumsum(cf).
+            # `order` is (term, doc)-sorted and stable, and the flat stream
+            # ascends by position within a doc, so pos_all[order] is already
+            # (term, did, pos)-sorted; per-TERM list offsets = cumsum(cf).
             tok_start = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(counts, out=tok_start[1:])
             pos_all = (np.arange(int(counts.sum()), dtype=np.int64)
                        - np.repeat(tok_start[:-1], counts))
-            rank_flat = inv[
-                denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
-            pidx = np.lexsort((pos_all, parent, rank_flat))
-            pos_sorted = pa.array(pos_all[pidx].astype(np.int32))
+            pos_sorted = pa.array(pos_all[order].astype(np.int32))
             cf = postings["cf"].to_numpy(zero_copy_only=False)
             pos_offs = np.zeros(cf.size + 1, dtype=np.int64)
             np.cumsum(cf, out=pos_offs[1:])

@@ -76,6 +76,33 @@ def test_wand_equals_taat(index_dir, queries_40):
         assert np.array_equal(sc_t, sc_w), text  # ord-sorted sums bit-match
 
 
+def test_block_max_taat_equals_taat(index_dir, queries_40):
+    """bmt (vectorized block-max TAAT) is rank- AND score-bit-identical to
+    taat: impact-ordered pruning never drops a top-k doc, and the term-order
+    rescore restores taat's float addition order exactly."""
+    reader = IndexReader(index_dir)
+    for text in queries_40["text"].to_pylist():
+        ids_t, sc_t = reader.search(text, 10, mode="taat")
+        ids_b, sc_b = reader.search(text, 10, mode="bmt")
+        assert np.array_equal(ids_t, ids_b), text
+        assert np.array_equal(sc_t, sc_b), text
+
+
+def test_decoded_posting_cache_stable_and_bounded(index_dir, queries_40):
+    """Repeated searches hit the decoded-posting LRU and return identical
+    results; the cache never exceeds its posting budget."""
+    reader = IndexReader(index_dir)
+    texts = queries_40["text"].to_pylist()[:10]
+    first = [reader.search(t, 10, mode="taat") for t in texts]
+    again = [reader.search(t, 10, mode="taat") for t in texts]
+    for (i1, s1), (i2, s2) in zip(first, again):
+        assert np.array_equal(i1, i2) and np.array_equal(s1, s2)
+    for seg in reader.segments:
+        assert seg._dec_used <= seg._dec_budget
+        assert seg._dec_used == sum(
+            ids.size for ids, _ in seg._dec_cache.values())
+
+
 def test_stopword_only_and_unknown_queries(index_dir):
     reader = IndexReader(index_dir)
     ids, sc = reader.search("the and of", 10)
