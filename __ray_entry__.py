@@ -936,6 +936,66 @@ def _q_filter_bool(sf_dir: str):
     return filter_query(_read(sf_dir, "events"), spec)
 
 
+def _geo_docs(sf_dir: str):
+    """documents + deterministic synthetic coordinates: integer arithmetic
+    on doc_id then one float division, so Ray and DuckDB produce the SAME
+    float64 lat/lon bit for bit."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = ((d * 7919) % 18000) / 100.0 - 90.0
+        lon = ((d * 104729) % 36000) / 100.0 - 180.0
+        return pa.table({"doc_id": t["doc_id"],
+                         "lat": pa.array(lat, pa.float64()),
+                         "lon": pa.array(lon, pa.float64())})
+
+    return ds.map_batches(coords, batch_format="pyarrow")
+
+
+_GEO_PT = (48.85, 2.35)  # Paris
+
+
+def _q_geofilt(sf_dir: str):
+    """{!geofilt}: docs within 5000 km great-circle of _GEO_PT, with the
+    distance (quantized to 1e-3 km to bury libm-vs-DuckDB ulp noise)."""
+    from solr_ray.ops.spatial import geofilt
+
+    out = geofilt(_geo_docs(sf_dir), "lat", "lon", _GEO_PT, 5000.0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dist_r = pc.divide(
+            pc.floor(pc.multiply(t["dist_km"], pa.scalar(1e3))),
+            pa.scalar(1e3))
+        return pa.table({"doc_id": t["doc_id"], "dist_r": dist_r})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_bbox(sf_dir: str):
+    """{!bbox}-style rectangle filter — exact comparisons, no trig."""
+    from solr_ray.ops.spatial import bbox_filter
+
+    return bbox_filter(_geo_docs(sf_dir), "lat", "lon",
+                       -30.0, 45.0, -90.0, 60.0)
+
+
+def _q_geodist_top20(sf_dir: str):
+    """sort=geodist() asc: 20 nearest docs to _GEO_PT (tie: doc_id)."""
+    from solr_ray.ops.spatial import geodist_topk
+
+    out = geodist_topk(_geo_docs(sf_dir), "lat", "lon", _GEO_PT, 20,
+                       tie_col="doc_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        dist_r = pc.divide(
+            pc.floor(pc.multiply(t["dist_km"], pa.scalar(1e3))),
+            pa.scalar(1e3))
+        return pa.table({"doc_id": t["doc_id"], "dist_r": dist_r})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_cursor_page2(sf_dir: str):
     """CursorMark keyset paging: page 2 (rows 51-100) of orders by
     (o_totalprice desc, o_orderkey asc)."""
@@ -1076,6 +1136,95 @@ def _q_rerank(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _rerank_base(sf_dir: str):
+    """Shared first pass for the LTR rerank entries: BM25 top-50 with
+    int doc_id and the per-doc n_chars lookup for features."""
+    import duckdb
+
+    res = _search_docs(sf_dir, "whitespace", 1, BM25_QUERIES, k=50)
+    nchars = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{_tbl(sf_dir, 'documents')}')"
+    ).df().set_index("doc_id")["n_chars"]
+
+    def to_int_doc(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pc.cast(t["url"], pa.int64()))
+
+    res = res.map_batches(to_int_doc, batch_format="pyarrow")
+
+    def feats(g):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "short": 1.0 / (1.0 + nchars.loc[g["doc_id"]].to_numpy()),
+            "score": g["score"].to_numpy(dtype="float64"),
+        }, index=g.index)
+
+    return res, feats
+
+
+def _rerank_finish(out):
+    def finish(t: pa.Table) -> pa.Table:
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5))
+        return pa.table({
+            "qid": t["qid"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": t["doc_id"],
+            "score_r": score_r,
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_LTR_TREES = [
+    {"weight": 2.0, "root": {
+        "feature": "short", "threshold": 0.001,
+        "left": {"feature": "score", "threshold": 5.0,
+                 "left": {"value": 0.5}, "right": {"value": 1.5}},
+        "right": {"value": 2.5}}},
+    {"weight": 1.0, "root": {
+        "feature": "score", "threshold": 8.0,
+        "left": {"value": 0.25}, "right": {"value": 1.0}}},
+]
+
+
+def _q_rerank_trees(sf_dir: str):
+    """LTR MultipleAdditiveTreesModel rerank of the BM25 top-10 (features:
+    short=1/(1+n_chars), first-pass score); the two-tree ensemble is plain
+    CASE WHEN arithmetic in the SQL oracle."""
+    from solr_ray.search.rerank import (
+        MultipleAdditiveTreesModel, rerank_results)
+
+    res, feats = _rerank_base(sf_dir)
+    out = rerank_results(res, feats, MultipleAdditiveTreesModel(_LTR_TREES),
+                         rerank_depth=10)
+    return _rerank_finish(out)
+
+
+_LTR_NN = {
+    "features": ["short", "score"],
+    "layers": [
+        {"matrix": [[100.0, 0.1], [-50.0, 0.2]], "bias": [-0.05, 1.0],
+         "activation": "relu"},
+        {"matrix": [[1.5, 0.75]], "bias": [0.1], "activation": "identity"},
+    ],
+}
+
+
+def _q_rerank_nn(sf_dir: str):
+    """LTR NeuralNetworkModel rerank of the BM25 top-10: one ReLU hidden
+    layer over (short, score); tiny enough that the oracle writes the
+    forward pass as plain SQL arithmetic with GREATEST for ReLU."""
+    from solr_ray.search.rerank import NeuralNetworkModel, rerank_results
+
+    res, feats = _rerank_base(sf_dir)
+    model = NeuralNetworkModel(_LTR_NN["features"], _LTR_NN["layers"])
+    out = rerank_results(res, feats, model, rerank_depth=10)
+    return _rerank_finish(out)
+
+
 def _q_random_sample(sf_dir: str):
     """Rows-only: seeded sampling (RandomStream / RandomSortField class)."""
     return _read(sf_dir, "events").random_sample(0.1, seed=7)
@@ -1211,6 +1360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_fq": _q_select_fq,
         "phrase_search": _q_phrase_search,
         "sloppy_phrase": _q_sloppy_phrase,
+        "geofilt": _q_geofilt,
+        "bbox": _q_bbox,
+        "geodist_top20": _q_geodist_top20,
         "boolean_query": _q_boolean_query,
         "synonym_search": _q_synonym_search,
         "pivot_lang_source": _q_pivot_lang_source,
@@ -1231,6 +1383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt": _q_mlt,
         "spellcheck": _q_spellcheck,
         "rerank": _q_rerank,
+        "rerank_trees": _q_rerank_trees,
+        "rerank_nn": _q_rerank_nn,
         "random_sample": _q_random_sample,
         "gather_nodes": _q_gather_nodes,
         # joins / lookups / set ops
@@ -1422,15 +1576,17 @@ FROM ranked WHERE rank <= 10
 """
 
 
-def _rerank_oracle_sql() -> str:
+def _rerank_oracle_sql(
+        model_expr: str = "5.0 * (1.0 / (1.0 + d.n_chars))") -> str:
     """ReRank semantics over the BM25 top-50: top-10 rescored with
-    new_score = 5.0*(1/(1+n_chars)) + score and re-sorted (score desc,
-    doc_id asc); ranks 11-50 keep original order below."""
-    return _bm25_ranked_cte() + """,
+    new_score = model_expr + score and re-sorted (score desc, doc_id asc);
+    ranks 11-50 keep original order below. model_expr is plain SQL over
+    d.n_chars / r.score mirroring the LTR model's float op order."""
+    return _bm25_ranked_cte() + f""",
 rescored AS (
   SELECT r.qid, r.doc_id, r.rank AS old_rank, (r.rank <= 10) AS top,
          CASE WHEN r.rank <= 10
-              THEN 5.0 * (1.0 / (1.0 + d.n_chars)) + r.score
+              THEN {model_expr} + r.score
               ELSE r.score END AS new_score
   FROM ranked r JOIN documents d USING (doc_id)
   WHERE r.rank <= 50
@@ -1447,6 +1603,28 @@ final AS (
 SELECT qid, rank, doc_id, FLOOR(new_score * 1e5) / 1e5 AS score_r
 FROM final
 """
+
+
+# shared spatial CTE: synthetic coords + haversine with the ENGINE's exact
+# operand order (ops/spatial.py:haversine_km); quantization buries ulp noise
+_GEO_CTE = """
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         2.0 * 6371.0087714 * asin(sqrt(
+           sin((radians(48.85) - radians(lat)) / 2.0)
+             * sin((radians(48.85) - radians(lat)) / 2.0)
+           + cos(radians(lat)) * cos(radians(48.85))
+             * (sin((radians(2.35) - radians(lon)) / 2.0)
+                * sin((radians(2.35) - radians(lon)) / 2.0))
+         )) AS dist
+  FROM g
+)"""
 
 
 def _sig_terms_oracle_sql() -> str:
@@ -1517,6 +1695,32 @@ SELECT lang, COUNT(*) AS "count" FROM documents GROUP BY lang
 ORDER BY "count" DESC, lang LIMIT 10
 """,
         "rerank": _rerank_oracle_sql(),
+        "rerank_trees": _rerank_oracle_sql(
+            "(2.0 * (CASE WHEN (1.0 / (1.0 + d.n_chars)) <= 0.001"
+            " THEN (CASE WHEN r.score <= 5.0 THEN 0.5 ELSE 1.5 END)"
+            " ELSE 2.5 END)"
+            " + 1.0 * (CASE WHEN r.score <= 8.0 THEN 0.25 ELSE 1.0 END))"),
+        "rerank_nn": _rerank_oracle_sql(
+            "(0.1"
+            " + 1.5 * GREATEST(-0.05 + 100.0 * (1.0 / (1.0 + d.n_chars))"
+            "                  + 0.1 * r.score, 0.0)"
+            " + 0.75 * GREATEST(1.0 + -50.0 * (1.0 / (1.0 + d.n_chars))"
+            "                   + 0.2 * r.score, 0.0))"),
+        "geofilt": _GEO_CTE + """
+SELECT doc_id, FLOOR(dist * 1e3) / 1e3 AS dist_r FROM d WHERE dist <= 5000.0
+""",
+        "bbox": """
+SELECT doc_id,
+       ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+       ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+FROM documents
+WHERE ((doc_id * 7919) % 18000) / 100.0 - 90.0 BETWEEN -30.0 AND 45.0
+  AND ((doc_id * 104729) % 36000) / 100.0 - 180.0 BETWEEN -90.0 AND 60.0
+""",
+        "geodist_top20": _GEO_CTE + """
+SELECT doc_id, FLOOR(dist * 1e3) / 1e3 AS dist_r FROM d
+ORDER BY dist, doc_id LIMIT 20
+""",
         "block_join_parents": """
 SELECT o.o_orderkey,
        CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -29,6 +29,91 @@ class LinearModel:
         return s
 
 
+class MultipleAdditiveTreesModel:
+    """LTR MultipleAdditiveTreesModel (gradient-boosted tree ensemble).
+
+    Mirrors solr/modules/ltr/.../model/MultipleAdditiveTreesModel.java:
+    score = sum over trees of tree.weight * leaf(features), routing left
+    when feature <= threshold. Trees are nested dicts:
+        {"feature": name, "threshold": x, "left": <node>, "right": <node>}
+      | {"value": v}
+    Evaluation is vectorized: each split routes the whole candidate set
+    with a boolean mask (no per-row python).
+    """
+
+    def __init__(self, trees: list[dict]):
+        self.trees = trees  # each: {"weight": w, "root": node}
+
+    @staticmethod
+    def _eval_node(node: dict, feats: pd.DataFrame,
+                   mask: np.ndarray, out: np.ndarray) -> None:
+        if "value" in node:
+            out[mask] += float(node["value"])
+            return
+        f = feats[node["feature"]].to_numpy(dtype=np.float64)
+        go_left = mask & (f <= float(node["threshold"]))
+        MultipleAdditiveTreesModel._eval_node(
+            node["left"], feats, go_left, out)
+        MultipleAdditiveTreesModel._eval_node(
+            node["right"], feats, mask & ~go_left, out)
+
+    def __call__(self, feats: pd.DataFrame) -> np.ndarray:
+        s = np.zeros(len(feats), dtype=np.float64)
+        for tree in self.trees:
+            leaf = np.zeros(len(feats), dtype=np.float64)
+            self._eval_node(tree["root"], feats,
+                            np.ones(len(feats), dtype=bool), leaf)
+            s = s + float(tree["weight"]) * leaf
+        return s
+
+
+_ACTIVATIONS = {
+    "identity": lambda x: x,
+    "relu": lambda x: np.maximum(x, 0.0),
+    "leakyrelu": lambda x: np.where(x >= 0.0, x, 0.01 * x),
+    "sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
+    "tanh": np.tanh,
+}
+
+
+class NeuralNetworkModel:
+    """LTR NeuralNetworkModel (solr/modules/ltr/.../model/
+    NeuralNetworkModel.java): dense layers, each
+    out = activation(W @ in + b). Feature order fixes the input vector;
+    the whole candidate set evaluates as one matmul per layer.
+    """
+
+    def __init__(self, features: list[str],
+                 layers: list[dict]):
+        """layers: [{"matrix": [[...]], "bias": [...],
+                     "activation": "relu"|...}, ...]; the last layer must
+        produce one output per row."""
+        self.features = features
+        self.layers = [
+            (np.asarray(l["matrix"], dtype=np.float64),
+             np.asarray(l["bias"], dtype=np.float64),
+             _ACTIVATIONS[l.get("activation", "identity")])
+            for l in layers
+        ]
+
+    def __call__(self, feats: pd.DataFrame) -> np.ndarray:
+        # per-unit accumulation in fixed order (bias first, then weights
+        # ascending) instead of BLAS matmul: keeps float rounding identical
+        # to a plain-arithmetic re-implementation (the SQL oracle), since
+        # dgemm kernels may use FMA and different summation orders
+        x = [feats[f].to_numpy(dtype=np.float64) for f in self.features]
+        n = len(feats)
+        for w, b, act in self.layers:
+            nxt = []
+            for i in range(w.shape[0]):
+                s = np.full(n, b[i], dtype=np.float64)
+                for j in range(w.shape[1]):
+                    s = s + w[i, j] * x[j]
+                nxt.append(act(s))
+            x = nxt
+        return x[0]
+
+
 def rerank_results(results_ds, feature_fn, model, rerank_depth: int = 50,
                    blend_weight: float = 1.0):
     """Rescore rank <= rerank_depth rows per qid:

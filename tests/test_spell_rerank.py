@@ -102,3 +102,53 @@ def test_rerank_blends_and_preserves_tail():
         assert g.iloc[0]["score"] == pytest.approx(105.0)
         assert g[g["rank"] > 5]["doc_id"].tolist() == [94, 93, 92, 91, 90]
         assert g["rank"].tolist() == list(range(1, 11))
+
+
+def test_multiple_additive_trees_routing():
+    import numpy as np
+    import pandas as pd
+
+    from solr_ray.search.rerank import MultipleAdditiveTreesModel
+
+    m = MultipleAdditiveTreesModel([
+        {"weight": 2.0, "root": {
+            "feature": "a", "threshold": 1.0,
+            "left": {"value": 10.0},
+            "right": {"feature": "b", "threshold": 0.0,
+                      "left": {"value": -1.0}, "right": {"value": 3.0}}}},
+        {"weight": 0.5, "root": {"value": 4.0}},
+    ])
+    feats = pd.DataFrame({"a": [0.5, 1.0, 2.0, 2.0],
+                          "b": [9.0, 9.0, -1.0, 5.0]})
+    # a<=1 -> 10; else b<=0 -> -1 else 3; plus 0.5*4 = 2
+    assert np.allclose(m(feats), [22.0, 22.0, 0.0, 8.0])
+
+
+def test_neural_network_model_forward():
+    import numpy as np
+    import pandas as pd
+
+    from solr_ray.search.rerank import NeuralNetworkModel
+
+    m = NeuralNetworkModel(["x", "y"], [
+        {"matrix": [[1.0, -1.0], [2.0, 0.0]], "bias": [0.0, -3.0],
+         "activation": "relu"},
+        {"matrix": [[1.0, 10.0]], "bias": [0.5]},
+    ])
+    feats = pd.DataFrame({"x": [1.0, 2.0], "y": [0.0, 5.0]})
+    # row0: h=[relu(1), relu(-1)]=[1,0] -> 1*1+10*0+0.5 = 1.5
+    # row1: h=[relu(-3), relu(1)]=[0,1] -> 0+10+0.5 = 10.5
+    assert np.allclose(m(feats), [1.5, 10.5])
+
+
+def test_nn_activations():
+    import numpy as np
+
+    from solr_ray.search.rerank import _ACTIVATIONS
+
+    x = np.array([-2.0, 0.0, 3.0])
+    assert np.allclose(_ACTIVATIONS["relu"](x), [0, 0, 3])
+    assert np.allclose(_ACTIVATIONS["leakyrelu"](x), [-0.02, 0, 3])
+    assert np.allclose(_ACTIVATIONS["sigmoid"](x), 1 / (1 + np.exp(-x)))
+    assert np.allclose(_ACTIVATIONS["tanh"](x), np.tanh(x))
+    assert np.allclose(_ACTIVATIONS["identity"](x), x)
