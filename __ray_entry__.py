@@ -761,6 +761,50 @@ def _q_sloppy_phrase(sf_dir: str):
     })
 
 
+def _span_reader(sf_dir: str):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    out = _idx_dir(sf_dir, "whitespace_nb1_pos")
+    build_index(_docs_as_pages(sf_dir), out, analyzer="whitespace",
+                num_buckets=1, text_source="text", store_positions=True)
+    return IndexReader(out)
+
+
+def _span_result(reader, ids, sc):
+    import math
+
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "doc_id": pa.array([int(reader.url_of(int(d))) for d in ids],
+                           pa.int64()),
+        "score_r": pa.array([math.floor(s * 1e5) / 1e5 for s in sc.tolist()],
+                            pa.float64()),
+    })
+
+
+def _q_span_near_wildcard(sf_dir: str):
+    """complexphrase-style ordered span: "tab* scan"~2 — the first clause
+    is a prefix wildcard expanded against each segment's term dictionary."""
+    from solr_ray.search.spans import span_near_search
+
+    reader = _span_reader(sf_dir)
+    ids, sc = span_near_search(reader, ["tab*", "scan"], slop=2, k=20,
+                               in_order=True)
+    return _span_result(reader, ids, sc)
+
+
+def _q_span_unordered(sf_dir: str):
+    """surround-style unordered near: hash 3n join — either order,
+    gap - 1 <= 3."""
+    from solr_ray.search.spans import span_near_search
+
+    reader = _span_reader(sf_dir)
+    ids, sc = span_near_search(reader, ["hash", "join"], slop=3, k=20,
+                               in_order=False)
+    return _span_result(reader, ids, sc)
+
+
 def _q_select_fq(sf_dir: str):
     """/select request: q='table scan' + fq lang='en', top-20 page with
     stored lang. Filtered ranking is exact (stats stay corpus-global)."""
@@ -1225,6 +1269,30 @@ def _q_rerank_nn(sf_dir: str):
     return _rerank_finish(out)
 
 
+# /sql handler entries: the accepted dialect is ANSI, so each query string
+# is handed verbatim to BOTH execute_sql (engine) and DuckDB (oracle).
+_SQL_QUERIES = {
+    "sql_filter": ("SELECT doc_id, n_chars FROM documents "
+                   "WHERE lang = 'en' AND n_chars BETWEEN 200 AND 900 "
+                   "ORDER BY doc_id LIMIT 100"),
+    "sql_group": ("SELECT lang, COUNT(*) AS n, MIN(n_chars) AS lo, "
+                  "MAX(n_chars) AS hi, AVG(n_chars) AS mean "
+                  "FROM documents GROUP BY lang ORDER BY lang"),
+    "sql_having": ("SELECT source, COUNT(*) AS n FROM documents "
+                   "GROUP BY source HAVING n >= 5 "
+                   "ORDER BY n DESC, source"),
+}
+
+
+def _make_sql_query(sql: str):
+    def run(sf_dir: str):
+        from solr_ray.sql import execute_sql
+
+        return execute_sql(sql, {"documents": _read(sf_dir, "documents")})
+
+    return run
+
+
 def _q_random_sample(sf_dir: str):
     """Rows-only: seeded sampling (RandomStream / RandomSortField class)."""
     return _read(sf_dir, "events").random_sample(0.1, seed=7)
@@ -1341,6 +1409,8 @@ def _q_media_features(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # /sql handler (query text doubles as its own oracle)
+        **{name: _make_sql_query(q) for name, q in _SQL_QUERIES.items()},
         # north-rule fulltext core
         "bm25_top10": _q_bm25_top10,
         "dismax_search": _q_dismax,
@@ -1360,6 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_fq": _q_select_fq,
         "phrase_search": _q_phrase_search,
         "sloppy_phrase": _q_sloppy_phrase,
+        "span_near_wildcard": _q_span_near_wildcard,
+        "span_unordered": _q_span_unordered,
         "geofilt": _q_geofilt,
         "bbox": _q_bbox,
         "geodist_top20": _q_geodist_top20,
@@ -1660,6 +1732,7 @@ LIMIT 20
 def oracle_sql() -> dict[str, str]:
     cutoff = _TOPIC_CUTOFF_US
     return {
+        **_SQL_QUERIES,
         "bm25_top10": _bm25_oracle_sql(),
         "dismax_search": _dismax_oracle_sql(),
         "term_df": """
@@ -1897,6 +1970,112 @@ scored AS (
   JOIN dl ON dl.doc_id = t.doc_id
   CROSS JOIN corpus c CROSS JOIN idfsum i
   WHERE t.tf > 0
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 20
+""",
+        "span_near_wildcard": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+pos1 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] LIKE 'tab%')) AS p
+  FROM docs
+),
+pos2 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'scan')) AS p
+  FROM docs
+),
+dfs AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM pos1) AS df1,
+         (SELECT COUNT(DISTINCT doc_id) FROM pos2) AS df2
+),
+idfsum AS (
+  SELECT LN(1.0 + (c.n_docs - d.df1 + 0.5) / (d.df1 + 0.5))
+       + LN(1.0 + (c.n_docs - d.df2 + 0.5) / (d.df2 + 0.5)) AS v
+  FROM corpus c, dfs d
+),
+chain AS (
+  SELECT a.doc_id, a.p AS p1, MIN(b.p) AS p2
+  FROM pos1 a JOIN pos2 b ON b.doc_id = a.doc_id AND b.p > a.p
+  GROUP BY a.doc_id, a.p
+),
+tfq AS (
+  SELECT doc_id, COUNT(*) AS tf FROM chain
+  WHERE (p2 - p1) - 1 <= 2 GROUP BY doc_id
+),
+scored AS (
+  SELECT t.doc_id,
+         i.v * (t.tf / (t.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / c.avgdl))) AS score
+  FROM tfq t JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN corpus c CROSS JOIN idfsum i
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 20
+""",
+        "span_unordered": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t <> '')) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+pos1 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'hash')) AS p
+  FROM docs
+),
+pos2 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'join')) AS p
+  FROM docs
+),
+dfs AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM pos1) AS df1,
+         (SELECT COUNT(DISTINCT doc_id) FROM pos2) AS df2
+),
+idfsum AS (
+  SELECT LN(1.0 + (c.n_docs - d.df1 + 0.5) / (d.df1 + 0.5))
+       + LN(1.0 + (c.n_docs - d.df2 + 0.5) / (d.df2 + 0.5)) AS v
+  FROM corpus c, dfs d
+),
+near AS (
+  SELECT a.doc_id, a.p, MIN(ABS(b.p - a.p)) AS gap
+  FROM pos1 a JOIN pos2 b ON b.doc_id = a.doc_id AND b.p <> a.p
+  GROUP BY a.doc_id, a.p
+),
+tfq AS (
+  SELECT doc_id, COUNT(*) AS tf FROM near
+  WHERE gap - 1 <= 3 GROUP BY doc_id
+),
+scored AS (
+  SELECT t.doc_id,
+         i.v * (t.tf / (t.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / c.avgdl))) AS score
+  FROM tfq t JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN corpus c CROSS JOIN idfsum i
 ),
 ranked AS (
   SELECT doc_id, score,

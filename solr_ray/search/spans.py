@@ -1,0 +1,161 @@
+"""Span / proximity queries with wildcard clause expansion.
+
+Reference semantics: Lucene SpanNearQuery via Solr's surround and
+complexphrase query parsers (solr/core/src/java/org/apache/solr/search/
+ComplexPhraseQParserPlugin.java, SurroundQParserPlugin.java): each clause
+is a term or a prefix wildcard (``pre*``); the query matches docs where one
+occurrence of every clause appears within ``slop`` extra positions,
+ordered (in_order=True, complexphrase "a* b"~n) or unordered (surround
+``n``/``w`` operators, 2 clauses).
+
+Matching is fully vectorized on flat (doc, position) keys, the same
+encoding the phrase matcher uses (searcher._segment_phrase_match):
+
+- clause expansion: prefix -> bisect over the segment's sorted term
+  dictionary; the clause's position lists union into ONE sorted key array.
+- ordered: minimal-chain searchsorted sweep (p_i = smallest clause-i
+  position strictly after p_{i-1}); match iff span extra <= slop.
+- unordered (2 clauses): |pa - pb| - 1 <= slop with pa != pb; tf counts
+  the qualifying positions of the first clause.
+
+Scoring is PhraseQuery-style BM25: tf = span frequency, idf = sum over
+clauses of idf(union doc freq). Union dfs are exact across segments
+(segments partition the doc space, so per-segment union dfs just add).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+import numpy as np
+
+from solr_ray.search.bm25 import idf as bm25_idf
+
+
+def expand_clause(seg, clause: str) -> list[str]:
+    """Clause -> matching terms in this segment ('pre*' -> prefix range)."""
+    if clause.endswith("*"):
+        pre = clause[:-1]
+        lo = bisect_left(seg.terms, pre)
+        hi = lo
+        n = len(seg.terms)
+        while hi < n and seg.terms[hi].startswith(pre):
+            hi += 1
+        return seg.terms[lo:hi]
+    return [clause] if clause in seg.lookup else []
+
+
+def _clause_keys(seg, clause: str, mult: np.int64):
+    """Sorted doc*mult+pos keys of every occurrence of any clause term."""
+    parts = []
+    for t in expand_clause(seg, clause):
+        got = seg.term_positions(t)
+        if got is None:
+            continue
+        ids, tfs, pos = got
+        parts.append(np.repeat(ids, tfs) * mult + pos.astype(np.int64))
+    if not parts:
+        return np.empty(0, np.int64)
+    keys = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    keys.sort(kind="stable")
+    return keys
+
+
+def _ordered_matches(keys: list[np.ndarray], slop: int, mult: np.int64):
+    """(doc_ids, span_tfs) via the minimal-chain sweep over clause keys."""
+    start = keys[0]
+    cur = start
+    for k in keys[1:]:
+        if start.size == 0 or k.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        j = np.searchsorted(k, cur, side="right")
+        ok = j < k.size
+        nxt = k[np.minimum(j, k.size - 1)]
+        ok &= (nxt // mult) == (cur // mult)
+        start, cur = start[ok], nxt[ok]
+    if start.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    good = (cur - start) - np.int64(len(keys) - 1) <= slop
+    if not good.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = start[good] // mult
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+def _unordered_matches_2(ka: np.ndarray, kb: np.ndarray, slop: int,
+                         mult: np.int64):
+    """2-clause unordered near: |pa - pb| - 1 <= slop, same doc, pa != pb."""
+    if ka.size == 0 or kb.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # nearest kb on each side of every ka occurrence
+    j = np.searchsorted(kb, ka)
+    right = kb[np.minimum(j, kb.size - 1)]
+    left = kb[np.maximum(j - 1, 0)]
+    same_doc_r = (j < kb.size) & ((right // mult) == (ka // mult))
+    same_doc_l = (j > 0) & ((left // mult) == (ka // mult))
+    dr = np.where(same_doc_r, right - ka, np.iinfo(np.int64).max)
+    dl_ = np.where(same_doc_l, ka - left, np.iinfo(np.int64).max)
+    gap = np.minimum(dr, dl_)
+    good = (gap != 0) & (gap - 1 <= slop) & (gap < np.iinfo(np.int64).max)
+    if not good.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = ka[good] // mult
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
+                     in_order: bool = True):
+    """Top-k docs for a SpanNear over term/prefix clauses.
+
+    reader: searcher.IndexReader over an index built with
+    store_positions=True. Returns (doc_ids, scores) like phrase_search.
+    """
+    if len(clauses) < 2:
+        raise ValueError("span_near_search needs >= 2 clauses")
+    if not in_order and len(clauses) != 2:
+        raise ValueError("unordered span supports exactly 2 clauses")
+
+    # pass 1: per-segment clause keys + exact union dfs (segments partition
+    # the doc space, so per-segment union counts sum exactly)
+    per_seg = []
+    union_df = np.zeros(len(clauses), dtype=np.int64)
+    for seg in reader.segments:
+        mult = np.int64(int(seg.dl.max(initial=0)) + len(clauses) + 2)
+        keys = [_clause_keys(seg, c, mult) for c in clauses]
+        for ci, kk in enumerate(keys):
+            if kk.size:
+                union_df[ci] += np.unique(kk // mult).size
+        per_seg.append((seg, mult, keys))
+    if (union_df == 0).any():
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    span_idf = float(sum(
+        bm25_idf(int(df), reader.n_docs) for df in union_df))
+
+    tomb = reader.tombstones
+    all_ids, all_sc = [], []
+    for seg, mult, keys in per_seg:
+        if any(kk.size == 0 for kk in keys):
+            continue
+        if in_order:
+            ids, tfs = _ordered_matches(keys, slop, mult)
+        else:
+            ids, tfs = _unordered_matches_2(keys[0], keys[1], slop, mult)
+        if ids.size == 0:
+            continue
+        if tomb.size:
+            live = ~np.isin(ids, tomb)
+            ids, tfs = ids[live], tfs[live]
+        tfs = tfs.astype(np.float64)
+        d = seg.dl[ids - seg.doc_base].astype(np.float64)
+        sc = span_idf * (tfs / (tfs + reader.k1 * (
+            1.0 - reader.b + reader.b * d / reader.avgdl)))
+        all_ids.append(ids)
+        all_sc.append(sc)
+    if not all_ids:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ids = np.concatenate(all_ids)
+    sc = np.concatenate(all_sc)
+    order = np.lexsort((ids, -sc))[:k]
+    return ids[order], sc[order]

@@ -135,3 +135,69 @@ def test_sloppy_phrase(tmp_path):
                                      "https://p/0004"}
     assert urls("alpha beta", 2) == {"https://p/0000", "https://p/0001",
                                      "https://p/0002", "https://p/0004"}
+
+
+@pytest.fixture(scope="module")
+def span_idx(tmp_path_factory):
+    from solr_ray.pipelines.build_index import build_index
+
+    texts = [
+        "apple banana cherry",            # ap* .. cherry ordered, gap 1
+        "apricot melon melon cherry",     # ap* ... cherry ordered, gap 2
+        "cherry apple",                   # reversed (unordered only)
+        "apple melon melon melon cherry", # gap 3 (outside slop=2 ordered)
+        "plum pear quince",               # no match
+    ]
+    out = str(tmp_path_factory.mktemp("span") / "idx")
+    build_index(ray.data.from_arrow(_mk_pages(texts)), out,
+                analyzer="whitespace", num_buckets=2, text_source="text",
+                store_positions=True)
+    return out
+
+
+def test_span_wildcard_expansion(span_idx):
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.spans import expand_clause
+
+    r = IndexReader(span_idx)
+    terms = set()
+    for seg in r.segments:
+        terms.update(expand_clause(seg, "ap*"))
+    assert terms == {"apple", "apricot"}
+    assert expand_clause(r.segments[0], "nosuch*") == []
+
+
+def test_span_ordered(span_idx):
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.spans import span_near_search
+
+    r = IndexReader(span_idx)
+    ids, sc = span_near_search(r, ["ap*", "cherry"], slop=2, k=10,
+                               in_order=True)
+    docs = {int(r.url_of(int(d)).rsplit("/", 1)[1]) for d in ids}
+    assert docs == {0, 1}                # doc 2 reversed, doc 3 gap 3
+    assert (np.diff(sc) <= 0).all()
+
+
+def test_span_unordered(span_idx):
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.spans import span_near_search
+
+    r = IndexReader(span_idx)
+    ids, _ = span_near_search(r, ["ap*", "cherry"], slop=2, k=10,
+                              in_order=False)
+    docs = {int(r.url_of(int(d)).rsplit("/", 1)[1]) for d in ids}
+    assert docs == {0, 1, 2}             # reversed doc 2 now matches
+
+
+def test_span_errors(span_idx):
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.spans import span_near_search
+
+    r = IndexReader(span_idx)
+    with pytest.raises(ValueError):
+        span_near_search(r, ["one"], slop=1)
+    with pytest.raises(ValueError):
+        span_near_search(r, ["a", "b", "c"], slop=1, in_order=False)
+    ids, sc = span_near_search(r, ["zz*", "cherry"], slop=1)
+    assert ids.size == 0
