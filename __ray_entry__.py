@@ -1382,6 +1382,26 @@ def _q_knn_lsh(sf_dir: str):
                    id_col="vec_id", vec_col="embedding")
 
 
+def _q_knn_hnsw(sf_dir: str):
+    """Rows-only (ANN is approximate): per-segment HNSW graphs built once
+    under /tmp, queried with the first 5 embedding rows; pytest asserts
+    >=0.9 recall vs brute force on synthetic vectors."""
+    import pyarrow.parquet as pq
+
+    from solr_ray.ops.hnsw import build_hnsw_index, knn_hnsw_index
+
+    idx = _idx_dir(sf_dir, "hnsw")
+    if not os.path.exists(os.path.join(idx, "_hnsw.json")):
+        build_hnsw_index(_read(sf_dir, "embeddings"), idx,
+                         id_col="vec_id", vec_col="embedding",
+                         num_segments=4)
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qrows = emb.filter(pc.less(emb["vec_id"], pa.scalar(5))).sort_by("vec_id")
+    qvecs = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in qrows["embedding"].to_pylist()])
+    return knn_hnsw_index(idx, qvecs, k=5, ef=64)
+
+
 def _q_hll_users(sf_dir: str):
     from solr_ray.functions.aggregates import approx_distinct
 
@@ -1484,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_hnsw": _q_knn_hnsw,
         # scalar / aggregate functions
         "scale_acctbal": _q_scale_acctbal,
         "hll_users": _q_hll_users,
