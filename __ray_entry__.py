@@ -1076,7 +1076,11 @@ def _q_highlight(sf_dir: str):
 
 
 def _q_mlt(sf_dir: str):
-    """Rows-only: more-like-this for the first document."""
+    """More-like-this for doc 0, SQL-oracled: interesting terms = doc 0's
+    terms ranked by tf*idf (df >= 2, ties term asc, top 10), then a BM25
+    search with those terms excluding doc 0."""
+    import math
+
     import duckdb
 
     from solr_ray.search.highlight import more_like_this_text
@@ -1092,7 +1096,9 @@ def _q_mlt(sf_dir: str):
     return pa.table({
         "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
         "doc_id": pa.array(ids, pa.int64()),
-        "score": pa.array(scores, pa.float64()),
+        "score_r": pa.array(
+            [math.floor(s * 1e5) / 1e5 for s in scores.tolist()],
+            pa.float64()),
     })
 
 
@@ -1344,21 +1350,47 @@ def _q_pairwise_cosine(sf_dir: str):
 
 
 def _q_langid(sf_dir: str):
+    """Language ID (stopword-profile detector) with a full SQL oracle: the
+    per-language hit ratios and the sorted-scan argmax tie-break replicate
+    as IN-list ratios + an ordered CASE chain."""
     from solr_ray.ops.textstats import LangIdStage
 
     out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         LangIdStage, fn_constructor_kwargs={"text_col": "text"},
         batch_format="pyarrow", concurrency=2)
-    return out.select_columns(["doc_id", "lang_pred", "lang_pred_conf"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        conf_r = pc.divide(
+            pc.floor(pc.multiply(t["lang_pred_conf"], pa.scalar(1e6))),
+            pa.scalar(1e6))
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": t["lang_pred"],
+                         "conf_r": conf_r})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_quality(sf_dir: str):
+    """Quality features with a full SQL oracle: every feature is plain
+    deterministic arithmetic (counts, ratios, LEAST/GREATEST clips), so
+    DuckDB reproduces it bit-for-bit; ratios quantized to 1e-6."""
     from solr_ray.ops.textstats import quality_features
 
     out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda t: quality_features(t, "text"), batch_format="pyarrow")
-    return out.select_columns(
-        ["doc_id", "n_tokens", "stop_ratio", "digit_ratio", "quality_score"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        def q6(col):
+            return pc.divide(pc.floor(pc.multiply(t[col], pa.scalar(1e6))),
+                             pa.scalar(1e6))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "stop_ratio_r": q6("stop_ratio"),
+            "digit_ratio_r": q6("digit_ratio"),
+            "score_r": q6("quality_score"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_fingerprints(sf_dir: str):
@@ -1800,6 +1832,128 @@ ORDER BY "count" DESC, lang LIMIT 10
             "                  + 0.1 * r.score, 0.0)"
             " + 0.75 * GREATEST(1.0 + -50.0 * (1.0 / (1.0 + d.n_chars))"
             "                   + 0.2 * r.score, 0.0))"),
+        "mlt": """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tf_all AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs) GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf_all GROUP BY term),
+top_terms AS (
+  SELECT d0.term
+  FROM tf_all d0 JOIN df USING (term) CROSS JOIN corpus c
+  WHERE d0.doc_id = 0 AND df.df >= 2
+  ORDER BY d0.tf * LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) DESC,
+           d0.term
+  LIMIT 10
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * dl.dl / c.avgdl)))) AS score
+  FROM top_terms q
+  JOIN tf_all tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE doc_id <> 0
+)
+SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 10
+""",
+        "langid": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(words) AS n,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('the','and','of','to','in','is','that','it','was','for','with','as',
+       'on','are','this','be','at','have','not','you')))::DOUBLE / len(words)
+      ELSE 0.0 END AS s_en,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('der','die','und','das','ist','ich','nicht','mit','ein','auf','sich',
+       'den','von','des','im','dem','zu','für','sie')))::DOUBLE / len(words)
+      ELSE 0.0 END AS s_de,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('le','la','les','et','des','est','un','une','du','que','pour','dans',
+       'qui','sur','pas','au','avec','ce','il')))::DOUBLE / len(words)
+      ELSE 0.0 END AS s_fr,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('el','la','los','las','de','que','y','en','un','una','es','por','con',
+       'para','del','se','su','al','lo','más')))::DOUBLE / len(words)
+      ELSE 0.0 END AS s_es
+  FROM w
+),
+pick AS (
+  SELECT doc_id, n,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS best,
+    GREATEST(s_de, s_en, s_es, s_fr) AS conf
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN n = 0 OR conf < 0.05 THEN 'und' ELSE best END AS lang_pred,
+       FLOOR(conf * 1e6) / 1e6 AS conf_r
+FROM pick
+""",
+        "quality": """
+WITH f AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS words,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, w -> w IN ('and','are','as','at','be',
+             'for','have','in','is','it','not','of','on','that','the',
+             'this','to','was','with','you')))::DOUBLE / len(words)
+         ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_digits / n_chars
+              ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tokens > 0
+              THEN (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)
+              ELSE 0.0 END AS mean_wlen
+  FROM f
+),
+s AS (
+  SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
+         LEAST(GREATEST(n_tokens / 50.0, 0), 1) * 0.4
+       + LEAST(GREATEST(stop_ratio / 0.4, 0), 1) * 0.3
+       + LEAST(GREATEST(1.0 - digit_ratio * 5, 0), 1) * 0.15
+       + LEAST(GREATEST((mean_wlen - 2) / 4, 0), 1) * 0.15 AS score
+  FROM r
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       FLOOR(stop_ratio * 1e6) / 1e6 AS stop_ratio_r,
+       FLOOR(digit_ratio * 1e6) / 1e6 AS digit_ratio_r,
+       FLOOR(score * 1e6) / 1e6 AS score_r
+FROM s
+""",
         "geofilt": _GEO_CTE + """
 SELECT doc_id, FLOOR(dist * 1e3) / 1e3 AS dist_r FROM d WHERE dist <= 5000.0
 """,
