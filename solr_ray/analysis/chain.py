@@ -50,6 +50,20 @@ _WHITESPACE_RE = re.compile(r"\S+")
 
 _POSSESSIVE_RE = re.compile(r"(?:'s|’s)$")
 
+# Fast tokenization: translate ASCII separator chars to space (one C pass)
+# then str.split, yielding PSEUDO-tokens == real tokens except in rare
+# shapes ("don't.", "a..b", unicode punctuation) which are repaired by
+# running the real regex per UNIQUE pseudo-token (cached). Only ASCII
+# chars are mapped; non-ASCII stays glued and is likewise repaired at the
+# unique level, so the output token stream is IDENTICAL to findall's.
+_STANDARD_KEEP = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_'.")
+_STANDARD_TBL = str.maketrans({
+    chr(i): " " for i in range(128) if chr(i) not in _STANDARD_KEEP})
+_SIMPLE_KEEP = set("abcdefghijklmnopqrstuvwxyz0123456789")
+_SIMPLE_TBL = str.maketrans({
+    chr(i): " " for i in range(128) if chr(i) not in _SIMPLE_KEEP})
+
 
 @dataclass
 class Analyzer:
@@ -63,7 +77,42 @@ class Analyzer:
     token_re: re.Pattern
     pre: Callable[[str], str] | None = None  # char filter on the whole text
     token_fn: Callable[[str], str | None] = lambda t: t
+    # translate-table for the fast split tokenizer ({} = plain .split());
+    # None falls back to per-row regex findall
+    split_tbl: dict | None = None
     _cache: dict = field(default_factory=dict, repr=False)
+    _exp_cache: dict = field(default_factory=dict, repr=False)
+    # output-term registry (fast path): term -> stable int code, so batch
+    # dictionaries assemble from int gathers + one arrow take — no
+    # per-batch python-string dedup
+    _out_index: dict = field(default_factory=dict, repr=False)
+    _out_terms: list = field(default_factory=list, repr=False)
+    _registry_arr: object = field(default=None, repr=False)
+
+    def _exp_codes(self, pseudo: str) -> np.ndarray:
+        got = self._exp_cache.get(pseudo)
+        if got is None:
+            codes = []
+            for tok in self.token_re.findall(pseudo):
+                o = self._apply(tok)
+                if o is None:
+                    continue
+                c = self._out_index.get(o)
+                if c is None:
+                    c = len(self._out_terms)
+                    self._out_index[o] = c
+                    self._out_terms.append(o)
+                    self._registry_arr = None  # grew: rebuild lazily
+                codes.append(c)
+            got = np.array(codes, dtype=np.int64)
+            if len(self._exp_cache) < 2_000_000:
+                self._exp_cache[pseudo] = got
+        return got
+
+    def _registry(self) -> pa.Array:
+        if self._registry_arr is None:
+            self._registry_arr = pa.array(self._out_terms, type=pa.string())
+        return self._registry_arr
 
     def tokenize_text(self, text: str) -> list[str]:
         """Single-string path (used by the oracle and unit tests)."""
@@ -87,6 +136,7 @@ class Analyzer:
                 self._cache[tok] = o
             return o
 
+
     # ---- vectorized batch path ----
 
     def tokenize_array(
@@ -103,8 +153,22 @@ class Analyzer:
         texts = col.to_pylist()
         flat: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
-        findall = self.token_re.findall
         pre = self.pre
+        tbl = self.split_tbl
+        if tbl is not None:
+            # fast path: one C-level translate + split per row; divergent
+            # pseudo-tokens are repaired per UNIQUE below (self._expand)
+            for i, t in enumerate(texts):
+                if t is None:
+                    counts[i] = 0
+                    continue
+                if pre is not None:
+                    t = pre(t)
+                toks = t.translate(tbl).split() if tbl else t.split()
+                counts[i] = len(toks)
+                flat.extend(toks)
+            return self._finish_fast(texts, flat, counts, dict_encode)
+        findall = self.token_re.findall
         for i, t in enumerate(texts):
             if t is None:
                 counts[i] = 0
@@ -164,6 +228,69 @@ class Analyzer:
         )
 
 
+def _empty_list(n_rows: int, dict_encode: bool) -> pa.ListArray:
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    empty = pa.array([], type=pa.string())
+    if dict_encode:
+        empty = pa.DictionaryArray.from_arrays(
+            pa.array([], type=pa.int32()), empty)
+    return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), empty)
+
+
+def _finish_fast_impl(az: "Analyzer", texts, flat, counts, dict_encode):
+    """Shared tail of the fast tokenizer: map unique pseudo-tokens to their
+    cached output-term code sequences (registry codes), then rebuild the
+    flat code stream and row offsets with pure integer gathers. The batch
+    dictionary is one arrow `take` from the registry — no per-batch
+    python-string dedup."""
+    if not flat:
+        return _empty_list(len(texts), dict_encode)
+    flat_arr = pa.array(flat, type=pa.string())
+    dict_arr = flat_arr.dictionary_encode()
+    uniques = dict_arr.dictionary.to_pylist()
+    exps = [az._exp_codes(u) for u in uniques]
+    lens_u = np.array([e.size for e in exps], dtype=np.int64)
+    n_rows = len(texts)
+    if not lens_u.any():
+        return _empty_list(n_rows, dict_encode)
+    all_codes = np.concatenate(exps) if len(exps) > 1 else exps[0]
+    # local (batch) dictionary: distinct global codes, remapped via
+    # searchsorted — int ops only
+    uniq_g = np.unique(all_codes)
+    seq_codes = np.searchsorted(uniq_g, all_codes)
+    seq_off = np.zeros(lens_u.size + 1, dtype=np.int64)
+    np.cumsum(lens_u, out=seq_off[1:])
+
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+    tok_lens = lens_u[idx]
+    total = int(tok_lens.sum())
+    tok_start = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=tok_start[1:])
+    pos_in_tok = np.arange(total, dtype=np.int64) - np.repeat(
+        tok_start[:-1], tok_lens)
+    flat_codes = seq_codes[np.repeat(seq_off[idx], tok_lens) + pos_in_tok]
+
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    new_counts = np.bincount(
+        row_ids, weights=tok_lens, minlength=n_rows).astype(np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=offsets[1:])
+
+    batch_dict = az._registry().take(pa.array(uniq_g))
+    if dict_encode:
+        values = pa.DictionaryArray.from_arrays(
+            pa.array(flat_codes.astype(np.int32), type=pa.int32()),
+            batch_dict,
+        )
+    else:
+        values = batch_dict.take(pa.array(flat_codes))
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), values)
+
+
+Analyzer._finish_fast = _finish_fast_impl
+
+
 def _en_token_fn(tok: str) -> str | None:
     tok = tok.lower()
     if tok in ENGLISH_STOP_WORDS:
@@ -183,15 +310,20 @@ def _general_token_fn(tok: str) -> str | None:
 
 def _make_analyzers() -> dict[str, Callable[[], Analyzer]]:
     return {
-        "text_en": lambda: Analyzer("text_en", _STANDARD_TOKEN_RE, None, _en_token_fn),
+        "text_en": lambda: Analyzer("text_en", _STANDARD_TOKEN_RE, None,
+                                    _en_token_fn, _STANDARD_TBL),
         "text_general": lambda: Analyzer(
-            "text_general", _STANDARD_TOKEN_RE, None, _general_token_fn
+            "text_general", _STANDARD_TOKEN_RE, None, _general_token_fn,
+            _STANDARD_TBL
         ),
         "standard": lambda: Analyzer(
-            "standard", _STANDARD_TOKEN_RE, None, lambda t: t.lower()
+            "standard", _STANDARD_TOKEN_RE, None, lambda t: t.lower(),
+            _STANDARD_TBL
         ),
-        "simple": lambda: Analyzer("simple", _SIMPLE_TOKEN_RE, str.lower),
-        "whitespace": lambda: Analyzer("whitespace", _WHITESPACE_RE),
+        "simple": lambda: Analyzer("simple", _SIMPLE_TOKEN_RE, str.lower,
+                                   split_tbl=_SIMPLE_TBL),
+        "whitespace": lambda: Analyzer("whitespace", _WHITESPACE_RE,
+                                       split_tbl={}),
     }
 
 

@@ -99,33 +99,42 @@ class _SegmentWriter:
                          "skipped": [False]})
 
 
-def _write_global_stats(out_dir: str, postings_files: list[str]) -> None:
+def _write_global_stats(out_dir: str, postings_files: list[str],
+                        preread: list[pa.Table] | None = None) -> None:
     """Global (term -> df, cf) from per-segment partials.
 
     Partials are one row per (term, segment) — tiny relative to the corpus.
     Below ~20M partial rows a single-process Arrow group_by beats a Ray
     shuffle by an order of magnitude; above it (the 100 TB path, where
     vocab × segments explodes) fall back to the distributed groupby.
+    `preread`: partial tables already loaded (overlapped with the segment
+    phase) — skips the metadata scan and re-read on the small path.
     """
     if not postings_files:
         return
     from concurrent.futures import ThreadPoolExecutor
 
     stats_dir = os.path.join(out_dir, "stats")
-    with ThreadPoolExecutor(max_workers=16) as ex:
-        n_partial_rows = sum(ex.map(
-            lambda f: pq.ParquetFile(f).metadata.num_rows, postings_files
-        ))
+    if preread is not None:
+        n_partial_rows = sum(t.num_rows for t in preread)
+    else:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            n_partial_rows = sum(ex.map(
+                lambda f: pq.ParquetFile(f).metadata.num_rows, postings_files
+            ))
     os.makedirs(stats_dir, exist_ok=True)
     for old in os.listdir(stats_dir):  # clear prior generation's files
         os.remove(os.path.join(stats_dir, old))
     if n_partial_rows <= 20_000_000:
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            part = pa.concat_tables(ex.map(
-                lambda f: pq.read_table(f, columns=["term", "df", "cf"],
-                                        use_threads=False),
-                postings_files,
-            ))
+        if preread is not None:
+            part = pa.concat_tables(preread)
+        else:
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                part = pa.concat_tables(ex.map(
+                    lambda f: pq.read_table(f, columns=["term", "df", "cf"],
+                                            use_threads=False),
+                    postings_files,
+                ))
         merged = part.group_by("term", use_threads=True).aggregate(
             [("df", "sum"), ("cf", "sum")]
         )
@@ -263,19 +272,35 @@ def build_index(
     def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
         return _w(group)
 
-    summaries = (
-        ds.groupby("bucket")
-        .map_groups(write_segment_group, batch_format="pyarrow")
-        .take_all()
-    )
+    # Stream segment summaries as groups COMPLETE and kick off each
+    # segment's stats-partial read immediately on a thread pool — the stats
+    # pass's I/O hides behind the segment-build tail instead of running
+    # serially after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    summaries = []
+    stats_parts = []
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        res_ds = (ds.groupby("bucket")
+                  .map_groups(write_segment_group, batch_format="pyarrow"))
+        for batch in res_ds.iter_batches(batch_size=None,
+                                         batch_format="pyarrow"):
+            for row in batch.to_pylist():
+                summaries.append(row)
+                if row["n_docs"]:
+                    f = os.path.join(_seg_dir(out_dir, int(row["bucket"])),
+                                     "postings.parquet")
+                    stats_parts.append(ex.submit(
+                        pq.read_table, f, columns=["term", "df", "cf"],
+                        use_threads=False))
+        parts = [fut.result() for fut in stats_parts]
     build_sec = time.time() - t0
 
-    # pass 2: global term stats from per-segment partials (≤ n_segments rows/term)
     t1 = time.time()
     _write_global_stats(out_dir, [
         os.path.join(_seg_dir(out_dir, b), "postings.parquet")
         for b in range(num_buckets) if counts.get(b, 0)
-    ])
+    ], preread=parts)
     stats_sec = time.time() - t1
 
     n_tokens = int(sum(s["n_tokens"] for s in summaries))

@@ -30,6 +30,11 @@ FAST_SQL_CHECKED = [
     "atomic_update_inc",
     "filter_bool",
     "cursor_page2",
+    "geofilt",
+    "sql_group",
+    "rerank_trees",
+    "langid",
+    "quality",
 ]
 
 
