@@ -88,7 +88,140 @@ FUNCTIONS: dict = {
     # vector math (dotProduct, cosineSimilarity — Lang.java array ops)
     "dotProduct": lambda a, b: _vec_dot(a, b),
     "cosineSimilarity": lambda a, b: _vec_cosine(a, b),
+    # map/precision (ValueSourceParser map, RangeMapFloatFunction;
+    # Lang precision)
+    "map": lambda x, lo, hi, tgt, dflt=None: pc.if_else(
+        pc.and_(pc.greater_equal(x, lo), pc.less_equal(x, hi)), tgt,
+        x if dflt is None else dflt),
+    "precision": lambda x, d: pc.round(x, ndigits=int(_scalar(d))),
+    # string evaluators (Lang.java left/right/trimLeft/trimRight/indexOf/
+    # startsWith/endsWith/contains)
+    "left": lambda a, n: pc.utf8_slice_codeunits(
+        a, start=0, stop=int(_scalar(n))),
+    "right": lambda a, n: _right(a, int(_scalar(n))),
+    "trimLeft": lambda a: pc.utf8_ltrim_whitespace(a),
+    "trimRight": lambda a: pc.utf8_rtrim_whitespace(a),
+    "indexOf": lambda a, s: pc.find_substring(a, pattern=_scalar(s)),
+    "startsWith": lambda a, s: pc.starts_with(a, pattern=_scalar(s)),
+    "endsWith": lambda a, s: pc.ends_with(a, pattern=_scalar(s)),
+    "contains": lambda a, s: pc.match_substring(a, pattern=_scalar(s)),
+    "strdist": lambda a, b, kind="levenshtein": _strdist(a, b, kind),
+    "murmur3": lambda a: _murmur3(a),
+    # array evaluators (Lang.java array/sequence/valueAt/rev/sort/distinct/
+    # arrayLength + arrayMax/Min/Sum/Mean over list<...> columns)
+    "arrayLength": lambda a: pc.list_value_length(a),
+    "valueAt": lambda a, i: _value_at(a, int(_scalar(i))),
+    "rev": lambda a: _list_map(a, lambda v: v[::-1]),
+    "arraySort": lambda a: _list_map(a, sorted),
+    "distinct": lambda a: _list_map(a, lambda v: list(dict.fromkeys(v))),
+    "arrayMax": lambda a: _list_agg(a, np.maximum.reduceat),
+    "arrayMin": lambda a: _list_agg(a, np.minimum.reduceat),
+    "arraySum": lambda a: _list_agg(a, np.add.reduceat),
+    "arrayMean": lambda a: _list_mean(a),
+    "sequence": lambda n, start, step: pa.array(
+        [list(range(int(_scalar(start)),
+                    int(_scalar(start)) + int(_scalar(n)) * int(_scalar(step)),
+                    int(_scalar(step))))]),
 }
+
+
+def _scalar(v):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v[0].as_py()
+    if isinstance(v, pa.Scalar):
+        return v.as_py()
+    return v
+
+
+def _right(a, n: int):
+    ln = pc.utf8_length(a)
+    return pc.utf8_slice_codeunits(
+        a, start=-n, stop=np.iinfo(np.int32).max) if n > 0 else pc.utf8_slice_codeunits(a, start=0, stop=0)
+
+
+def _strdist(a, b, kind):
+    """Per-row string distance (levenshtein | jaccard char-bigram).
+    Python per row — fine for re-ranking columns, not an index hot path."""
+    kind = _scalar(kind)
+    av = a.to_pylist() if isinstance(a, (pa.Array, pa.ChunkedArray)) else None
+    bv = b.to_pylist() if isinstance(b, (pa.Array, pa.ChunkedArray)) else None
+    n = len(av) if av is not None else len(bv)
+    av = av if av is not None else [a] * n
+    bv = bv if bv is not None else [b] * n
+
+    def lev(x, y):
+        x, y = x or "", y or ""
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cx != cy)))
+            prev = cur
+        m = max(len(x), len(y))
+        return 1.0 - (prev[-1] / m if m else 0.0)
+
+    def jac(x, y):
+        gx = {(x or "")[i:i + 2] for i in range(max(len(x or "") - 1, 0))}
+        gy = {(y or "")[i:i + 2] for i in range(max(len(y or "") - 1, 0))}
+        if not gx and not gy:
+            return 1.0
+        return len(gx & gy) / len(gx | gy)
+
+    fn = lev if kind == "levenshtein" else jac
+    return pa.array([fn(x, y) for x, y in zip(av, bv)], pa.float64())
+
+
+def _murmur3(a):
+    from solr_ray.stages.docids import stable_hash64
+
+    h = stable_hash64(a if isinstance(a, pa.Array) else a.combine_chunks())
+    return pa.array(np.asarray(h, dtype=np.int64))
+
+
+def _value_at(a, i: int):
+    """list[i] per row, null when the row is shorter (Solr valueAt EOF)."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return pa.array([None if v is None or i >= len(v) else v[i]
+                     for v in a.to_pylist()])
+
+
+def _list_map(a, fn):
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return pa.array([None if v is None else fn(v) for v in a.to_pylist()],
+                    type=a.type)
+
+
+def _list_offsets(a):
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    counts = pc.list_value_length(a).to_numpy(zero_copy_only=False)
+    flat = a.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return flat, starts, counts
+
+
+def _list_agg(a, reduceat):
+    flat, starts, counts = _list_offsets(a)
+    out = np.full(len(counts), np.nan)
+    nz = counts > 0
+    if flat.size:
+        vals = reduceat(flat, starts[nz])
+        out[nz] = vals[: int(nz.sum())]
+    return pa.array(out)
+
+
+def _list_mean(a):
+    flat, starts, counts = _list_offsets(a)
+    out = np.full(len(counts), np.nan)
+    nz = counts > 0
+    if flat.size:
+        sums = np.add.reduceat(flat, starts[nz])[: int(nz.sum())]
+        out[nz] = sums / counts[nz]
+    return pa.array(out)
 
 
 def _reduce(op, args):

@@ -171,3 +171,47 @@ def test_mlt_finds_near_duplicate(pages_300_path, tmp_path):
     top_urls = {reader.url_of(int(d)) for d in ids[:2]}
     assert {urls[dup[0]], urls[dup[1]]} == top_urls
     assert scores[0] == scores[1]
+
+
+def test_new_scalar_functions():
+    import numpy as np
+    import pyarrow as pa
+
+    from solr_ray.functions.scalar import FUNCTIONS
+
+    s = pa.array(["hello world", "abc", "", "xyzzy"])
+    assert FUNCTIONS["left"](s, 3).to_pylist() == ["hel", "abc", "", "xyz"]
+    assert FUNCTIONS["right"](s, 3).to_pylist() == ["rld", "abc", "", "zzy"]
+    assert FUNCTIONS["trimLeft"](pa.array(["  a ", "b"])).to_pylist() == ["a ", "b"]
+    assert FUNCTIONS["trimRight"](pa.array(["  a ", "b"])).to_pylist() == ["  a", "b"]
+    assert FUNCTIONS["startsWith"](s, "he").to_pylist() == [True, False, False, False]
+    assert FUNCTIONS["endsWith"](s, "c").to_pylist() == [False, True, False, False]
+    assert FUNCTIONS["contains"](s, "o w").to_pylist() == [True, False, False, False]
+    assert FUNCTIONS["indexOf"](s, "world").to_pylist() == [6, -1, -1, -1]
+
+    x = pa.array([1.0, 5.0, 10.0])
+    m = FUNCTIONS["map"](x, 4.0, 6.0, 0.0)
+    assert m.to_pylist() == [1.0, 0.0, 10.0]
+    assert FUNCTIONS["precision"](pa.array([3.14159]), 2).to_pylist() == [3.14]
+
+    lv = FUNCTIONS["strdist"](pa.array(["kitten"]), pa.array(["sitting"]),
+                              "levenshtein").to_pylist()[0]
+    assert abs(lv - (1 - 3 / 7)) < 1e-12
+    jc = FUNCTIONS["strdist"](pa.array(["night"]), pa.array(["nacht"]),
+                              "jaccard").to_pylist()[0]
+    assert 0 < jc < 1
+
+    arr = pa.array([[3.0, 1.0, 2.0], [], [5.0]])
+    assert FUNCTIONS["arrayLength"](arr).to_pylist() == [3, 0, 1]
+    assert FUNCTIONS["arrayMax"](arr).to_pylist()[0] == 3.0
+    assert FUNCTIONS["arrayMin"](arr).to_pylist()[2] == 5.0
+    assert FUNCTIONS["arraySum"](arr).to_pylist()[0] == 6.0
+    assert FUNCTIONS["arrayMean"](arr).to_pylist()[0] == 2.0
+    assert np.isnan(FUNCTIONS["arrayMean"](arr).to_pylist()[1])
+    assert FUNCTIONS["arraySort"](arr).to_pylist()[0] == [1.0, 2.0, 3.0]
+    assert FUNCTIONS["rev"](arr).to_pylist()[0] == [2.0, 1.0, 3.0]
+    assert FUNCTIONS["distinct"](pa.array([[1.0, 1.0, 2.0]])).to_pylist() == [[1.0, 2.0]]
+    assert FUNCTIONS["valueAt"](arr, 0).to_pylist()[0] == 3.0
+    assert FUNCTIONS["sequence"](4, 2, 3).to_pylist() == [[2, 5, 8, 11]]
+    h = FUNCTIONS["murmur3"](pa.array(["a", "b", "a"])).to_pylist()
+    assert h[0] == h[2] and h[0] != h[1]
