@@ -6,7 +6,7 @@ ComplexPhraseQParserPlugin.java, SurroundQParserPlugin.java): each clause
 is a term or a prefix wildcard (``pre*``); the query matches docs where one
 occurrence of every clause appears within ``slop`` extra positions,
 ordered (in_order=True, complexphrase "a* b"~n) or unordered (surround
-``n``/``w`` operators, 2 clauses).
+``n``/``w`` operators, up to 5 clauses).
 
 Matching is fully vectorized on flat (doc, position) keys, the same
 encoding the phrase matcher uses (searcher._segment_phrase_match):
@@ -15,8 +15,10 @@ encoding the phrase matcher uses (searcher._segment_phrase_match):
   dictionary; the clause's position lists union into ONE sorted key array.
 - ordered: minimal-chain searchsorted sweep (p_i = smallest clause-i
   position strictly after p_{i-1}); match iff span extra <= slop.
-- unordered (2 clauses): |pa - pb| - 1 <= slop with pa != pb; tf counts
-  the qualifying positions of the first clause.
+- unordered (up to 5 clauses): anchor on clause 0, enumerate per-clause
+  nearest-left/right combos (exact — an optimal window always uses a
+  nearest occurrence); match iff min window span - (k-1) <= slop; tf
+  counts the qualifying anchor positions.
 
 Scoring is PhraseQuery-style BM25: tf = span frequency, idf = sum over
 clauses of idf(union doc freq). Union dfs are exact across segments
@@ -88,19 +90,71 @@ def _unordered_matches_2(ka: np.ndarray, kb: np.ndarray, slop: int,
     """2-clause unordered near: |pa - pb| - 1 <= slop, same doc, pa != pb."""
     if ka.size == 0 or kb.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    # nearest kb on each side of every ka occurrence
-    j = np.searchsorted(kb, ka)
-    right = kb[np.minimum(j, kb.size - 1)]
-    left = kb[np.maximum(j - 1, 0)]
-    same_doc_r = (j < kb.size) & ((right // mult) == (ka // mult))
-    same_doc_l = (j > 0) & ((left // mult) == (ka // mult))
+    # nearest kb STRICTLY on each side of every ka occurrence (side='right'
+    # for the right neighbor, so a kb at the identical position — clauses
+    # matching the same token — never shadows the true neighbor)
+    jl = np.searchsorted(kb, ka, side="left")
+    jr = np.searchsorted(kb, ka, side="right")
+    right = kb[np.minimum(jr, kb.size - 1)]
+    left = kb[np.maximum(jl - 1, 0)]
+    same_doc_r = (jr < kb.size) & ((right // mult) == (ka // mult))
+    same_doc_l = (jl > 0) & ((left // mult) == (ka // mult))
     dr = np.where(same_doc_r, right - ka, np.iinfo(np.int64).max)
     dl_ = np.where(same_doc_l, ka - left, np.iinfo(np.int64).max)
     gap = np.minimum(dr, dl_)
-    good = (gap != 0) & (gap - 1 <= slop) & (gap < np.iinfo(np.int64).max)
+    good = (gap - 1 <= slop) & (gap < np.iinfo(np.int64).max)
     if not good.any():
         return np.empty(0, np.int64), np.empty(0, np.int64)
     docs = ka[good] // mult
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+def _unordered_matches_k(keys: list[np.ndarray], slop: int, mult: np.int64):
+    """k-clause unordered near (k <= 5): anchor on clause 0; for every
+    other clause take its nearest occurrence left/right of the anchor and
+    enumerate the 2^(k-1) left/right combos — the optimal window always
+    uses a per-clause nearest occurrence, so the enumeration is exact.
+    Match iff min over combos of (window span) - (k-1) <= slop.
+    tf counts qualifying anchor positions."""
+    import itertools
+
+    n_other = len(keys) - 1
+    if n_other + 1 > 5:
+        raise ValueError("unordered span supports at most 5 clauses")
+    anchor = keys[0]
+    if anchor.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    INF = np.int64(np.iinfo(np.int64).max // 4)
+    NEG = -INF
+    lefts, rights = [], []
+    for kk in keys[1:]:
+        jl = np.searchsorted(kk, anchor, side="left")
+        jr = np.searchsorted(kk, anchor, side="right")
+        # kk[jl-1] < anchor and kk[jr] > anchor STRICTLY, so clauses that
+        # match the same token position never shadow a real neighbor
+        r = kk[np.minimum(jr, kk.size - 1)]
+        l_ = kk[np.maximum(jl - 1, 0)]
+        ok_r = (jr < kk.size) & ((r // mult) == (anchor // mult))
+        ok_l = (jl > 0) & ((l_ // mult) == (anchor // mult))
+        rights.append(np.where(ok_r, r, INF))
+        lefts.append(np.where(ok_l, l_, NEG))
+    best = np.full(anchor.size, INF)
+    for combo in itertools.product((0, 1), repeat=n_other):
+        lo = anchor.copy()
+        hi = anchor.copy()
+        valid = np.ones(anchor.size, dtype=bool)
+        for ci, side in enumerate(combo):
+            q = rights[ci] if side else lefts[ci]
+            valid &= (q != INF) & (q != NEG)
+            lo = np.minimum(lo, q)
+            hi = np.maximum(hi, q)
+        span = np.where(valid, hi - lo, INF)
+        best = np.minimum(best, span)
+    good = best - np.int64(len(keys) - 1) <= slop
+    if not good.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = anchor[good] // mult
     uniq, counts = np.unique(docs, return_counts=True)
     return uniq.astype(np.int64), counts.astype(np.int64)
 
@@ -114,8 +168,8 @@ def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
     """
     if len(clauses) < 2:
         raise ValueError("span_near_search needs >= 2 clauses")
-    if not in_order and len(clauses) != 2:
-        raise ValueError("unordered span supports exactly 2 clauses")
+    if not in_order and len(clauses) > 5:
+        raise ValueError("unordered span supports at most 5 clauses")
 
     # pass 1: per-segment clause keys + exact union dfs (segments partition
     # the doc space, so per-segment union counts sum exactly)
@@ -140,8 +194,10 @@ def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
             continue
         if in_order:
             ids, tfs = _ordered_matches(keys, slop, mult)
-        else:
+        elif len(keys) == 2:
             ids, tfs = _unordered_matches_2(keys[0], keys[1], slop, mult)
+        else:
+            ids, tfs = _unordered_matches_k(keys, slop, mult)
         if ids.size == 0:
             continue
         if tomb.size:

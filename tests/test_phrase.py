@@ -198,6 +198,51 @@ def test_span_errors(span_idx):
     with pytest.raises(ValueError):
         span_near_search(r, ["one"], slop=1)
     with pytest.raises(ValueError):
-        span_near_search(r, ["a", "b", "c"], slop=1, in_order=False)
+        span_near_search(r, list("abcdef"), slop=1, in_order=False)
     ids, sc = span_near_search(r, ["zz*", "cherry"], slop=1)
     assert ids.size == 0
+
+
+def test_span_unordered_three_clauses(span_idx):
+    """k=3 unordered vs a brute-force window check on the planted corpus."""
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.spans import span_near_search
+
+    r = IndexReader(span_idx)
+    texts = {
+        0: "apple banana cherry",
+        1: "apricot melon melon cherry",
+        2: "cherry apple",
+        3: "apple melon melon melon cherry",
+        4: "plum pear quince",
+    }
+
+    def brute(clauses, slop):
+        out = set()
+        for did, text in texts.items():
+            toks = text.split()
+            poss = []
+            for c in clauses:
+                pre = c[:-1] if c.endswith("*") else None
+                p = [i for i, t in enumerate(toks)
+                     if (t.startswith(pre) if pre else t == c)]
+                poss.append(p)
+            if any(not p for p in poss):
+                continue
+            import itertools
+            for combo in itertools.product(*poss):
+                if len(set(combo)) < len(combo):
+                    continue
+                if (max(combo) - min(combo)) - (len(clauses) - 1) <= slop:
+                    out.add(did)
+                    break
+        return out
+
+    for clauses, slop in ([["ap*", "melon", "cherry"], 2],
+                          [["ap*", "melon", "cherry"], 0],
+                          [["apple", "banana", "cherry"], 0],
+                          [["cherry", "apple", "melon"], 5]):
+        ids, _ = span_near_search(r, clauses, slop=slop, k=10,
+                                  in_order=False)
+        got = {int(r.url_of(int(d)).rsplit("/", 1)[1]) for d in ids}
+        assert got == brute(clauses, slop), (clauses, slop, got)
