@@ -1287,6 +1287,9 @@ _SQL_QUERIES = {
     "sql_having": ("SELECT source, COUNT(*) AS n FROM documents "
                    "GROUP BY source HAVING n >= 5 "
                    "ORDER BY n DESC, source"),
+    "sql_sum_cast": ("SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total "
+                     "FROM documents WHERE source <> 'forum' "
+                     "GROUP BY lang ORDER BY total DESC, lang"),
 }
 
 

@@ -15,6 +15,7 @@ Grammar (case-insensitive keywords):
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
 
     item  := col [AS alias] | COUNT(*) | COUNT|SUM|AVG|MIN|MAX(col) [AS a]
+           | CAST(item AS BIGINT|INTEGER|DOUBLE|VARCHAR) AS a
     cond  := disjunctions/conjunctions of: col <op> literal, col IN (...),
              col BETWEEN a AND b, col LIKE 'prefix%', NOT, parentheses
 
@@ -42,6 +43,8 @@ _TOKEN = re.compile(r"""
 """, re.VERBOSE)
 
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
+               "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
              "ASC", "DESC"}
@@ -100,11 +103,26 @@ class _Parser:
             items.append(self.select_item())
         return items
 
-    def select_item(self):
+    def select_item(self, allow_alias: bool = True):
         k, v = self.peek()
         if k != "name":
             raise ValueError(f"expected column or aggregate, got {v!r}")
         name = self.eat("name")
+        if name.upper() == "CAST" and self.peek() == ("punct", "("):
+            self.eat()
+            inner = self.select_item(allow_alias=False)
+            self.eat("kw", "AS")
+            ty = self.eat("name").upper()
+            if ty not in _CAST_TYPES:
+                raise ValueError(f"unsupported CAST type {ty!r}")
+            self.eat("punct", ")")
+            item = {"kind": "cast", "inner": inner, "type": ty}
+            if self.at_kw("AS"):
+                self.eat()
+                item["alias"] = self.eat("name")
+            else:
+                raise ValueError("CAST(...) requires AS <alias>")
+            return item
         if name.upper() in _AGGS and self.peek() == ("punct", "("):
             self.eat()
             if self.peek() == ("punct", "*"):
@@ -118,7 +136,7 @@ class _Parser:
             item = {"kind": "agg", "fn": name.upper(), "col": col}
         else:
             item = {"kind": "col", "col": name}
-        if self.at_kw("AS"):
+        if allow_alias and self.at_kw("AS"):
             self.eat()
             item["alias"] = self.eat("name")
         return item
@@ -284,7 +302,19 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     if plan["where"] is not None:
         ds = filter_query(ds, plan["where"])
 
-    items = plan["items"]
+    # unwrap CAST items: plan on the inner item under the cast's alias,
+    # apply the cast right after projection/aggregation (so HAVING and
+    # ORDER BY see the cast values, as in SQL)
+    casts: dict[str, str] = {}
+    items = []
+    for it in plan["items"]:
+        if it["kind"] == "cast":
+            inner = dict(it["inner"])
+            inner["alias"] = it["alias"]
+            casts[it["alias"]] = _CAST_TYPES[it["type"]]
+            items.append(inner)
+        else:
+            items.append(it)
     aggs = [it for it in items if it["kind"] == "agg"]
     if plan["group"]:
         cols = [it["col"] for it in items if it["kind"] == "col"]
@@ -313,6 +343,15 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
                        if "alias" in it}
             if renames:
                 ds = ds.rename_columns(renames)
+
+    if casts:
+        def apply_casts(t: pa.Table) -> pa.Table:
+            for col, ty in casts.items():
+                i = t.schema.get_field_index(col)
+                t = t.set_column(i, col, pc.cast(t[col], ty))
+            return t
+
+        ds = ds.map_batches(apply_casts, batch_format="pyarrow")
 
     if plan["having"] is not None:
         ds = filter_query(ds, plan["having"])

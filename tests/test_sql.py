@@ -100,3 +100,18 @@ def test_execute_rejects_bad_mix(ray_session, table):
     with pytest.raises(ValueError):
         execute_sql("SELECT id, SUM(val) AS s FROM t",
                     {"t": ray.data.from_arrow(table)})
+
+
+def test_cast_sum_bigint(ray_session, table):
+    sql = ("SELECT grp, CAST(SUM(val) AS BIGINT) AS total, "
+           "CAST(COUNT(*) AS DOUBLE) AS nf FROM t GROUP BY grp "
+           "ORDER BY grp")
+    got, want = _both(sql, table)
+    _assert_same(got, want)
+
+
+def test_cast_requires_alias():
+    with pytest.raises(ValueError):
+        parse_sql("SELECT CAST(SUM(v) AS BIGINT) FROM t")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT CAST(v AS BLOB) AS x FROM t")
