@@ -1446,19 +1446,27 @@ def _q_hll_users(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payload column -> per-item feature vector
-    via an actor-pool stage (decode stubbed deterministically)."""
+    """Multimodal: deterministic 8x8 raw-RGB payloads derived from doc_id,
+    REAL decode + channel-stats/histogram features via the actor-pool
+    stage (decoder='raw' — pure-numpy image processing, no stub)."""
     from solr_ray.ops.multimodal import media_features
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            px = (np.arange(8 * 8 * 3, dtype=np.int64) * (int(d) + 7)) % 256
+            payloads.append(px.astype(np.uint8).tobytes())
         return pa.table({"doc_id": t["doc_id"],
-                         "payload": pa.array(payloads, pa.binary())})
+                         "payload": pa.array(payloads, pa.binary()),
+                         "width": pa.array(np.full(len(ids), 8, np.int32)),
+                         "height": pa.array(np.full(len(ids), 8, np.int32))})
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = media_features(media, concurrency=2, payload_col="payload", dim=8)
+    out = media_features(media, concurrency=2, payload_col="payload",
+                         dim=14, decoder="raw")
     return out.select_columns(["doc_id", "feature"])
 
 

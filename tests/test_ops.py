@@ -530,3 +530,83 @@ def test_multimodal_plumbing():
 
     with pytest.raises(NotImplementedError):
         ImageFeatureStage(decoder="pil")
+
+
+def test_raw_rgb_decode_features_resize():
+    import numpy as np
+
+    from solr_ray.ops.multimodal import (
+        decode_raw_rgb, raw_rgb_features, resize_raw_rgb)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    rt = decode_raw_rgb(img.tobytes(), 16, 12)
+    assert np.array_equal(rt, img)
+    with pytest.raises(ValueError):
+        decode_raw_rgb(img.tobytes()[:-1], 16, 12)
+
+    f = raw_rgb_features(img, hist_bins=8)
+    assert f.shape == (14,)
+    assert np.allclose(f[:3], img.reshape(-1, 3).mean(axis=0), atol=1e-3)
+    assert abs(f[6:].sum() - 1.0) < 1e-5  # histogram normalized
+
+    small = resize_raw_rgb(img, 4, 3)
+    assert small.shape == (3, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])  # NN keeps source pixels
+    big = resize_raw_rgb(small, 8, 6)
+    assert big.shape == (6, 8, 3)
+
+
+def test_raw_image_stage_and_resize(ray_session):
+    import numpy as np
+    import ray.data
+
+    from solr_ray.ops.multimodal import ImageFeatureStage, ImageResizeStage
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+        rows.append({"media_id": i, "payload": img.tobytes(),
+                     "width": 10, "height": 10})
+    rows.append({"media_id": 99, "payload": None, "width": 10, "height": 10})
+    ds = ray.data.from_items(rows)
+    feat = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          concurrency=2, batch_size=4,
+                          fn_constructor_kwargs={"decoder": "raw",
+                                                 "dim": 14}).to_pandas()
+    assert feat.decode_ok.sum() == 6
+    assert all(len(f) == 14 for f in feat.feature)
+
+    rs = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
+                        concurrency=2, batch_size=4,
+                        fn_constructor_kwargs={"target_w": 4, "target_h": 5,
+                                               "mode": "raw"}).to_pandas()
+    good = rs[rs.media_id != 99]
+    assert all(len(p) == 4 * 5 * 3 for p in good.payload)
+    assert (rs.width == 4).all() and (rs.height == 5).all()
+
+
+def test_raw_video_frame_sampling(ray_session):
+    import numpy as np
+    import ray.data
+
+    from solr_ray.ops.multimodal import FrameSampleStage
+
+    w = h = 4
+    n_frames = 10
+    frames = [np.full((h, w, 3), i, dtype=np.uint8) for i in range(n_frames)]
+    payload = b"".join(f.tobytes() for f in frames)
+    ds = ray.data.from_items([{
+        "media_id": 1, "payload": payload, "width": w, "height": h,
+        "duration_ms": 5000,
+    }])
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"every_ms": 1000,
+                                                "mode": "raw"}).to_pandas()
+    assert len(out) == 5
+    # the frame bytes are REAL slices of the source frames
+    for _, r in out.iterrows():
+        fi = min(int(r.frame_offset_ms / 5000 * n_frames), n_frames - 1)
+        assert r.frame == frames[fi].tobytes()
