@@ -871,6 +871,22 @@ def _q_stream_expr_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_stream_expr_eval(sf_dir: str):
+    """Streaming-expression select() with registered scalar EVALUATORS
+    (Lang.java surface): arithmetic + string functions computed inside the
+    projection, then a bounded top."""
+    from solr_ray.expr import eval_expr
+
+    tables = {"li": _read(sf_dir, "lineitem",
+                          columns=["l_orderkey", "l_linenumber",
+                                   "l_quantity", "l_returnflag"])}
+    out = eval_expr(
+        'top(select(search(li), "l_orderkey", "l_linenumber", '
+        '"mul(l_quantity, 2) as q2", "length(l_returnflag) as flag_len"), '
+        'n=100, sort="l_orderkey asc, l_linenumber asc")', tables)
+    return out
+
+
 def _q_json_facet_range(sf_dir: str):
     """JSON facet: range buckets over event values with a per-bucket
     integer-quantized sum stat."""
@@ -1490,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_facet_range": _q_json_facet_range,
         "stream_expr_rollup": _q_stream_expr,
         "stream_expr_join": _q_stream_expr_join,
+        "stream_expr_eval": _q_stream_expr_eval,
         "select_fq": _q_select_fq,
         "phrase_search": _q_phrase_search,
         "sloppy_phrase": _q_sloppy_phrase,
@@ -2366,6 +2383,11 @@ FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
         "stream_expr_rollup": """
 SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
+""",
+        "stream_expr_eval": """
+SELECT l_orderkey, l_linenumber, l_quantity * 2 AS q2,
+       length(l_returnflag) AS flag_len
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
 """,
         "stream_expr_join": """
 SELECT c.c_mktsegment, COUNT(*) AS n_orders

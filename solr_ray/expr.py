@@ -164,14 +164,41 @@ def _eval(node, tables: dict):
 
     if name == "select":
         ds = _eval(args[0], tables)
-        renames, keep = {}, []
+        renames, keep, computed = {}, [], []
         for spec in args[1:]:
+            # evaluator call: "add(a, b) as c" — any registered scalar
+            # function (functions/scalar.FUNCTIONS, the Lang evaluator
+            # surface) over columns / numeric literals
+            mf = re.match(
+                r"^\s*([A-Za-z_]\w*)\(([^()]*)\)\s+as\s+(\S+)\s*$", spec)
+            if mf:
+                fargs = []
+                for a in mf.group(2).split(","):
+                    a = a.strip()
+                    if not a:
+                        continue
+                    try:
+                        fargs.append(float(a) if "." in a else int(a))
+                    except ValueError:
+                        fargs.append(a)
+                computed.append((mf.group(3), mf.group(1), fargs))
+                keep.append(mf.group(3))
+                continue
             m = re.match(r"^\s*(\S+)\s+as\s+(\S+)\s*$", spec)
             if m:
                 renames[m.group(1)] = m.group(2)
                 keep.append(m.group(1))
             else:
                 keep.append(spec.strip())
+        if computed:
+            from solr_ray.functions.scalar import apply_expr
+
+            def add_computed(t: pa.Table) -> pa.Table:
+                for alias, fname, fargs in computed:
+                    t = apply_expr(t, alias, fname, *fargs)
+                return t
+
+            ds = ds.map_batches(add_computed, batch_format="pyarrow")
         ds = ds.select_columns(keep)
         if renames:
             ds = ds.rename_columns(renames)

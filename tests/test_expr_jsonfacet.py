@@ -160,3 +160,22 @@ def test_json_facet_range_and_query(tables):
     g = df[df.lang == "de"]
     assert q["count"] == len(g)
     assert q["avg_chars"] == pytest.approx(g["n_chars"].mean())
+
+
+def test_select_evaluator_calls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.expr import eval_expr
+
+    t = pa.table({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0],
+                  "s": ["x", "yy", "zzz"]})
+    tables = {"t": ray.data.from_arrow(t)}
+    out = eval_expr(
+        'select(search(t), "add(a, b) as apb", "mul(a, 2) as a2", '
+        '"length(s) as slen", "a as keep_a")', tables).to_pandas()
+    assert list(out.columns) == ["apb", "a2", "slen", "keep_a"]
+    assert out.apb.tolist() == [11.0, 22.0, 33.0]
+    assert out.a2.tolist() == [2.0, 4.0, 6.0]
+    assert out.slen.tolist() == [1, 2, 3]
+    assert out.keep_a.tolist() == [1.0, 2.0, 3.0]
