@@ -464,7 +464,8 @@ def _q_sliding_window(sf_dir: str):
         return t.drop_columns(["value"]).append_column("v_milli", v)
 
     out = sliding_window(ds.map_batches(milli, batch_format="pyarrow"),
-                         "user_id", "ts", "v_milli", n=5, agg="sum")
+                         "user_id", "ts", "v_milli", n=5, agg="sum",
+                         tie_col="event_id")
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1163,43 +1164,12 @@ def _q_rerank(sf_dir: str):
     """Rerank BM25 top-50 with a linear doc-length prior (ReRankQParser +
     LTR LinearModel semantics): new_score = 5.0*(1/(1+n_chars)) + score for
     the top-10, deeper rows keep original order below. SQL-oracled."""
-    import duckdb
-
     from solr_ray.search.rerank import LinearModel, rerank_results
 
-    res = _search_docs(sf_dir, "whitespace", 1, BM25_QUERIES, k=50)
-    nchars = duckdb.sql(
-        f"SELECT doc_id, n_chars FROM read_parquet('{_tbl(sf_dir, 'documents')}')"
-    ).df().set_index("doc_id")["n_chars"]
-
-    def to_int_doc(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("doc_id"), "doc_id",
-            pc.cast(t["url"], pa.int64()))
-
-    res = res.map_batches(to_int_doc, batch_format="pyarrow")
-
-    def feats(g):
-        import pandas as pd
-
-        return pd.DataFrame({
-            "short": 1.0 / (1.0 + nchars.loc[g["doc_id"]].to_numpy()),
-        }, index=g.index)
-
-    model = LinearModel({"short": 5.0})
-    out = rerank_results(res, feats, model, rerank_depth=10)
-
-    def finish(t: pa.Table) -> pa.Table:
-        score_r = pc.divide(
-            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5))
-        return pa.table({
-            "qid": t["qid"],
-            "rank": pc.cast(t["rank"], pa.int64()),
-            "doc_id": t["doc_id"],
-            "score_r": score_r,
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    res, feats = _rerank_base(sf_dir)
+    out = rerank_results(res, feats, LinearModel({"short": 5.0}),
+                         rerank_depth=10)
+    return _rerank_finish(out)
 
 
 def _rerank_base(sf_dir: str):
@@ -2009,7 +1979,7 @@ GROUP BY o.o_orderkey
         "sliding_window": """
 SELECT event_id, user_id,
        CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER (
-         PARTITION BY user_id ORDER BY ts
+         PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
 FROM events
 """,

@@ -7,10 +7,9 @@ synthetic pages corpus, and print ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, "extra": {...}}
 
---scaling: run the index build at two parallelism levels per N->4N pair
-(2 vs 8 CPUs, and 8 vs 32 CPUs on a 2x corpus) in FRESH processes on the
-same input per pair, and print throughputs + scaling efficiency. Results
-are recorded in BASELINE.md.
+--scaling: run the index build at 2, 8 and 32 CPUs in FRESH processes on
+the same input, and print throughputs + N->4N scaling efficiency for the
+2->8 and 8->32 pairs. Results are recorded in BASELINE.md.
 
 --build-only --cpus N --rep R: child mode used by --scaling.
 """

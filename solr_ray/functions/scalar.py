@@ -134,9 +134,9 @@ def _scalar(v):
 
 
 def _right(a, n: int):
-    ln = pc.utf8_length(a)
-    return pc.utf8_slice_codeunits(
-        a, start=-n, stop=np.iinfo(np.int32).max) if n > 0 else pc.utf8_slice_codeunits(a, start=0, stop=0)
+    if n <= 0:
+        return pc.utf8_slice_codeunits(a, start=0, stop=0)
+    return pc.utf8_slice_codeunits(a, start=-n, stop=np.iinfo(np.int32).max)
 
 
 def _strdist(a, b, kind):
@@ -272,6 +272,11 @@ def apply_expr(batch: pa.Table, out_col: str, name: str, *args):
     result = fn(*resolved)
     if not isinstance(result, (pa.Array, pa.ChunkedArray)):
         result = pa.array([result] * len(batch))
+    elif len(result) == 1 and len(batch) != 1:
+        # generator evaluators (e.g. sequence) yield one value: broadcast
+        result = pa.concat_arrays(
+            [result if isinstance(result, pa.Array)
+             else result.combine_chunks()] * len(batch))
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, result)

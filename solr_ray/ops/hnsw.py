@@ -240,26 +240,44 @@ def build_hnsw_index(ds, out_dir: str, id_col: str = "vec_id",
     return meta
 
 
+# per-process reader cache (SegmentIndex's load-once pattern): repeated
+# query batches against the same index skip graph deserialization. Keyed
+# by (dir, _hnsw.json mtime) so a rebuilt index invalidates naturally.
+_GRAPH_CACHE: dict = {}
+
+
+def _load_graphs(index_dir: str, meta: dict):
+    key = (index_dir, os.path.getmtime(os.path.join(index_dir, "_hnsw.json")))
+    got = _GRAPH_CACHE.get(key)
+    if got is None:
+        id_col = meta["id_col"]
+        got = []
+        for s in sorted(meta["sizes"]):
+            d = os.path.join(index_dir, f"seg={s}")
+            vec_t = pq.read_table(os.path.join(d, "vectors.parquet"))
+            adj_t = pq.read_table(os.path.join(d, "graph.parquet"))
+            ids = vec_t[id_col].to_numpy(zero_copy_only=False)
+            got.append((ids, HNSWGraph.from_tables(
+                vec_t.drop_columns([id_col]), adj_t)))
+        _GRAPH_CACHE.clear()  # hold one index per process
+        _GRAPH_CACHE[key] = got
+    return got
+
+
 def knn_hnsw_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
                    ef: int = 64) -> pa.Table:
     """Search every segment graph, merge per-segment top-k.
 
-    Returns (qid, vec_id, sim, rank). Graph files are the only I/O —
-    no corpus scan; per-query work is O(num_segments · ef · M) distance
-    evaluations.
+    Returns (qid, vec_id, sim, rank). Graph files are the only I/O (read
+    once per process via a reader cache) — no corpus scan; per-query work
+    is O(num_segments · ef · M) distance evaluations.
     """
     with open(os.path.join(index_dir, "_hnsw.json")) as f:
         meta = json.load(f)
     id_col = meta["id_col"]
     q = np.asarray(query_vecs, dtype=np.float32)
     per_q: list[list[tuple[float, int]]] = [[] for _ in range(q.shape[0])]
-    for s in sorted(meta["sizes"]):
-        d = os.path.join(index_dir, f"seg={s}")
-        vec_t = pq.read_table(os.path.join(d, "vectors.parquet"))
-        adj_t = pq.read_table(os.path.join(d, "graph.parquet"))
-        ids = vec_t[id_col].to_numpy(zero_copy_only=False)
-        graph = HNSWGraph.from_tables(
-            vec_t.drop_columns([id_col]), adj_t)
+    for ids, graph in _load_graphs(index_dir, meta):
         for qi in range(q.shape[0]):
             loc, sims = graph.search(q[qi], k=k, ef=ef)
             per_q[qi].extend(

@@ -199,9 +199,9 @@ class FrameSampleStage:
             if self.mode == "raw" and p is not None and w and h:
                 fsize = int(w) * int(h) * 3
                 n_frames = max(len(p) // fsize, 1)
+                dur_safe = max(dur or 0, 1)
                 for off in offs:
-                    fi = min(int(off / max(dur, 1) * n_frames),
-                             n_frames - 1)
+                    fi = min(int(off / dur_safe * n_frames), n_frames - 1)
                     frames.append(p[fi * fsize:(fi + 1) * fsize])
             else:
                 frames.extend([None] * n)

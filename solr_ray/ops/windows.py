@@ -70,13 +70,17 @@ def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,
 
 
 def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
-                   agg: str = "mean"):
+                   agg: str = "mean", tie_col: str | None = None):
     """Per-key rolling agg (mean|sum|min|max) over the last n events
-    (ts-ordered). agg="sum" over integer values is exact (no float
-    accumulation), which makes it SQL-oracle-able bit-for-bit."""
+    (ts-ordered; tie_col pins the order of equal timestamps — without it,
+    ties keep stable input order, which no SQL window can reproduce).
+    agg="sum" over integer values is exact (no float accumulation), which
+    makes it SQL-oracle-able bit-for-bit."""
+
+    keys = [ts_col] if tie_col is None else [ts_col, tie_col]
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable").copy()
+        g = g.sort_values(keys, kind="stable").copy()
         r = g[value_col].rolling(n, min_periods=1)
         g[f"rolling_{value_col}"] = getattr(r, agg)()
         return g

@@ -113,8 +113,12 @@ def _unordered_matches_2(ka: np.ndarray, kb: np.ndarray, slop: int,
 def _unordered_matches_k(keys: list[np.ndarray], slop: int, mult: np.int64):
     """k-clause unordered near (k <= 5): anchor on clause 0; for every
     other clause take its nearest occurrence left/right of the anchor and
-    enumerate the 2^(k-1) left/right combos — the optimal window always
-    uses a per-clause nearest occurrence, so the enumeration is exact.
+    enumerate the 2^(k-1) left/right combos — an optimal covering window
+    always uses a per-clause nearest occurrence, so the enumeration is
+    exact UNDER THESE SEMANTICS: each non-anchor clause binds a position
+    strictly different from the anchor's, but two non-anchor clauses MAY
+    bind the same position when they overlap lexically (modern Lucene
+    SpanNearQuery likewise permits overlapping spans in unordered mode).
     Match iff min over combos of (window span) - (k-1) <= slop.
     tf counts qualifying anchor positions."""
     import itertools

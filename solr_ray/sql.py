@@ -322,7 +322,10 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
             raise ValueError("non-grouped bare column in SELECT")
         ds = ds.groupby(plan["group"]).aggregate(
             *[_make_agg(it) for it in aggs])
-        keep = plan["group"] + [_agg_alias(it) for it in aggs]
+        # project in SELECT order: only the SELECTED group keys survive
+        # (an unselected GROUP BY key is dropped, as in SQL)
+        keep = [it["col"] if it["kind"] == "col" else _agg_alias(it)
+                for it in items]
         ds = ds.select_columns(keep)
         # bare-column aliases on group keys
         renames = {it["col"]: it["alias"] for it in items

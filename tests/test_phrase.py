@@ -231,7 +231,9 @@ def test_span_unordered_three_clauses(span_idx):
                 continue
             import itertools
             for combo in itertools.product(*poss):
-                if len(set(combo)) < len(combo):
+                # engine semantics: non-anchor clauses must differ from the
+                # ANCHOR position; they may coincide with each other
+                if any(p == combo[0] for p in combo[1:]):
                     continue
                 if (max(combo) - min(combo)) - (len(clauses) - 1) <= slop:
                     out.add(did)
