@@ -129,6 +129,75 @@ class ImageFeatureStage:
         ).append_column("decode_ok", pa.array(ok, pa.bool_()))
 
 
+def decode_raw_pcm16(payload: bytes) -> np.ndarray:
+    """Raw little-endian 16-bit mono PCM bytes -> float32 samples in
+    [-1, 1)."""
+    if len(payload) % 2:
+        raise ValueError("PCM16 payload has odd byte length")
+    return (np.frombuffer(payload, dtype="<i2").astype(np.float32)
+            / 32768.0)
+
+
+def raw_pcm_features(samples: np.ndarray, sample_rate: int = 16000,
+                     n_bands: int = 8) -> np.ndarray:
+    """Real audio features: RMS energy, zero-crossing rate, spectral
+    centroid (Hz, FFT-based) + normalized band energies.
+    Output dim = 3 + n_bands."""
+    n = samples.size
+    if n == 0:
+        return np.zeros(3 + n_bands, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(samples * samples)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    total = spec.sum()
+    centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    edges = np.linspace(0, spec.size, n_bands + 1).astype(np.int64)
+    bands = np.add.reduceat(spec, edges[:-1])
+    bands = bands / total if total > 0 else bands
+    return np.concatenate([[rms, zcr, centroid],
+                           bands]).astype(np.float32)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: REAL raw-PCM16 decode + DSP features (pure numpy:
+    RMS, zero-crossing rate, FFT spectral centroid, band energies).
+    Compressed audio (mp3/ogg/...) needs codec libs and raises."""
+
+    def __init__(self, payload_col: str = "payload", sample_rate: int = 16000,
+                 n_bands: int = 8, decoder: str = "raw"):
+        if decoder == "librosa":
+            raise NotImplementedError(
+                "librosa not available in this environment; use "
+                "decoder='raw' (uncompressed PCM16)")
+        if decoder != "raw":
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.payload_col = payload_col
+        self.sample_rate = sample_rate
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dim = 3 + self.n_bands
+        feats, ok = [], []
+        for p in batch[self.payload_col].to_pylist():
+            if p is None:
+                feats.append([0.0] * dim)
+                ok.append(False)
+                continue
+            try:
+                s = decode_raw_pcm16(p)
+            except ValueError:
+                feats.append([0.0] * dim)
+                ok.append(False)
+                continue
+            feats.append(raw_pcm_features(
+                s, self.sample_rate, self.n_bands).tolist())
+            ok.append(True)
+        return batch.append_column(
+            "audio_feature", pa.array(feats, pa.list_(pa.float32()))
+        ).append_column("decode_ok", pa.array(ok, pa.bool_()))
+
+
 class ImageResizeStage:
     """Resize stage. mode="raw": REAL nearest-neighbor resample of raw RGB
     payloads (pixels re-encoded, metadata rewritten). mode="stub": passes

@@ -610,3 +610,38 @@ def test_raw_video_frame_sampling(ray_session):
     for _, r in out.iterrows():
         fi = min(int(r.frame_offset_ms / 5000 * n_frames), n_frames - 1)
         assert r.frame == frames[fi].tobytes()
+
+
+def test_raw_pcm_audio_features(ray_session):
+    import numpy as np
+    import ray.data
+
+    from solr_ray.ops.multimodal import (
+        AudioFeatureStage, decode_raw_pcm16, raw_pcm_features)
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    # pure 440 Hz tone at half amplitude
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t))
+    pcm = (tone * 32768.0).astype("<i2").tobytes()
+
+    s = decode_raw_pcm16(pcm)
+    assert abs(s.max() - 0.5) < 0.01
+    f = raw_pcm_features(s, sr, n_bands=8)
+    rms, zcr, centroid = f[0], f[1], f[2]
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01      # sine RMS = A/sqrt(2)
+    assert abs(centroid - 440.0) < 10.0            # spectral peak at 440 Hz
+    assert abs(zcr - 2 * 440 / sr) < 0.01          # 2 crossings per cycle
+    assert abs(f[3:].sum() - 1.0) < 1e-4           # band energies normalized
+
+    with pytest.raises(ValueError):
+        decode_raw_pcm16(b"\x00\x01\x02")           # odd length
+
+    ds = ray.data.from_items([
+        {"media_id": 0, "payload": pcm},
+        {"media_id": 1, "payload": None},
+    ])
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out.decode_ok.tolist() == [True, False]
+    assert len(out.audio_feature[0]) == 11
