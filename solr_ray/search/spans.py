@@ -175,25 +175,20 @@ def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
     if not in_order and len(clauses) > 5:
         raise ValueError("unordered span supports at most 5 clauses")
 
-    # pass 1: per-segment clause keys + exact union dfs (segments partition
-    # the doc space, so per-segment union counts sum exactly)
-    per_seg = []
+    # pass 1 (one decode per segment): matches + exact union dfs. Only the
+    # tiny per-segment MATCH arrays are retained — the decoded position
+    # keys die with each loop iteration, so memory stays O(matches), not
+    # O(total clause postings). The global idf (needing every segment's df
+    # contribution) prices the matches in pass 2.
     union_df = np.zeros(len(clauses), dtype=np.int64)
+    tomb = reader.tombstones
+    matches = []  # (seg, ids, tfs)
     for seg in reader.segments:
         mult = np.int64(int(seg.dl.max(initial=0)) + len(clauses) + 2)
         keys = [_clause_keys(seg, c, mult) for c in clauses]
         for ci, kk in enumerate(keys):
             if kk.size:
                 union_df[ci] += np.unique(kk // mult).size
-        per_seg.append((seg, mult, keys))
-    if (union_df == 0).any():
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    span_idf = float(sum(
-        bm25_idf(int(df), reader.n_docs) for df in union_df))
-
-    tomb = reader.tombstones
-    all_ids, all_sc = [], []
-    for seg, mult, keys in per_seg:
         if any(kk.size == 0 for kk in keys):
             continue
         if in_order:
@@ -207,14 +202,21 @@ def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
         if tomb.size:
             live = ~np.isin(ids, tomb)
             ids, tfs = ids[live], tfs[live]
+        if ids.size:
+            matches.append((seg, ids, tfs))
+    if (union_df == 0).any() or not matches:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    span_idf = float(sum(
+        bm25_idf(int(df), reader.n_docs) for df in union_df))
+
+    all_ids, all_sc = [], []
+    for seg, ids, tfs in matches:
         tfs = tfs.astype(np.float64)
         d = seg.dl[ids - seg.doc_base].astype(np.float64)
         sc = span_idf * (tfs / (tfs + reader.k1 * (
             1.0 - reader.b + reader.b * d / reader.avgdl)))
         all_ids.append(ids)
         all_sc.append(sc)
-    if not all_ids:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
     ids = np.concatenate(all_ids)
     sc = np.concatenate(all_sc)
     order = np.lexsort((ids, -sc))[:k]
