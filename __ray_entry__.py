@@ -1072,7 +1072,10 @@ def _q_cursor_page2(sf_dir: str):
 
 
 def _q_highlight(sf_dir: str):
-    """Rows-only: BM25 top-10 for one query with <em>-tagged snippets."""
+    """BM25 top-10 for one query with <em>-tagged snippets, SQL-oracled:
+    with the whitespace analyzer, snippet selection (best 30-token window
+    by distinct query-term hits, first-best wins) and <em> wrapping are
+    pure string/window operations DuckDB reproduces exactly."""
     import pyarrow.parquet as pq
 
     import ray.data
@@ -1089,7 +1092,19 @@ def _q_highlight(sf_dir: str):
     docs = pq.read_table(_tbl(sf_dir, "documents"),
                          columns=["doc_id", "text"]).to_pandas()
     # result doc_id is the internal id == zero-padded-url order == doc_id
-    return highlight_results(res, docs, q, analyzer="whitespace")
+    out = highlight_results(res, docs, q, analyzer="whitespace")
+
+    def finish(t: pa.Table) -> pa.Table:
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5))
+        return pa.table({
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": t["doc_id"],
+            "score_r": score_r,
+            "snippet": t["snippet"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_mlt(sf_dir: str):
@@ -1830,6 +1845,78 @@ ORDER BY "count" DESC, lang LIMIT 10
             "                  + 0.1 * r.score, 0.0)"
             " + 0.75 * GREATEST(1.0 + -50.0 * (1.0 / (1.0 + d.n_chars))"
             "                   + 0.2 * r.score, 0.0))"),
+        "highlight": """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tfq AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+  WHERE tok IN ('table', 'scan') GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         SUM(LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (t.tf / (t.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / c.avgdl)))) AS score
+  FROM tfq t JOIN df USING (term) JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN corpus c GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+top AS (SELECT doc_id, score, rank FROM ranked WHERE rank <= 10),
+tok AS (
+  SELECT d.doc_id, u.i, d.toks[u.i] AS w,
+         d.toks[u.i] IN ('table', 'scan') AS hit, len(d.toks) AS n
+  FROM docs d JOIN top USING (doc_id),
+       UNNEST(range(1, len(d.toks) + 1)) AS u(i)
+),
+hits AS (SELECT doc_id, i AS p, n FROM tok WHERE hit),
+windows AS (
+  SELECT h.doc_id, h.p, GREATEST(0, LEAST(h.p - 1, h.n - 30)) AS lo
+  FROM hits h WHERE h.n > 30
+),
+win_scored AS (
+  SELECT w.doc_id, w.p, w.lo,
+         (SELECT COUNT(DISTINCT t.w) FROM tok t
+          WHERE t.doc_id = w.doc_id AND t.hit
+            AND t.i BETWEEN w.lo + 1 AND w.lo + 30) AS cnt
+  FROM windows w
+),
+best AS (
+  SELECT doc_id, lo FROM (
+    SELECT doc_id, lo, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY cnt DESC, p ASC) AS rn
+    FROM win_scored) WHERE rn = 1
+),
+choice AS (
+  SELECT h.doc_id, CASE WHEN h.n <= 30 THEN 0 ELSE b.lo END AS lo, h.n
+  FROM (SELECT DISTINCT doc_id, n FROM hits) h
+  LEFT JOIN best b USING (doc_id)
+),
+snip AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN t.hit THEN '<em>' || t.w || '</em>'
+                         ELSE t.w END, ' ' ORDER BY t.i) AS snippet
+  FROM choice c JOIN tok t ON t.doc_id = c.doc_id
+    AND t.i BETWEEN c.lo + 1 AND LEAST(c.n, c.lo + 30)
+  GROUP BY c.doc_id
+)
+SELECT top.rank, top.doc_id, FLOOR(top.score * 1e5) / 1e5 AS score_r,
+       COALESCE(s.snippet, '') AS snippet
+FROM top LEFT JOIN snip s USING (doc_id)
+""",
         "mlt": """
 WITH docs AS (
   SELECT doc_id,
