@@ -282,8 +282,20 @@ class IndexReader:
         deterministic accumulation order shared with the oracle."""
         return sorted(set(self.analyzer.tokenize_text(text)))
 
-    def search(self, text: str, k: int = 10, mode: str = "taat"):
-        """One query across this reader's segments -> (doc_ids, scores)."""
+    def search(self, text: str, k: int = 10, mode: str = "taat",
+               time_allowed_ms: float | None = None):
+        """One query across this reader's segments -> (doc_ids, scores).
+
+        time_allowed_ms mirrors Solr's timeAllowed partial-results contract
+        (SolrIndexSearcher + ExitableDirectoryReader semantics): the budget
+        is checked between SEGMENTS; once exceeded, remaining segments are
+        skipped and the (exact-so-far) partial top-k is returned.
+        `self.partial_results` reports whether the last search timed out."""
+        import time as _time
+
+        deadline = (_time.monotonic() + time_allowed_ms / 1e3
+                    if time_allowed_ms is not None else None)
+        self.partial_results = False
         terms = [t for t in self.query_terms(text) if self.global_df.get(t)]
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -294,6 +306,9 @@ class IndexReader:
         all_scores: list[np.ndarray] = []
         tomb = self.tombstones
         for seg in self.segments:
+            if deadline is not None and _time.monotonic() > deadline:
+                self.partial_results = True
+                break
             # deleted docs may occupy top slots: ask each segment for
             # k + (its tombstone count) and filter — exact top-k of live docs
             n_dead = 0

@@ -171,3 +171,20 @@ def test_resume_skips_and_rebuilds(pages_300_path, tmp_path, queries_40):
     shutil.rmtree(os.path.join(out, "stats"))
     man4 = build_index(pages_300_path, out, analyzer="text_general", num_buckets=NB)
     assert man4["metrics"]["skipped_segments"] == 0
+
+
+def test_time_allowed_partial_results(index_dir, queries_40):
+    """timeAllowed semantics: a zero budget returns partial (empty) results
+    with the flag set; a generous budget returns full results, flag clear."""
+    reader = IndexReader(index_dir)
+    text = queries_40["text"].to_pylist()[0]
+    full_ids, full_sc = reader.search(text, 10)
+    assert reader.partial_results is False
+
+    ids, sc = reader.search(text, 10, time_allowed_ms=0.0)
+    assert reader.partial_results is True
+    assert ids.size == 0  # budget exhausted before the first segment
+
+    ids2, sc2 = reader.search(text, 10, time_allowed_ms=60_000.0)
+    assert reader.partial_results is False
+    assert np.array_equal(ids2, full_ids) and np.array_equal(sc2, full_sc)
