@@ -23,24 +23,15 @@ BLOCK_SIZE = 128
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+    """LEB128-encode a uint64 array, vectorized (shares the bandwidth-lean
+    kernel with the segment builder: one searchsorted pass for byte counts,
+    uint32 arithmetic when values allow, unmasked first byte)."""
+    from solr_ray.stages.segment import _varint_encode_flat, _varint_nbytes
+
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
-    nb = np.ones(v.size, dtype=np.int64)
-    for shift in range(7, 64, 7):
-        nb += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
-    offsets = np.zeros(v.size, dtype=np.int64)
-    np.cumsum(nb[:-1], out=offsets[1:])
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    max_nb = int(nb.max())
-    for k in range(max_nb):
-        mask = nb > k
-        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
-        out[offsets[mask] + k] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return _varint_encode_flat(v, _varint_nbytes(v)).tobytes()
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
