@@ -134,6 +134,11 @@ def run_bench() -> None:
     from solr_ray.fixtures import gen_queries, pages_path
 
     pages_path(BENCH_BASE_DOCS)  # fixture generation outside timed sections
+    # flush pending writeback + settle before timing (single-host runs are
+    # otherwise polluted by whatever ran just before; measured ±15-40%)
+    shutil.rmtree("/tmp/solr_ray_bench/headline_idx", ignore_errors=True)
+    os.sync()
+    time.sleep(10)
     ray = _init_ray(num_cpus)
     import numpy as np
     import ray.data
