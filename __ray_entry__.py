@@ -1438,6 +1438,26 @@ def _q_knn_hnsw(sf_dir: str):
     return knn_hnsw_index(idx, qvecs, k=5, ef=64)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """Rows-only (ANN is approximate): IVF index — spherical k-means
+    coarse quantizer, vectors partitioned by nearest centroid, queries
+    probe only the closest lists; pytest asserts recall + I/O pruning."""
+    import pyarrow.parquet as pq
+
+    from solr_ray.ops.ivf import build_ivf_index, knn_ivf_index
+
+    idx = _idx_dir(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "_ivf.json")):
+        build_ivf_index(_read(sf_dir, "embeddings"), idx,
+                        id_col="vec_id", vec_col="embedding", n_lists=8,
+                        train_sample=5000)
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qrows = emb.filter(pc.less(emb["vec_id"], pa.scalar(5))).sort_by("vec_id")
+    qvecs = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in qrows["embedding"].to_pylist()])
+    return knn_ivf_index(idx, qvecs, k=5, nprobe=3)
+
+
 def _q_hll_users(sf_dir: str):
     from solr_ray.functions.aggregates import approx_distinct
 
@@ -1469,6 +1489,33 @@ def _q_media_features(sf_dir: str):
     out = media_features(media, concurrency=2, payload_col="payload",
                          dim=14, decoder="raw")
     return out.select_columns(["doc_id", "feature"])
+
+
+def _q_audio_features(sf_dir: str):
+    """Multimodal audio: deterministic synthetic PCM16 tones derived from
+    doc_id, REAL DSP features (RMS / zero-crossings / spectral centroid /
+    band energies) via the actor-pool stage — pure-numpy decode, no stub."""
+    from solr_ray.ops.multimodal import AudioFeatureStage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    SR = 8000
+
+    def to_audio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = SR // 4  # 250 ms per clip
+        ts = np.arange(n, dtype=np.float64) / SR
+        payloads = []
+        for d in ids:
+            freq = 100.0 + (int(d) % 50) * 20.0
+            tone = 0.4 * np.sin(2.0 * np.pi * freq * ts)
+            payloads.append((tone * 32768.0).astype("<i2").tobytes())
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    out = docs.map_batches(to_audio, batch_format="pyarrow").map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"sample_rate": SR})
+    return out.select_columns(["doc_id", "audio_feature"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1550,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "knn_hnsw": _q_knn_hnsw,
+        "knn_ivf": _q_knn_ivf,
         # scalar / aggregate functions
         "scale_acctbal": _q_scale_acctbal,
         "hll_users": _q_hll_users,
@@ -1558,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
     }
 
 
