@@ -33,11 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _normalize(m: np.ndarray) -> np.ndarray:
-    m = np.asarray(m, dtype=np.float32)
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return m / n
+from solr_ray.ops.similarity import l2_normalize as _normalize
 
 
 class HNSWGraph:

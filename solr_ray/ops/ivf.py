@@ -25,11 +25,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _normalize(m: np.ndarray) -> np.ndarray:
-    m = np.asarray(m, dtype=np.float32)
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return m / n
+from solr_ray.ops.similarity import l2_normalize as _normalize
 
 
 def kmeans_fit(sample: np.ndarray, n_lists: int, n_iters: int = 15,
@@ -46,12 +42,16 @@ def kmeans_fit(sample: np.ndarray, n_lists: int, n_iters: int = 15,
     for _ in range(n_iters):
         sims = x @ cent.T                     # (n, k)
         assign = np.argmax(sims, axis=1)
+        # reseed each dead list with a DISTINCT worst-covered point
+        # (successive points by ascending best-sim) — reseeding them all
+        # with the same farthest point would keep the duplicates dead
+        worst = iter(np.argsort(sims.max(axis=1)))
         for j in range(n_lists):
             m = assign == j
             if m.any():
                 cent[j] = x[m].mean(axis=0)
-            else:                              # dead list: reseed farthest
-                cent[j] = x[int(np.argmin(sims.max(axis=1)))]
+            else:
+                cent[j] = x[int(next(worst))]
         cent = _normalize(cent)
     return cent
 
@@ -64,6 +64,13 @@ def build_ivf_index(ds, out_dir: str, id_col: str = "vec_id",
     the only driver-side work and is O(train_sample · n_lists · dim)."""
     import ray
     import ray.data  # noqa: F401
+
+    import shutil
+
+    # fresh-build semantics: partitioned write APPENDS into existing
+    # list=<j>/ dirs, so a crashed/stale build must not leak into this one
+    # (_ivf.json is written LAST as the commit marker)
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     rows = ds.select_columns([vec_col]).limit(train_sample).take_all()
     sample = np.stack([np.asarray(r[vec_col], dtype=np.float32)
@@ -127,7 +134,14 @@ def knn_ivf_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
         sims = q[qi_here] @ vecs.T            # (nq_here, n_in_list)
         for row_i, qi in enumerate(qi_here):
             s = sims[row_i]
-            top = np.argsort(-s)[:k]
+            if s.size > k:
+                # keep EVERY candidate tied at the k-th boundary (the
+                # repo-wide top-k invariant) — the final (-sim, id) sort
+                # breaks ties deterministically
+                kth = -np.partition(-s, k - 1)[k - 1]
+                top = np.flatnonzero(s >= kth)
+            else:
+                top = np.arange(s.size)
             per_q[qi].extend(
                 (float(s[t_]), int(ids[t_])) for t_ in top)
 

@@ -152,6 +152,10 @@ def raw_pcm_features(samples: np.ndarray, sample_rate: int = 16000,
     freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
     total = spec.sum()
     centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    if spec.size < n_bands:
+        # clips shorter than n_bands spectrum bins: pad so reduceat edges
+        # stay distinct (duplicate edges double-count bins)
+        spec = np.pad(spec, (0, n_bands - spec.size))
     edges = np.linspace(0, spec.size, n_bands + 1).astype(np.int64)
     bands = np.add.reduceat(spec, edges[:-1])
     bands = bands / total if total > 0 else bands

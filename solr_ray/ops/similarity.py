@@ -21,10 +21,16 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _l2_normalize(m: np.ndarray) -> np.ndarray:
+def l2_normalize(m: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization with a zero-norm guard (float32 in/out).
+    The ONE copy shared by all ANN modules (similarity / hnsw / ivf)."""
+    m = np.asarray(m, dtype=np.float32)
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+_l2_normalize = l2_normalize  # internal alias, existing call sites
 
 
 def _vec_matrix(col) -> np.ndarray:

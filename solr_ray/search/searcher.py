@@ -268,6 +268,9 @@ class IndexReader:
         from solr_ray.state.tombstones import read_tombstones
 
         self.tombstones = read_tombstones(index_dir)
+        # timeAllowed flag (updated ONLY by search(); other query paths
+        # don't take a budget and leave it untouched)
+        self.partial_results = False
         # global df: exact-stats table (term -> df across ALL segments)
         self.global_df: dict[str, int] = {}
         stats_dir = os.path.join(index_dir, "stats")

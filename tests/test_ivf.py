@@ -66,3 +66,33 @@ def test_ivf_index_recall_and_pruning(ray_session, tmp_path):
         truth = set(_brute_topk(vecs, queries[qi], 10).tolist())
         hits += len(truth & set(res_all[res_all.qid == qi].vec_id))
     assert hits == 100
+
+
+def test_kmeans_dead_lists_get_distinct_reseeds():
+    """More lists than natural clusters: reseeded centroids must be
+    distinct, so every list stays usable."""
+    rng = np.random.default_rng(2)
+    # 2 tight blobs, 8 lists -> several dead lists per iteration
+    centers = rng.standard_normal((2, 8)) * 5.0
+    x = (centers[rng.integers(0, 2, 200)]
+         + 0.01 * rng.standard_normal((200, 8))).astype(np.float32)
+    cent = kmeans_fit(x, 8, n_iters=8)
+    # reseeds draw DISTINCT worst-covered points, so no two centroids are
+    # bit-identical (near-identical is legitimate for tight blobs)
+    assert np.unique(cent, axis=0).shape[0] == 8
+
+
+def test_rebuild_replaces_stale_partitions(ray_session, tmp_path):
+    import ray.data
+
+    n, d = 400, 8
+    vecs = _clustered_vectors(n, d, n_clusters=4, seed=3)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    out = str(tmp_path / "ivf2")
+    build_ivf_index(ds, out, n_lists=4, train_sample=400)
+    build_ivf_index(ds, out, n_lists=4, train_sample=400)  # rebuild
+    res = knn_ivf_index(out, vecs[:1], k=5, nprobe=4).to_pandas()
+    assert res.vec_id.is_unique  # no duplicate rows from stale partitions
