@@ -1491,6 +1491,19 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["doc_id", "feature"])
 
 
+def _q_interval_facet(sf_dir: str):
+    """facet.interval over events.value: overlapping arbitrary brackets
+    [0,50], (50,200], [100,*) — a row counts in EVERY containing interval
+    (unlike range facets)."""
+    from solr_ray.ops.grouping import facet_interval
+
+    return facet_interval(
+        _read(sf_dir, "events", columns=["value"]), "value",
+        [("a_low", 0.0, 50.0, True, True),
+         ("b_mid", 50.0, 200.0, False, True),
+         ("c_high", 100.0, None, True, False)])
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio: deterministic synthetic PCM16 tones derived from
     doc_id, REAL DSP features (RMS / zero-crossings / spectral centroid /
@@ -1532,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregation / faceting
         "pricing_summary": _q_pricing_summary,
         "facet_lang": _q_facet_lang,
+        "interval_facet": _q_interval_facet,
         "facet_range_value": _q_facet_range_value,
         "facet_on_query": _q_facet_on_query,
         "json_facet_lang": _q_json_facet,
@@ -2147,6 +2161,15 @@ strs AS (
 )
 SELECT d.doc_id, md5(COALESCE(s.profile, '')) AS sig
 FROM documents d LEFT JOIN strs s USING (doc_id)
+""",
+        "interval_facet": """
+SELECT interval, CAST(COUNT(*) AS BIGINT) AS "count" FROM (
+  SELECT 'a_low' AS interval FROM events WHERE value >= 0.0 AND value <= 50.0
+  UNION ALL
+  SELECT 'b_mid' FROM events WHERE value > 50.0 AND value <= 200.0
+  UNION ALL
+  SELECT 'c_high' FROM events WHERE value >= 100.0
+) GROUP BY interval ORDER BY interval
 """,
         "facet_range_value": """
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n

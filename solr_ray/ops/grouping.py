@@ -88,6 +88,41 @@ def facet_range(ds, field: str, start, end, gap, agg_field: str | None = None):
     return g.count().sort("bucket_start")
 
 
+def facet_interval(ds, field: str, intervals: list[tuple]):
+    """Interval facet (facet.interval / IntervalFacets): count rows per
+    ARBITRARY interval, Solr bracket syntax semantics — each interval is
+    (label, lo, hi, include_lo, include_hi); intervals may overlap (a row
+    counts in every interval containing it), unlike range facets.
+
+    One vectorized comparison pass per interval per batch; the per-batch
+    partial counts are the combiner, the groupby ships only
+    (label, partial) rows.
+    """
+    spec = [(str(lb), lo, hi, bool(il), bool(ih))
+            for lb, lo, hi, il, ih in intervals]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        labels, counts = [], []
+        for lb, lo, hi, il, ih in spec:
+            m = np.ones(v.size, dtype=bool)
+            if lo is not None:
+                m &= (v >= lo) if il else (v > lo)
+            if hi is not None:
+                m &= (v <= hi) if ih else (v < hi)
+            labels.append(lb)
+            counts.append(int(m.sum()))
+        return pa.table({"interval": pa.array(labels, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("interval")
+            .aggregate(Sum("n", alias_name="count"))
+            .sort("interval"))
+
+
 def pivot_facet(ds, fields: list[str], limit: int = 100):
     """Pivot facet (PivotFacet*.java): nested value combination counts."""
     return (

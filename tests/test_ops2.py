@@ -215,3 +215,20 @@ def test_new_scalar_functions():
     assert FUNCTIONS["sequence"](4, 2, 3).to_pylist() == [[2, 5, 8, 11]]
     h = FUNCTIONS["murmur3"](pa.array(["a", "b", "a"])).to_pylist()
     assert h[0] == h[2] and h[0] != h[1]
+
+
+def test_interval_facet_overlap_and_brackets(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.grouping import facet_interval
+
+    ds = ray.data.from_arrow(pa.table({"v": [0.0, 50.0, 50.5, 100.0, 250.0]}))
+    out = facet_interval(ds, "v", [
+        ("closed", 0.0, 50.0, True, True),     # [0, 50]   -> 0, 50
+        ("open_lo", 50.0, 200.0, False, True), # (50, 200] -> 50.5, 100
+        ("unbounded", 100.0, None, True, False),  # [100, *) -> 100, 250
+    ]).to_pandas().set_index("interval")["count"]
+    assert out["closed"] == 2
+    assert out["open_lo"] == 2
+    assert out["unbounded"] == 2  # 100 counts here AND in open_lo (overlap)
