@@ -237,6 +237,14 @@ def _empty_list(n_rows: int, dict_encode: bool) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), empty)
 
 
+def _empty_tf(n_rows: int):
+    e = _empty_list(n_rows, True)
+    tf = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n_rows + 1, dtype=np.int64), type=pa.int32()),
+        pa.array([], type=pa.int32()))
+    return e, tf
+
+
 def _finish_fast_impl(az: "Analyzer", texts, flat, counts, dict_encode):
     """Shared tail of the fast tokenizer: map unique pseudo-tokens to their
     cached output-term code sequences (registry codes), then rebuild the
@@ -244,7 +252,8 @@ def _finish_fast_impl(az: "Analyzer", texts, flat, counts, dict_encode):
     dictionary is one arrow `take` from the registry — no per-batch
     python-string dedup."""
     if not flat:
-        return _empty_list(len(texts), dict_encode)
+        return (_empty_tf(len(texts)) if dict_encode == "tf"
+                else _empty_list(len(texts), dict_encode))
     flat_arr = pa.array(flat, type=pa.string())
     dict_arr = flat_arr.dictionary_encode()
     uniques = dict_arr.dictionary.to_pylist()
@@ -252,7 +261,8 @@ def _finish_fast_impl(az: "Analyzer", texts, flat, counts, dict_encode):
     lens_u = np.array([e.size for e in exps], dtype=np.int64)
     n_rows = len(texts)
     if not lens_u.any():
-        return _empty_list(n_rows, dict_encode)
+        return (_empty_tf(n_rows) if dict_encode == "tf"
+                else _empty_list(n_rows, dict_encode))
     all_codes = np.concatenate(exps) if len(exps) > 1 else exps[0]
     # local (batch) dictionary: distinct global codes, remapped via
     # searchsorted — int ops only
@@ -277,6 +287,34 @@ def _finish_fast_impl(az: "Analyzer", texts, flat, counts, dict_encode):
     np.cumsum(new_counts, out=offsets[1:])
 
     batch_dict = az._registry().take(pa.array(uniq_g))
+    if dict_encode == "tf":
+        # doc-level tf pre-aggregation (positions-free builds): dedupe
+        # (row, code) pairs so the shuffle ships one entry per distinct
+        # term per doc with its tf, not one per token. One int sort per
+        # batch; code order within a doc becomes ascending (irrelevant
+        # without positions — the segment builder re-sorts by term rank).
+        nu = np.int64(uniq_g.size)
+        row_flat = np.repeat(np.arange(n_rows, dtype=np.int64), new_counts)
+        k2 = row_flat * nu + flat_codes
+        k2.sort(kind="stable")
+        starts2 = np.flatnonzero(np.diff(k2, prepend=k2[0] - 1))
+        ku = k2[starts2]
+        tfs = np.empty(starts2.size, dtype=np.int64)
+        tfs[:-1] = np.diff(starts2)
+        tfs[-1] = k2.size - starts2[-1]
+        dedup_codes = (ku % nu).astype(np.int32)
+        dedup_rows = ku // nu
+        d_counts = np.bincount(dedup_rows, minlength=n_rows)
+        d_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(d_counts, out=d_offsets[1:])
+        values = pa.DictionaryArray.from_arrays(
+            pa.array(dedup_codes, type=pa.int32()), batch_dict)
+        toks_arr = pa.ListArray.from_arrays(
+            pa.array(d_offsets, type=pa.int32()), values)
+        tfs_arr = pa.ListArray.from_arrays(
+            pa.array(d_offsets, type=pa.int32()),
+            pa.array(tfs.astype(np.int32), type=pa.int32()))
+        return toks_arr, tfs_arr
     if dict_encode:
         values = pa.DictionaryArray.from_arrays(
             pa.array(flat_codes.astype(np.int32), type=pa.int32()),
@@ -371,11 +409,19 @@ def process_analyzer(name: str) -> Analyzer:
 
 def analyze_batch(
     batch: pa.Table, text_col: str = "text", analyzer: str = "text_en",
-    out_col: str = "tokens", dict_encode: bool = False,
+    out_col: str = "tokens", dict_encode=False,
 ) -> pa.Table:
-    """Stateless-task map_batches body with process-cached analyzer state."""
+    """Stateless-task map_batches body with process-cached analyzer state.
+
+    dict_encode: False (list<string>), True (list<dict<int32,string>>), or
+    "tf" (doc-level tf pre-aggregation: `tokens` deduped codes + `tfs`
+    list<int32> — the positions-free index-build payload)."""
     az = process_analyzer(analyzer)
-    toks = az.tokenize_array(batch[text_col], dict_encode=dict_encode)
-    if out_col in batch.column_names:
-        batch = batch.drop_columns([out_col])
-    return batch.append_column(out_col, toks)
+    out = az.tokenize_array(batch[text_col], dict_encode=dict_encode)
+    drop = [c for c in (out_col, "tfs") if c in batch.column_names]
+    if drop:
+        batch = batch.drop_columns(drop)
+    if isinstance(out, tuple):
+        return (batch.append_column(out_col, out[0])
+                .append_column("tfs", out[1]))
+    return batch.append_column(out_col, out)

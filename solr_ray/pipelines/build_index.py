@@ -4,10 +4,11 @@ The Ray-Data-native counterpart of the reference's ingest path (§3.1 of
 SURVEY.md: loader -> update-processor chain -> hash routing
 (CompositeIdRouter.java:136-148) -> per-shard IndexWriter flush -> commit):
 
-  pass 1  read -> extract_html -> analyze -> materialize (url, tokens,
-          bucket); per-bucket counts -> doc_id offsets (no second read of
-          the raw corpus) -> groupby(bucket) push-based shuffle -> segment
-          build (one immutable segment dir per bucket, manifest-checkpointed)
+  pass 1  read -> extract_html -> analyze (dict-encoded token codes; tf
+          pre-aggregated per doc when positions are off) -> materialize ->
+          per-bucket counts -> doc_id offsets (no second read of the raw
+          corpus) -> groupby(bucket) push-based shuffle -> segment build
+          (one immutable segment dir per bucket, manifest-checkpointed)
   pass 2  per-segment (term, df, cf) partials -> groupby(term).sum -> stats
   publish corpus.json + index.json manifest (the "commit")
 
@@ -215,13 +216,18 @@ def build_index(
             extract_batch, batch_format="pyarrow", zero_copy_batch=True,
         )
     az_name = analyzer
-    keep = ["url", "tokens", *stored_cols]
+    # positions-free builds pre-aggregate per-doc tfs at ANALYZE time
+    # ("tf" mode): the bucket shuffle then ships one (code, tf) entry per
+    # distinct term per doc (~20% fewer entries on web text) and the
+    # segment builder skips tf run-length aggregation entirely
+    enc_mode = True if store_positions else "tf"
+    keep = ["url", "tokens", "tfs", *stored_cols]
 
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
         # stateless tasks (elastic, no CPU reservation); analyzer state is
         # process-cached (analysis/chain.py:process_analyzer)
         tune_worker_gc()
-        t = analyze_batch(t, "text", az_name, dict_encode=True)
+        t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", num_buckets)
 
@@ -384,12 +390,13 @@ def append_to_index(
             extract_batch, batch_format="pyarrow", zero_copy_batch=True,
         )
     az_name = analyzer
-
-    keep = ["url", "tokens", *stored_cols]
+    store_positions = bool(manifest.get("store_positions"))
+    enc_mode = True if store_positions else "tf"
+    keep = ["url", "tokens", "tfs", *stored_cols]
 
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
         tune_worker_gc()
-        t = analyze_batch(t, "text", az_name, dict_encode=True)
+        t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", nb)
 

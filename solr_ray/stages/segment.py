@@ -182,7 +182,20 @@ def build_segment_tables(
     flat_terms = toks.flatten()
     parent = np.repeat(np.arange(n, dtype=np.int64), counts)
 
-    dl = counts.astype(np.int64)
+    # tf mode: the analyze stage pre-aggregated per-doc term frequencies
+    # ("tfs" column parallel to the deduped token codes) — the flat stream
+    # is one entry per (doc, term), and dl = sum of tfs, not list length
+    tf_mode = "tfs" in group.column_names and not store_positions
+    if tf_mode:
+        tfs_l = (group["tfs"].combine_chunks()
+                 if isinstance(group["tfs"], pa.ChunkedArray)
+                 else group["tfs"])
+        flat_tfs = tfs_l.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dl = np.bincount(parent, weights=flat_tfs,
+                         minlength=n).astype(np.int64)
+    else:
+        dl = counts.astype(np.int64)
 
     if len(flat_terms) == 0:
         postings = encode_postings_columns(
@@ -223,23 +236,38 @@ def build_segment_tables(
         codes_flat = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         rank_flat = inv[codes_flat]
         key = rank_flat * np.int64(n) + parent
-        if len(vocab) * n < 2**31:
-            key = key.astype(np.int32)  # halves sort bandwidth
-        if store_positions:
-            # positions need the permutation, and stability keeps equal keys
-            # (same term+doc) in stream order == position order
-            order = np.argsort(key, kind="stable")
-            ks = key[order].astype(np.int64)
+        if tf_mode:
+            # entries are already unique per (doc, term): pack the tf into
+            # the key's low 16 bits so ONE np.sort yields postings AND tfs
+            # (no permutation array); fall back to argsort for huge tfs
+            tf_max = int(flat_tfs.max(initial=0))
+            if tf_max < 65536 and len(vocab) * n < 2**46:
+                k2 = key * np.int64(65536) + flat_tfs
+                k2.sort()
+                ks_u = k2 >> np.int64(16)
+                tfs_f = (k2 & np.int64(0xFFFF))
+            else:
+                o2 = np.argsort(key)
+                ks_u = key[o2]
+                tfs_f = flat_tfs[o2]
         else:
-            # only the sorted keys are needed: tf = run length, and
-            # (term-rank, doc) decompose from the key arithmetic
-            order = None
-            ks = np.sort(key).astype(np.int64)
-        run_start = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
-        ks_u = ks[run_start]
-        tfs_f = np.empty(run_start.size, dtype=np.int64)
-        tfs_f[:-1] = np.diff(run_start)
-        tfs_f[-1] = ks.size - run_start[-1]
+            if len(vocab) * n < 2**31:
+                key = key.astype(np.int32)  # halves sort bandwidth
+            if store_positions:
+                # positions need the permutation, and stability keeps equal
+                # keys (same term+doc) in stream order == position order
+                order = np.argsort(key, kind="stable")
+                ks = key[order].astype(np.int64)
+            else:
+                # only the sorted keys are needed: tf = run length, and
+                # (term-rank, doc) decompose from the key arithmetic
+                order = None
+                ks = np.sort(key).astype(np.int64)
+            run_start = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
+            ks_u = ks[run_start]
+            tfs_f = np.empty(run_start.size, dtype=np.int64)
+            tfs_f[:-1] = np.diff(run_start)
+            tfs_f[-1] = ks.size - run_start[-1]
         did_local = ks_u % np.int64(n)
         did_f = did_local + doc_id_offset
         ranks_f = ks_u // np.int64(n)
