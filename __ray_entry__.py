@@ -2163,13 +2163,18 @@ SELECT d.doc_id, md5(COALESCE(s.profile, '')) AS sig
 FROM documents d LEFT JOIN strs s USING (doc_id)
 """,
         "interval_facet": """
-SELECT interval, CAST(COUNT(*) AS BIGINT) AS "count" FROM (
-  SELECT 'a_low' AS interval FROM events WHERE value >= 0.0 AND value <= 50.0
-  UNION ALL
-  SELECT 'b_mid' FROM events WHERE value > 50.0 AND value <= 200.0
-  UNION ALL
-  SELECT 'c_high' FROM events WHERE value >= 100.0
-) GROUP BY interval ORDER BY interval
+SELECT 'a_low' AS interval,
+       CAST((SELECT COUNT(*) FROM events
+             WHERE value >= 0.0 AND value <= 50.0) AS BIGINT) AS "count"
+UNION ALL
+SELECT 'b_mid',
+       CAST((SELECT COUNT(*) FROM events
+             WHERE value > 50.0 AND value <= 200.0) AS BIGINT)
+UNION ALL
+SELECT 'c_high',
+       CAST((SELECT COUNT(*) FROM events
+             WHERE value >= 100.0) AS BIGINT)
+ORDER BY interval
 """,
         "facet_range_value": """
 SELECT FLOOR(value / 50.0) * 50.0 AS bucket_start, COUNT(*) AS n

@@ -140,7 +140,8 @@ class Analyzer:
     # ---- vectorized batch path ----
 
     def tokenize_array(
-        self, col: pa.Array | pa.ChunkedArray, dict_encode: bool = False
+        self, col: pa.Array | pa.ChunkedArray,
+        dict_encode: "bool | str" = False
     ) -> pa.ListArray:
         """texts column -> list<string> token lists (large_list offsets safe).
 
@@ -168,6 +169,10 @@ class Analyzer:
                 counts[i] = len(toks)
                 flat.extend(toks)
             return self._finish_fast(texts, flat, counts, dict_encode)
+        if dict_encode == "tf":
+            raise ValueError(
+                "dict_encode='tf' needs a fast-path analyzer (split_tbl); "
+                f"analyzer {self.name!r} uses the regex fallback")
         findall = self.token_re.findall
         for i, t in enumerate(texts):
             if t is None:
@@ -415,8 +420,13 @@ def analyze_batch(
 
     dict_encode: False (list<string>), True (list<dict<int32,string>>), or
     "tf" (doc-level tf pre-aggregation: `tokens` deduped codes + `tfs`
-    list<int32> — the positions-free index-build payload)."""
+    list<int32> — the positions-free index-build payload). The companion
+    column name "tfs" is FIXED — build_segment_tables keys its tf path on
+    that literal name, so tf mode requires the default out_col."""
     az = process_analyzer(analyzer)
+    if dict_encode == "tf" and out_col != "tokens":
+        raise ValueError("tf mode writes the fixed companion column 'tfs'; "
+                         "use the default out_col='tokens'")
     out = az.tokenize_array(batch[text_col], dict_encode=dict_encode)
     drop = [c for c in (out_col, "tfs") if c in batch.column_names]
     if drop:

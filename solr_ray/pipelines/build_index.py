@@ -428,8 +428,7 @@ def append_to_index(
     }
     writer = _SegmentWriter(index_dir, offsets, lineages, stored_cols,
                             dir_prefix=prefix,
-                            store_positions=bool(
-                                manifest.get("store_positions")))
+                            store_positions=store_positions)
 
     def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
         return _w(group)
