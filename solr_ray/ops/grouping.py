@@ -138,21 +138,67 @@ def significant_terms(
     min_doc_freq: int = 2, limit: int = 20,
 ):
     """significantTerms: score terms overrepresented in the foreground subset
-    vs the background corpus (SignificantTermsStream.java:55). Per-batch
-    partial doc-freq counts -> small groupby(term) merge -> driver-side score
-    (fg_count/fg_total) / (bg_count/bg_total)."""
-    from solr_ray.ops.textstats import term_doc_freq
+    vs the background corpus (SignificantTermsStream.java:55, which merges
+    per-shard partials the same way).
 
-    fg = term_doc_freq(fg_ds, text_col, analyzer).to_pandas().set_index("term")["df"]
-    bg = term_doc_freq(bg_ds, text_col, analyzer).to_pandas().set_index("term")["df"]
+    Fully distributed: per-batch partial doc-freq counts for BOTH corpora
+    are unioned into one (term, fg_df, bg_df) stream, merged by a single
+    groupby(term) (≤ one row per (term, batch) enters the shuffle — the
+    combiner bounds it regardless of corpus size), scored vectorized inside
+    map_batches, and top-k'd via sort().limit(). No vocabulary ever lands
+    on the driver — a 10^8-term web-scale background works."""
+    from ray.data.aggregate import Sum
+
+    from solr_ray.analysis.chain import process_analyzer
+
     fg_total = int(fg_ds.count())
     bg_total = int(bg_ds.count())
-    rows = []
-    for term, f in fg.items():
-        if f < min_doc_freq:
-            continue
-        b = int(bg.get(term, 0))
-        score = (f / fg_total) / ((b + 1) / (bg_total + 1))
-        rows.append((term, int(f), b, score))
-    rows.sort(key=lambda r: (-r[3], r[0]))
-    return pd.DataFrame(rows[:limit], columns=["term", "fg_df", "bg_df", "score"])
+
+    def partial(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            az = process_analyzer(analyzer)
+            toks = az.tokenize_array(t[text_col])
+            flat = toks.flatten()
+            counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            parent = np.repeat(np.arange(len(t)), counts)
+            df_tbl = (
+                pa.table({"term": flat, "doc": pa.array(parent)})
+                .group_by(["term", "doc"], use_threads=False)
+                .aggregate([])
+                .group_by("term", use_threads=False)
+                .aggregate([("doc", "count")])
+            )
+            df = df_tbl["doc_count"].cast(pa.int64())
+            zero = pa.array(np.zeros(df_tbl.num_rows, dtype=np.int64))
+            return pa.table({
+                "term": df_tbl["term"],
+                "fg_df": df if side == "fg" else zero,
+                "bg_df": df if side == "bg" else zero,
+            })
+        return fn
+
+    merged = (
+        fg_ds.map_batches(partial("fg"), batch_format="pyarrow")
+        .union(bg_ds.map_batches(partial("bg"), batch_format="pyarrow"))
+        .groupby("term")
+        .aggregate(Sum("fg_df", alias_name="fg_df"),
+                   Sum("bg_df", alias_name="bg_df"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        fg = t["fg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bg = t["bg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = fg >= min_doc_freq
+        fg, bg = fg[keep], bg[keep]
+        # op order mirrors the SQL oracle: (fg/fg_n) / ((bg+1)/(bg_n+1))
+        sc = (fg / fg_total) / ((bg + 1.0) / (bg_total + 1.0))
+        return pa.table({
+            "term": t["term"].filter(pa.array(keep)),
+            "fg_df": pa.array(fg),
+            "bg_df": pa.array(bg),
+            "score": pa.array(sc, pa.float64()),
+        })
+
+    return (merged.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "term"], descending=[True, False])
+            .limit(limit))

@@ -336,7 +336,8 @@ def test_significant_terms(docs_ds):
     from solr_ray.ops.grouping import significant_terms
 
     fg = docs_ds.filter(lambda r: r["lang"] == "en")
-    out = significant_terms(fg, docs_ds, "text", min_doc_freq=2, limit=5)
+    out = significant_terms(fg, docs_ds, "text", min_doc_freq=2,
+                            limit=5).to_pandas()
     assert len(out) == 5
     assert (out["score"] > 0).all()
 
