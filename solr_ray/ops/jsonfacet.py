@@ -68,6 +68,38 @@ def _agg_group(g: pd.DataFrame, stats) -> dict:
     return out
 
 
+def _has_unique(stats) -> bool:
+    return any(fn == "unique" for _n, fn, _f in stats)
+
+
+def _agg_dataset(ds, stats) -> dict:
+    """Flat stats over a whole Dataset via distributed ds.aggregate —
+    result types match _agg_group (count/unique int, numeric stats float).
+    unique(field) is an exact distinct = tiny groupby(field) count."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    aggs, names = [Count(alias_name="__n")], []
+    for name, fn, field in stats:
+        if fn in ("count", "unique"):
+            continue
+        cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
+        aggs.append(cls(field, alias_name=f"__{name}"))
+        names.append(name)
+    row = ds.aggregate(*aggs) or {}
+    n = int(row.get("__n") or 0)
+    out = {"count": n}
+    for name, fn, field in stats:
+        if fn == "count":
+            out[name] = n
+        elif fn == "unique":
+            out[name] = int(ds.select_columns([field]).groupby(field)
+                            .count().count())
+        else:
+            v = row.get(f"__{name}")
+            out[name] = float(v) if v is not None else float("nan")
+    return out
+
+
 def json_facet(ds, request: dict) -> dict:
     """Evaluate a JSON facet request against a Dataset; returns the
     response dict: {"buckets": [{"val":..., "count":..., <stats>,
@@ -79,10 +111,16 @@ def json_facet(ds, request: dict) -> dict:
         from solr_ray.ops.queryfilter import filter_query
 
         sub = filter_query(ds, request["q"]) if request.get("q") else ds
-        df = sub.to_pandas()
-        out = _agg_group(df, stats)
+        if nested or _has_unique(stats):
+            # several consumers walk the filtered stream (stats + each
+            # nested facet) — pin it in the object store, NOT the driver
+            sub = sub.materialize()
+        out = _agg_dataset(sub, stats)
         for name, spec in nested:
-            out[name] = json_facet_pandas(df, spec)
+            # nested facets recurse on the DATASET (terms/range paths are
+            # groupby pipelines) — the query facet's match set never
+            # lands on the driver
+            out[name] = json_facet(sub, spec)
         return out
 
     if ftype == "range":
