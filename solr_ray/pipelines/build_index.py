@@ -49,18 +49,142 @@ def _seg_dir(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, "segments", f"seg={bucket:05d}")
 
 
+# vocab sizes above this skip the global-code blob payload (the sorted-vocab
+# union would strain the driver) and fall back to the dict-token shuffle —
+# same gating idea as the stats merge threshold below
+_VOCAB_MAX_TERMS = 20_000_000
+
+
+def _collect_global_vocab(tokenized, max_terms: int = _VOCAB_MAX_TERMS):
+    """Union of the per-block token dictionaries, sorted by UTF-8 byte order
+    (== the term sort order segments use). Nearly free: the analyze stage
+    already dict-encoded each block, so this ships ONLY each block's distinct
+    terms (zipf vocab ≪ corpus), never the token stream. Returns None when
+    the union would exceed max_terms (the 100-TB fallback keeps the
+    dict-token payload; a distributed rank-assignment pass would be the next
+    step at that scale — documented, not needed for any in-sandbox corpus)."""
+    import pyarrow.compute as pc
+
+    def _dicts(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        parts = []
+        for ch in chunks:
+            v = ch.values
+            if isinstance(v, pa.DictionaryArray):
+                parts.append(v.dictionary)
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string())})
+        u = pc.unique(pa.chunked_array(parts)) if len(parts) > 1 \
+            else pc.unique(parts[0])
+        return pa.table({"term": u})
+
+    parts, total = [], 0
+    for b in tokenized.map_batches(
+            _dicts, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        parts.append(b)
+        total += b.num_rows
+        if total > max_terms:
+            return None
+    if not parts:
+        return None
+    vocab = pc.unique(pa.concat_tables(parts)["term"].combine_chunks())
+    if len(vocab) > max_terms:
+        return None
+    return vocab.take(pc.sort_indices(vocab))
+
+
+def _make_blob_remap(vocab_ref, stored_cols: tuple[str, ...]):
+    """map_batches fn: dict-token columns -> per-doc global-code varint
+    blobs. Runs fused into the bucket shuffle's map side (cheap int ops, no
+    extra materialize). Payload per (doc, term) entry drops from ~8 B +
+    dictionary overhead to ~2.5 B, and the reduce side stops unifying
+    arrow dictionaries across blocks."""
+    import ray
+
+    from solr_ray.stages.segment import encode_doc_blobs
+
+    def remap(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vocab = ray.get(vocab_ref)
+        if t.num_rows == 0:
+            cols = {
+                "url": t["url"],
+                "bucket": t["bucket"],
+                "nterms": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int64()),
+                "codes_blob": pa.array([], pa.large_binary()),
+                "tfs_blob": pa.array([], pa.large_binary()),
+            }
+            for c in stored_cols:
+                if c in t.column_names:
+                    cols[c] = t[c]
+            return pa.table(cols)
+        t = t.combine_chunks()
+        toks = t["tokens"].chunk(0)
+        tfs_l = t["tfs"].chunk(0)
+        n = t.num_rows
+        nterms = np.diff(
+            toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        vals = toks.values
+        d = vals.dictionary
+        trans = pc.index_in(d, value_set=vocab)
+        if trans.null_count:
+            raise RuntimeError("block dictionary term missing from the "
+                               "global vocab (vocab pass out of sync)")
+        trans = trans.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = vals.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = trans[codes]
+        tf = tfs_l.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), nterms)
+        V = np.int64(len(vocab))
+        # per-doc sort by GLOBAL code (tf rides in the low bits when safe);
+        # parent occupies the high bits so one flat sort sorts every doc
+        tf_max = int(tf.max(initial=0))
+        if tf_max < 65536 and n * int(V) < 2**45:
+            k2 = (parent * V + g) * np.int64(65536) + tf
+            k2.sort()
+            tf_s = k2 & np.int64(0xFFFF)
+            g_s = (k2 >> np.int64(16)) % V
+        else:
+            o = np.lexsort((g, parent))
+            g_s = g[o]
+            tf_s = tf[o]
+        dl = np.bincount(parent, weights=tf,
+                         minlength=n).astype(np.int64)
+        codes_blob, tfs_blob = encode_doc_blobs(g_s, tf_s, nterms)
+        out = {
+            "url": t["url"],
+            "bucket": t["bucket"],
+            "nterms": pa.array(nterms.astype(np.int32)),
+            "dl": pa.array(dl),
+            "codes_blob": codes_blob,
+            "tfs_blob": tfs_blob,
+        }
+        for c in stored_cols:
+            if c in t.column_names:
+                out[c] = t[c]
+        return pa.table(out)
+
+    return remap
+
+
 class _SegmentWriter:
     """groupby(bucket).map_groups body: build + atomically publish one segment."""
 
     def __init__(self, out_dir: str, offsets: dict[int, int],
                  lineages: dict[int, str], stored_cols: tuple[str, ...],
-                 dir_prefix: str = "seg", store_positions: bool = False):
+                 dir_prefix: str = "seg", store_positions: bool = False,
+                 vocab_ref=None):
         self.out_dir = out_dir
         self.offsets = offsets
         self.lineages = lineages
         self.stored_cols = stored_cols
         self.dir_prefix = dir_prefix
         self.store_positions = store_positions
+        self.vocab_ref = vocab_ref  # broadcast global vocab (blob payload)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         tune_worker_gc()
@@ -74,9 +198,11 @@ class _SegmentWriter:
             return pa.table({"bucket": [bucket], "n_docs": [m["n_docs"]],
                              "n_terms": [m["n_terms"]], "n_tokens": [m["n_tokens"]],
                              "skipped": [True]})
+        vocab = (ray.get(self.vocab_ref)
+                 if self.vocab_ref is not None else None)
         postings, docs = build_segment_tables(
             group, self.offsets[bucket], self.stored_cols,
-            store_positions=self.store_positions,
+            store_positions=self.store_positions, vocab=vocab,
         )
         os.makedirs(seg_dir, exist_ok=True)
         # small row groups (term-sorted) let the lazy reader load only the
@@ -265,15 +391,34 @@ def build_index(
         offsets[b] = acc
         acc += counts.get(b, 0)
     n_docs = acc
+
+    # global-code varint-blob shuffle payload (positions-free builds with a
+    # boundable vocab): block dictionaries -> sorted global vocab (broadcast
+    # once via ray.put), token columns remapped to per-doc delta+varint
+    # blobs fused into the shuffle's map side. ~3x fewer shuffle bytes and
+    # no arrow-dictionary unification on the reduce side.
+    vocab = None if store_positions else _collect_global_vocab(tokenized)
+    payload = "blob" if vocab is not None else "dict"
+    vocab_ref = ray.put(vocab) if vocab is not None else None
+
     sc_tag = ",".join(stored_cols)
+    # lineage is payload-independent on purpose: both payloads produce
+    # bit-identical segments, so a resume may mix them freely
     lineages = {
         b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}"
         for b in range(num_buckets)
     }
 
-    ds = tokenized
+    if vocab is not None:
+        ds = tokenized.map_batches(
+            _make_blob_remap(vocab_ref, stored_cols),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        ds = tokenized
     writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols,
-                            store_positions=store_positions)
+                            store_positions=store_positions,
+                            vocab_ref=vocab_ref)
 
     def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
         return _w(group)
@@ -335,6 +480,7 @@ def build_index(
             "stats_sec": round(stats_sec, 3),
             "docs_per_sec": round(n_docs / build_sec, 1) if build_sec > 0 else None,
             "skipped_segments": int(sum(1 for s in summaries if s.get("skipped"))),
+            "shuffle_payload": payload,
         },
     }
     os.makedirs(out_dir, exist_ok=True)  # may not exist yet for 0 segments

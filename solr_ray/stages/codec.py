@@ -34,9 +34,10 @@ def varint_encode(values: np.ndarray) -> bytes:
     return _varint_encode_flat(v, _varint_nbytes(v)).tobytes()
 
 
-def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes back to uint64, vectorized."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+def varint_decode(buf, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes (bytes or uint8 ndarray) back to uint64,
+    vectorized."""
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0

@@ -78,6 +78,65 @@ def _sliced_large_binary(data: np.ndarray, value_nb: np.ndarray, starts: np.ndar
     )
 
 
+def encode_doc_blobs(gcodes: np.ndarray, tfs: np.ndarray,
+                     nterms: np.ndarray) -> tuple[pa.Array, pa.Array]:
+    """Per-doc (ascending global term codes, parallel tfs) -> two
+    large_binary columns: codes delta+LEB128 within each doc (first value
+    absolute), tfs LEB128. This is the compact bucket-shuffle payload
+    (~2.5 B/entry vs ~8 B + dictionary for the list<dict> token columns):
+    no arrow dictionaries cross the exchange, so the reduce side does no
+    dictionary unification and block concat is a plain byte copy."""
+    n = nterms.size
+    doc_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(nterms[:-1], out=doc_starts[1:])
+    if gcodes.size:
+        deltas = gcodes.astype(np.int64, copy=True)
+        deltas[1:] -= gcodes[:-1]
+        nz = nterms > 0
+        deltas[doc_starts[nz]] = gcodes[doc_starts[nz]]
+        du = deltas.astype(np.uint64)
+    else:
+        du = np.empty(0, dtype=np.uint64)
+    nb_c = _varint_nbytes(du)
+    enc_c = _varint_encode_flat(du, nb_c)
+    tu = tfs.astype(np.uint64)
+    nb_t = _varint_nbytes(tu)
+    enc_t = _varint_encode_flat(tu, nb_t)
+    return (_sliced_large_binary(enc_c, nb_c, doc_starts),
+            _sliced_large_binary(enc_t, nb_t, doc_starts))
+
+
+def _binary_col_bytes(col) -> np.ndarray:
+    """Concatenated value bytes of a large_binary column in row order
+    (zero-copy view into the arrow buffer)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]: offs[-1]]
+
+
+def decode_doc_blobs(codes_col, tfs_col, nterms: np.ndarray,
+                     total: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_doc_blobs over whole columns: (gcodes, tfs) flat
+    int64 arrays, one entry per (doc, term) in row-major order."""
+    from solr_ray.stages.codec import varint_decode
+
+    vals = varint_decode(_binary_col_bytes(codes_col), total).astype(np.int64)
+    tfs = varint_decode(_binary_col_bytes(tfs_col), total).astype(np.int64)
+    if total == 0:
+        return vals, tfs
+    c = np.cumsum(vals)
+    doc_starts = np.zeros(nterms.size, dtype=np.int64)
+    if nterms.size > 1:
+        np.cumsum(nterms[:-1], out=doc_starts[1:])
+    base = np.where(doc_starts > 0, c[doc_starts - 1], 0)
+    gcodes = c - np.repeat(base, nterms)
+    return gcodes, tfs
+
+
 def encode_postings_columns(
     terms_sorted: pa.Array,
     doc_ids_f: np.ndarray,
@@ -160,6 +219,7 @@ def build_segment_tables(
     doc_id_offset: int,
     stored_cols: tuple[str, ...] = (),
     store_positions: bool = False,
+    vocab: pa.Array | None = None,
 ) -> tuple[pa.Table, pa.Table]:
     """One bucket group (url, h, dl, tokens [, stored...]) -> (postings, docs).
 
@@ -176,6 +236,57 @@ def build_segment_tables(
     group = group.take(order)
     n = group.num_rows
     doc_ids = doc_id_offset + np.arange(n, dtype=np.int64)
+
+    if "codes_blob" in group.column_names:
+        # global-code varint-blob payload (pipelines/build_index.py remap):
+        # codes ARE ranks in the broadcast sorted vocab — no per-segment
+        # dictionary unification, vocab sort or inverse permutation; the
+        # rest is the same single-np.sort tf-packed path as tf mode below,
+        # producing bit-identical postings.
+        if vocab is None:
+            raise ValueError("blob payload requires the global vocab array")
+        nterms = group["nterms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(nterms.sum())
+        gcodes, flat_tfs = decode_doc_blobs(
+            group["codes_blob"], group["tfs_blob"], nterms, total)
+        if total == 0:
+            postings = encode_postings_columns(
+                pa.array([], type=pa.string()),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+            )
+        else:
+            parent = np.repeat(np.arange(n, dtype=np.int64), nterms)
+            key = gcodes * np.int64(n) + parent
+            tf_max = int(flat_tfs.max(initial=0))
+            if tf_max < 65536 and len(vocab) * n < 2**46:
+                k2 = key * np.int64(65536) + flat_tfs
+                k2.sort()
+                ks_u = k2 >> np.int64(16)
+                tfs_f = (k2 & np.int64(0xFFFF))
+            else:
+                o2 = np.argsort(key)
+                ks_u = key[o2]
+                tfs_f = flat_tfs[o2]
+            did_local = ks_u % np.int64(n)
+            did_f = did_local + doc_id_offset
+            ranks_f = ks_u // np.int64(n)
+            dls_f = dl[did_local]
+            starts = np.flatnonzero(
+                np.diff(ranks_f, prepend=ranks_f[0] - 1))
+            uniq_terms = vocab.take(pa.array(ranks_f[starts]))
+            postings = encode_postings_columns(
+                uniq_terms, did_f, tfs_f, dls_f, starts)
+        docs_cols = {
+            "doc_id": pa.array(doc_ids),
+            "url": group["url"],
+            "dl": pa.array(dl),
+        }
+        for c in stored_cols:
+            if c in group.column_names:
+                docs_cols[c] = group[c]
+        return postings, pa.table(docs_cols)
 
     toks = group["tokens"].combine_chunks() if isinstance(group["tokens"], pa.ChunkedArray) else group["tokens"]
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
