@@ -98,23 +98,57 @@ def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
         [p_schema.field(parent_key), *payload,
          (child_col, pa.list_(kid_type))])
 
-    def build(g: pa.Table) -> pa.Table:
-        isp = g["_is_parent"].to_numpy(zero_copy_only=False)
-        pmask = np.flatnonzero(isp)
-        if pmask.size == 0:  # orphan children
+    def build_block(g: pa.Table) -> pa.Table:
+        """All groups of one key-sorted block, vectorized: group boundaries
+        from one run-length pass, the list<struct> column from offset
+        arithmetic — O(block) arrow/numpy work instead of one Python
+        call + table concat per parent key."""
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
             return out_schema.empty_table()
-        prow = g.take(pa.array(pmask[:1])).drop_columns(
-            ["_kid", "_is_parent"])
+        g = g.combine_chunks()
+        n = g.num_rows
+        keys = g[parent_key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if n > 1:
+            neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+            run_start = np.concatenate(
+                [[True], neq.to_numpy(zero_copy_only=False)])
+        else:
+            run_start = np.array([True])
+        gid = np.cumsum(run_start) - 1          # group id per row, ascending
+        ngroups = int(gid[-1]) + 1
+        isp = g["_is_parent"].to_numpy(zero_copy_only=False)
+        pidx = np.flatnonzero(isp)
+        if pidx.size == 0:                       # all-orphan block
+            return out_schema.empty_table()
+        pgid = gid[pidx]
+        first = np.unique(pgid, return_index=True)[1]  # first parent per key
+        pidx, pgid = pidx[first], pgid[first]
+        has_parent = np.zeros(ngroups, dtype=bool)
+        has_parent[pgid] = True
+        cidx = np.flatnonzero(~isp)
+        cgid = gid[cidx]
+        ckeep = has_parent[cgid]                 # drop orphan children
+        cidx, cgid = cidx[ckeep], cgid[ckeep]
+        counts = np.bincount(cgid, minlength=ngroups)[pgid]
+        offs = np.zeros(pgid.size + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
         kid_col = g["_kid"]
         if isinstance(kid_col, pa.ChunkedArray):
             kid_col = kid_col.combine_chunks()
-        kids = kid_col.take(pa.array(np.flatnonzero(~isp)))
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(kids)], pa.int32()), kids)
-        return prow.append_column(child_col, lst).cast(out_schema)
+        kids = kid_col.take(pa.array(cidx))
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kids)
+        prows = g.take(pa.array(pidx)).drop_columns(["_kid", "_is_parent"])
+        return prows.append_column(child_col, lst).cast(out_schema)
 
-    return unioned.groupby(parent_key).map_groups(
-        build, batch_format="pyarrow")
+    # sort(key) is exactly what groupby().map_groups does internally to
+    # co-locate equal keys in one block; map_batches(batch_size=None) then
+    # sees whole blocks = whole groups, without the per-group UDF dispatch
+    return unioned.sort(parent_key).map_batches(
+        build_block, batch_format="pyarrow", batch_size=None)
 
 
 def parent_query(ds, child_filter: dict, score_field: str | None = None,

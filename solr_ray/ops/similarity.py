@@ -363,13 +363,27 @@ def pairwise_cosine_topk(ds, k: int | None = None, id_col: str = "vec_id",
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
             m = _l2_normalize(_vec_matrix(g[vec_col].take(pa.array(order))))
-            sims = m @ m.T
-            ii, jj = np.where(np.triu(sims >= threshold, 1)
-                              & (ids[:, None] != ids[None, :]))
+            # chunk-vs-group matmul: a degenerate hot bucket (LSH's known
+            # skew mode — many near-identical vectors) would otherwise
+            # allocate a dense |g|x|g| float matrix and OOM the worker.
+            # Peak memory is capped at CH x |g| floats; compute is the same.
+            CH = 1024
+            a_parts, b_parts, c_parts = [], [], []
+            for s in range(0, ids.size, CH):
+                sims = m[s:s + CH] @ m.T
+                ii, jj = np.where(sims >= threshold)
+                gi = ii + s
+                keep = (jj > gi) & (ids[gi] != ids[jj])
+                a_parts.append(ids[gi[keep]])
+                b_parts.append(ids[jj[keep]])
+                c_parts.append(sims[ii[keep], jj[keep]].astype(np.float64))
             return pa.table({
-                "id_a": pa.array(ids[ii]),
-                "id_b": pa.array(ids[jj]),
-                "cosine": pa.array(sims[ii, jj].astype(np.float64)),
+                "id_a": pa.array(np.concatenate(a_parts) if a_parts
+                                 else np.empty(0, ids.dtype)),
+                "id_b": pa.array(np.concatenate(b_parts) if b_parts
+                                 else np.empty(0, ids.dtype)),
+                "cosine": pa.array(np.concatenate(c_parts) if c_parts
+                                   else np.empty(0, np.float64)),
             })
 
         from solr_ray.ops.grouping import distinct

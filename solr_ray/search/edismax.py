@@ -126,16 +126,21 @@ class EdismaxIndex:
         nmatch = np.zeros(cand.size, dtype=np.int64)
         for got in postings:
             S = np.zeros((len(fields), cand.size), dtype=np.float64)
+            # mm counts a clause as matched from POSTING PRESENCE, not the
+            # boosted score sign — a clause matching only in a qf-boost-0.0
+            # field still satisfies minimum-should-match (DisMax semantics)
+            matched = np.zeros(cand.size, dtype=bool)
             for fi, f in enumerate(fields):
                 if f not in got:
                     continue
                 ids, sc = got[f]
                 pos = np.searchsorted(cand, ids)
                 S[fi, pos] = qf[f] * sc
+                matched[pos] = True
             smax = S.max(axis=0)
             ssum = S.sum(axis=0)
             total += smax + tie * (ssum - smax)
-            nmatch += (S > 0).any(axis=0)
+            nmatch += matched
 
         if pf:
             for f in sorted(pf):

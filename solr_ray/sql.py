@@ -337,6 +337,11 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
             raise ValueError("mixing aggregates and bare columns "
                              "needs GROUP BY")
         row = ds.aggregate(*[_make_agg(it) for it in aggs])
+        if row is None:
+            # empty/fully-filtered input: ANSI global aggregates still
+            # return ONE row — 0 for COUNT, NULL for SUM/AVG/MIN/MAX
+            row = {_agg_alias(it): (0 if it["fn"] == "COUNT" else None)
+                   for it in aggs}
         ds = _one_row(row, [_agg_alias(it) for it in aggs])
     else:
         if items and items[0]["kind"] != "star":
