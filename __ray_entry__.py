@@ -1291,6 +1291,28 @@ _SQL_QUERIES = {
     "sql_sum_cast": ("SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total "
                      "FROM documents WHERE source <> 'forum' "
                      "GROUP BY lang ORDER BY total DESC, lang"),
+    # arithmetic expressions in the SELECT list (row-wise float ops are
+    # bit-exact IEEE — same op order as the oracle's parse)
+    "sql_expr_proj": ("SELECT l_orderkey, l_linenumber, "
+                      "l_extendedprice * (1 - l_discount) AS revenue "
+                      "FROM lineitem WHERE l_orderkey <= 2000 "
+                      "ORDER BY l_orderkey, l_linenumber"),
+    # expression inside an aggregate (integer ops -> order-independent sum)
+    "sql_expr_agg": ("SELECT l_returnflag, "
+                     "SUM(l_orderkey * 2 + l_linenumber) AS s, "
+                     "COUNT(*) AS n FROM lineitem "
+                     "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    # expression OF aggregates + ANSI float division (one divide per group
+    # over an integral-valued sum -> deterministic)
+    "sql_expr_over_agg": ("SELECT l_returnflag, "
+                          "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+                          "SUM(l_quantity) / COUNT(*) AS avg_qty "
+                          "FROM lineitem GROUP BY l_returnflag "
+                          "ORDER BY l_returnflag"),
+    # general %x% LIKE (arrow match_like)
+    "sql_like": ("SELECT o_orderkey, o_orderpriority FROM orders "
+                 "WHERE o_orderpriority LIKE '%URGENT%' "
+                 "ORDER BY o_orderkey LIMIT 200"),
 }
 
 
@@ -1298,7 +1320,9 @@ def _make_sql_query(sql: str):
     def run(sf_dir: str):
         from solr_ray.sql import execute_sql
 
-        return execute_sql(sql, {"documents": _read(sf_dir, "documents")})
+        tables = {t: _read(sf_dir, t)
+                  for t in ("documents", "lineitem", "orders")}
+        return execute_sql(sql, tables)
 
     return run
 

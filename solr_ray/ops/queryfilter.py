@@ -61,6 +61,11 @@ def compile_filter(spec: dict):
     if op == "prefix":
         return lambda t: pc.starts_with(t[spec["field"]],
                                         pattern=spec["value"])
+    if op == "like":
+        # SQL LIKE with % and _ wildcards (arrow match_like is the
+        # same pattern language, case-sensitive, as ANSI/DuckDB)
+        return lambda t: pc.match_like(t[spec["field"]],
+                                       pattern=spec["pattern"])
     if op == "range":
         fld, lo, hi = spec["field"], spec.get("lo"), spec.get("hi")
         ilo = spec.get("include_lo", True)

@@ -14,10 +14,17 @@ Grammar (case-insensitive keywords):
       [WHERE <cond>] [GROUP BY col[, col...]] [HAVING <cond>]
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
 
-    item  := col [AS alias] | COUNT(*) | COUNT|SUM|AVG|MIN|MAX(col) [AS a]
-           | CAST(item AS BIGINT|INTEGER|DOUBLE|VARCHAR) AS a
+    item  := expr [AS alias]        (alias REQUIRED unless expr is a bare
+                                     column or a simple aggregate)
+    expr  := full arithmetic over columns/literals with + - * / and unary
+             minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
+             and aggregates COUNT(*) | COUNT|SUM|AVG|MIN|MAX(expr) as leaves
+             (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
+             `/` is ANSI float division, matching DuckDB)
     cond  := disjunctions/conjunctions of: col <op> literal, col IN (...),
-             col BETWEEN a AND b, col LIKE 'prefix%', NOT, parentheses
+             col BETWEEN a AND b, col LIKE 'pat' (general %/_ patterns via
+             arrow match_like; bare prefixes take the starts_with fast
+             path), NOT, parentheses
 
 Everything unsupported raises ValueError up front — no silent wrong
 answers. Because the accepted dialect is ANSI, the very same query string
@@ -36,10 +43,10 @@ from solr_ray.ops.queryfilter import filter_query
 _TOKEN = re.compile(r"""
     (?P<ws>\s+)
   | (?P<str>'(?:[^']|'')*')
-  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<num>\d+(?:\.\d+)?)
   | (?P<cmp><=|>=|<>|!=|=|<|>)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[(),*])
+  | (?P<punct>[(),*+\-/])
 """, re.VERBOSE)
 
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -103,43 +110,75 @@ class _Parser:
             items.append(self.select_item())
         return items
 
-    def select_item(self, allow_alias: bool = True):
-        k, v = self.peek()
-        if k != "name":
-            raise ValueError(f"expected column or aggregate, got {v!r}")
-        name = self.eat("name")
-        if name.upper() == "CAST" and self.peek() == ("punct", "("):
+    def select_item(self):
+        node = self.expr()
+        item = _normalize_item(node)
+        if self.at_kw("AS"):
             self.eat()
-            inner = self.select_item(allow_alias=False)
+            item["alias"] = self.eat("name")
+        elif item["kind"] == "expr":
+            raise ValueError("expression select items require AS <alias> "
+                             "(keeps Ray and oracle column names identical)")
+        return item
+
+    # ---- expressions (select list): + - * / with unary minus,
+    #      parentheses, CAST(expr AS t) and aggregates as leaves ----
+    def expr(self):
+        node = self.expr_term()
+        while self.peek() in (("punct", "+"), ("punct", "-")):
+            op = self.eat()
+            node = {"kind": "bin", "op": op, "l": node, "r": self.expr_term()}
+        return node
+
+    def expr_term(self):
+        node = self.expr_unary()
+        while self.peek() in (("punct", "*"), ("punct", "/")):
+            op = self.eat()
+            node = {"kind": "bin", "op": op, "l": node,
+                    "r": self.expr_unary()}
+        return node
+
+    def expr_unary(self):
+        if self.peek() == ("punct", "-"):
+            self.eat()
+            return {"kind": "neg", "inner": self.expr_unary()}
+        return self.expr_primary()
+
+    def expr_primary(self):
+        k, v = self.peek()
+        if k in ("num", "str"):
+            self.i += 1
+            return {"kind": "lit", "value": v}
+        if self.peek() == ("punct", "("):
+            self.eat()
+            node = self.expr()
+            self.eat("punct", ")")
+            return node
+        if k != "name":
+            raise ValueError(f"expected expression, got {v!r}")
+        name = self.eat("name")
+        up = name.upper()
+        if up == "CAST" and self.peek() == ("punct", "("):
+            self.eat()
+            inner = self.expr()
             self.eat("kw", "AS")
             ty = self.eat("name").upper()
             if ty not in _CAST_TYPES:
                 raise ValueError(f"unsupported CAST type {ty!r}")
             self.eat("punct", ")")
-            item = {"kind": "cast", "inner": inner, "type": ty}
-            if self.at_kw("AS"):
-                self.eat()
-                item["alias"] = self.eat("name")
-            else:
-                raise ValueError("CAST(...) requires AS <alias>")
-            return item
-        if name.upper() in _AGGS and self.peek() == ("punct", "("):
+            return {"kind": "cast", "inner": inner, "type": ty}
+        if up in _AGGS and self.peek() == ("punct", "("):
             self.eat()
             if self.peek() == ("punct", "*"):
-                if name.upper() != "COUNT":
+                if up != "COUNT":
                     raise ValueError(f"{name}(*) not supported")
                 self.eat()
-                col = "*"
+                arg = "*"
             else:
-                col = self.eat("name")
+                arg = self.expr()
             self.eat("punct", ")")
-            item = {"kind": "agg", "fn": name.upper(), "col": col}
-        else:
-            item = {"kind": "col", "col": name}
-        if allow_alias and self.at_kw("AS"):
-            self.eat()
-            item["alias"] = self.eat("name")
-        return item
+            return {"kind": "agg", "fn": up, "arg": arg}
+        return {"kind": "col", "col": name}
 
     # ---- conditions -> queryfilter spec ----
     def cond(self):
@@ -171,6 +210,13 @@ class _Parser:
         return self.predicate()
 
     def literal(self):
+        if self.peek() == ("punct", "-"):
+            self.eat()
+            k, v = self.peek()
+            if k != "num":
+                raise ValueError(f"expected number after unary -, got {v!r}")
+            self.i += 1
+            return -v
         k, v = self.peek()
         if k in ("num", "str"):
             self.i += 1
@@ -219,11 +265,13 @@ class _Parser:
         if self.at_kw("LIKE"):
             self.eat()
             pat = self.literal()
-            if not (isinstance(pat, str) and pat.endswith("%")
-                    and "%" not in pat[:-1] and "_" not in pat):
-                raise ValueError(
-                    f"only prefix LIKE 'x%' is supported, got {pat!r}")
-            return {"op": "prefix", "field": col, "value": pat[:-1]}
+            if not isinstance(pat, str):
+                raise ValueError(f"LIKE needs a string pattern, got {pat!r}")
+            if (pat.endswith("%") and "%" not in pat[:-1]
+                    and "_" not in pat):
+                # bare prefix: starts_with fast path
+                return {"op": "prefix", "field": col, "value": pat[:-1]}
+            return {"op": "like", "field": col, "pattern": pat}
         raise ValueError(f"unsupported predicate after {col!r}: {v!r}")
 
     # ---- full statement ----
@@ -274,6 +322,79 @@ def parse_sql(sql: str) -> dict:
     return _Parser(sql).statement()
 
 
+def _normalize_item(node: dict) -> dict:
+    """Expression tree -> select item. Bare columns and simple aggregates
+    keep their legacy item shapes (and default output names); anything
+    else is an `expr` item that must be aliased."""
+    if node["kind"] == "col":
+        return {"kind": "col", "col": node["col"]}
+    if node["kind"] == "agg" and (
+            node["arg"] == "*" or node["arg"]["kind"] == "col"):
+        col = "*" if node["arg"] == "*" else node["arg"]["col"]
+        return {"kind": "agg", "fn": node["fn"], "col": col}
+    return {"kind": "expr", "node": node}
+
+
+def _walk_aggs(node, out: list) -> None:
+    """Collect agg nodes of an expression tree in left-to-right order."""
+    if not isinstance(node, dict):
+        return
+    if node["kind"] == "agg":
+        out.append(node)
+        return
+    for key in ("l", "r", "inner"):
+        if key in node:
+            _walk_aggs(node[key], out)
+
+
+def compile_expr(node: dict):
+    """Expression tree -> fn(pa.Table) -> Array/scalar, pure pyarrow.compute
+    kernels. `/` is ANSI float division (DuckDB semantics): both sides are
+    cast to float64 first."""
+    kind = node["kind"]
+    if kind == "col":
+        c = node["col"]
+        return lambda t: t[c]
+    if kind == "lit":
+        v = pa.scalar(node["value"])
+        return lambda t: v
+    if kind == "neg":
+        f = compile_expr(node["inner"])
+        return lambda t: pc.negate(f(t))
+    if kind == "cast":
+        f = compile_expr(node["inner"])
+        ty = _CAST_TYPES[node["type"]]
+        return lambda t: pc.cast(f(t), ty)
+    if kind == "bin":
+        lf, rf = compile_expr(node["l"]), compile_expr(node["r"])
+        if node["op"] == "/":
+            return lambda t: pc.divide(pc.cast(lf(t), "float64"),
+                                       pc.cast(rf(t), "float64"))
+        fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[node["op"]]
+        return lambda t: fn(lf(t), rf(t))
+    raise ValueError(f"cannot evaluate {kind!r} here")
+
+
+def _as_column(val, num_rows: int) -> pa.Array:
+    if isinstance(val, pa.Scalar):
+        return pa.repeat(val, num_rows)
+    if isinstance(val, pa.ChunkedArray):
+        return val.combine_chunks()
+    return val
+
+
+def _subst_aggs(node: dict) -> dict:
+    """Replace agg leaves with references to their aggregated result
+    columns (set by the planner as node['_alias'])."""
+    if node["kind"] == "agg":
+        return {"kind": "col", "col": node["_alias"]}
+    out = dict(node)
+    for key in ("l", "r", "inner"):
+        if key in node:
+            out[key] = _subst_aggs(node[key])
+    return out
+
+
 def _agg_alias(item: dict) -> str:
     if "alias" in item:
         return item["alias"]
@@ -302,64 +423,108 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     if plan["where"] is not None:
         ds = filter_query(ds, plan["where"])
 
-    # unwrap CAST items: plan on the inner item under the cast's alias,
-    # apply the cast right after projection/aggregation (so HAVING and
-    # ORDER BY see the cast values, as in SQL)
-    casts: dict[str, str] = {}
-    items = []
-    for it in plan["items"]:
-        if it["kind"] == "cast":
-            inner = dict(it["inner"])
-            inner["alias"] = it["alias"]
-            casts[it["alias"]] = _CAST_TYPES[it["type"]]
-            items.append(inner)
+    items = plan["items"]
+    expr_items = [it for it in items if it["kind"] == "expr"]
+    simple_aggs = [it for it in items if it["kind"] == "agg"]
+    inner_aggs: list[dict] = []
+    for it in expr_items:
+        _walk_aggs(it["node"], inner_aggs)
+
+    if simple_aggs or inner_aggs or plan["group"]:
+        # ---- aggregation path ----
+        # 1. one Ray aggregate per DISTINCT inner agg (SUM(x)/SUM(x) runs
+        #    SUM once); non-bare-column args become precomputed columns
+        alias_of: dict[str, str] = {}
+        fn_of_alias: dict[str, str] = {}
+        pre: dict[str, object] = {}
+        ray_aggs = []
+        for a in inner_aggs:
+            key = repr((a["fn"], a["arg"]))
+            if key not in alias_of:
+                name = f"__agg{len(alias_of)}"
+                alias_of[key] = name
+                fn_of_alias[name] = a["fn"]
+                if a["arg"] == "*" or a["arg"]["kind"] == "col":
+                    col = "*" if a["arg"] == "*" else a["arg"]["col"]
+                else:
+                    col = f"__pre{len(pre)}"
+                    pre[col] = compile_expr(a["arg"])
+                ray_aggs.append(_make_agg(
+                    {"fn": a["fn"], "col": col, "alias": name}))
+            a["_alias"] = alias_of[key]
+        for it in simple_aggs:
+            fn_of_alias[_agg_alias(it)] = it["fn"]
+            ray_aggs.append(_make_agg(it))
+
+        if pre:
+            def add_pre(t: pa.Table, _pre=pre) -> pa.Table:
+                for name, fn in _pre.items():
+                    t = t.append_column(name, _as_column(fn(t), t.num_rows))
+                return t
+
+            ds = ds.map_batches(add_pre, batch_format="pyarrow")
+
+        if plan["group"]:
+            cols = [it["col"] for it in items if it["kind"] == "col"]
+            if set(cols) - set(plan["group"]):
+                raise ValueError("non-grouped bare column in SELECT")
+            ds = ds.groupby(plan["group"]).aggregate(*ray_aggs)
         else:
-            items.append(it)
-    aggs = [it for it in items if it["kind"] == "agg"]
-    if plan["group"]:
-        cols = [it["col"] for it in items if it["kind"] == "col"]
-        if set(cols) - set(plan["group"]):
-            raise ValueError("non-grouped bare column in SELECT")
-        ds = ds.groupby(plan["group"]).aggregate(
-            *[_make_agg(it) for it in aggs])
-        # project in SELECT order: only the SELECTED group keys survive
-        # (an unselected GROUP BY key is dropped, as in SQL)
-        keep = [it["col"] if it["kind"] == "col" else _agg_alias(it)
-                for it in items]
+            if any(it["kind"] == "col" for it in items):
+                raise ValueError("mixing aggregates and bare columns "
+                                 "needs GROUP BY")
+            row = ds.aggregate(*ray_aggs)
+            if row is None:
+                # empty/fully-filtered input: ANSI global aggregates still
+                # return ONE row — 0 for COUNT, NULL for SUM/AVG/MIN/MAX
+                row = {n: (0 if fn == "COUNT" else None)
+                       for n, fn in fn_of_alias.items()}
+            ds = _one_row(row, list(fn_of_alias))
+
+        # 2. expression items evaluate over the aggregated rows, with the
+        #    agg leaves substituted by their result columns
+        if expr_items:
+            compiled = [(it["alias"], compile_expr(_subst_aggs(it["node"])))
+                        for it in expr_items]
+
+            def eval_exprs(t: pa.Table, _c=compiled) -> pa.Table:
+                for name, fn in _c:
+                    t = t.append_column(name, _as_column(fn(t), t.num_rows))
+                return t
+
+            ds = ds.map_batches(eval_exprs, batch_format="pyarrow")
+
+        # 3. project in SELECT order: only the SELECTED group keys survive
+        #    (an unselected GROUP BY key is dropped, as in SQL)
+        keep = [it["col"] if it["kind"] == "col"
+                else it["alias"] if it["kind"] == "expr"
+                else _agg_alias(it) for it in items]
         ds = ds.select_columns(keep)
-        # bare-column aliases on group keys
         renames = {it["col"]: it["alias"] for it in items
                    if it["kind"] == "col" and "alias" in it}
         if renames:
             ds = ds.rename_columns(renames)
-    elif aggs:
-        if any(it["kind"] != "agg" for it in items):
-            raise ValueError("mixing aggregates and bare columns "
-                             "needs GROUP BY")
-        row = ds.aggregate(*[_make_agg(it) for it in aggs])
-        if row is None:
-            # empty/fully-filtered input: ANSI global aggregates still
-            # return ONE row — 0 for COUNT, NULL for SUM/AVG/MIN/MAX
-            row = {_agg_alias(it): (0 if it["fn"] == "COUNT" else None)
-                   for it in aggs}
-        ds = _one_row(row, [_agg_alias(it) for it in aggs])
     else:
+        # ---- projection path (expressions evaluated per batch) ----
         if items and items[0]["kind"] != "star":
-            keep = [it["col"] for it in items]
+            if expr_items:
+                compiled = [(it["alias"], compile_expr(it["node"]))
+                            for it in expr_items]
+
+                def project(t: pa.Table, _c=compiled) -> pa.Table:
+                    for name, fn in _c:
+                        t = t.append_column(
+                            name, _as_column(fn(t), t.num_rows))
+                    return t
+
+                ds = ds.map_batches(project, batch_format="pyarrow")
+            keep = [it["alias"] if it["kind"] == "expr" else it["col"]
+                    for it in items]
             ds = ds.select_columns(keep)
             renames = {it["col"]: it["alias"] for it in items
-                       if "alias" in it}
+                       if it["kind"] == "col" and "alias" in it}
             if renames:
                 ds = ds.rename_columns(renames)
-
-    if casts:
-        def apply_casts(t: pa.Table) -> pa.Table:
-            for col, ty in casts.items():
-                i = t.schema.get_field_index(col)
-                t = t.set_column(i, col, pc.cast(t[col], ty))
-            return t
-
-        ds = ds.map_batches(apply_casts, batch_format="pyarrow")
 
     if plan["having"] is not None:
         ds = filter_query(ds, plan["having"])

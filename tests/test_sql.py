@@ -86,8 +86,13 @@ def test_global_aggregate(ray_session, table):
 
 
 def test_parse_errors():
+    # general LIKE is supported now; the pattern must still be a string
+    assert parse_sql("SELECT * FROM t WHERE name LIKE '%mid%'")[
+        "where"] == {"op": "like", "field": "name", "pattern": "%mid%"}
     with pytest.raises(ValueError):
-        parse_sql("SELECT * FROM t WHERE name LIKE '%mid%'")
+        parse_sql("SELECT * FROM t WHERE name LIKE 5")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a * b FROM t")  # expression items require AS
     with pytest.raises(ValueError):
         parse_sql("DELETE FROM t")
     with pytest.raises(ValueError):
