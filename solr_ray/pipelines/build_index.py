@@ -371,19 +371,63 @@ def build_index(
     ).materialize()
     t_analyze = time.time() - t0
 
-    def _count_existing(t: pa.Table) -> pa.Table:
+    # ONE pass over the materialized tokenized data computes BOTH the
+    # per-bucket doc counts (docID offsets) and — for positions-free builds —
+    # the union of per-block token dictionaries (the global-code vocab).
+    # These were two separate scheduled passes; fusing them halves the
+    # fixed driver-side latency between analyze and the shuffle (~1-2 s at
+    # 32 CPUs, which is pure serial time in the scaling-efficiency profile).
+    want_vocab = not store_positions
+
+    def _count_and_dicts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
         b = t["bucket"].to_numpy(zero_copy_only=False)
         binc = np.bincount(b, minlength=num_buckets)
         nz = np.flatnonzero(binc)
-        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
-                         "cnt": pa.array(binc[nz].astype(np.int64))})
+        out_bucket = nz.astype(np.int64)
+        out_cnt = binc[nz].astype(np.int64)
+        terms = pa.array([], pa.string())
+        if want_vocab:
+            col = t["tokens"]
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            parts = [ch.values.dictionary for ch in chunks
+                     if isinstance(ch.values, pa.DictionaryArray)]
+            if parts:
+                terms = (_pc.unique(pa.chunked_array(parts))
+                         if len(parts) > 1 else _pc.unique(parts[0]))
+        n_terms = len(terms)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(
+                [out_bucket, np.full(n_terms, -1, np.int64)])),
+            "cnt": pa.array(np.concatenate(
+                [out_cnt, np.zeros(n_terms, np.int64)])),
+            "term": pa.nulls(len(out_bucket), pa.string())
+            if n_terms == 0 else pa.concat_arrays(
+                [pa.nulls(len(out_bucket), pa.string()),
+                 terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+                 else terms]),
+        })
 
-    counted = tokenized.select_columns(["bucket"]).map_batches(
-        _count_existing, batch_format="pyarrow",
-    )
+    import pyarrow.compute as _pcm
+
     counts: dict[int, int] = {}
-    for row in counted.take_all():
-        counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["cnt"])
+    vocab_parts: list[pa.Array] = []
+    vocab_total = 0
+    vocab_overflow = not want_vocab
+    for bt in tokenized.map_batches(
+            _count_and_dicts, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        mask = _pcm.greater_equal(bt["bucket"], pa.scalar(0))
+        cr = bt.filter(mask)
+        for bb, cc in zip(cr["bucket"].to_pylist(), cr["cnt"].to_pylist()):
+            counts[int(bb)] = counts.get(int(bb), 0) + int(cc)
+        if not vocab_overflow:
+            tr = bt.filter(_pcm.invert(mask))["term"].combine_chunks()
+            vocab_parts.append(tr)
+            vocab_total += len(tr)
+            if vocab_total > _VOCAB_MAX_TERMS:
+                vocab_overflow = True
+                vocab_parts = []
     t_count = time.time() - t0 - t_analyze
     offsets: dict[int, int] = {}
     acc = 0
@@ -396,8 +440,14 @@ def build_index(
     # boundable vocab): block dictionaries -> sorted global vocab (broadcast
     # once via ray.put), token columns remapped to per-doc delta+varint
     # blobs fused into the shuffle's map side. ~3x fewer shuffle bytes and
-    # no arrow-dictionary unification on the reduce side.
-    vocab = None if store_positions else _collect_global_vocab(tokenized)
+    # no arrow-dictionary unification on the reduce side. Falls back to the
+    # dict-token payload when the union would exceed _VOCAB_MAX_TERMS
+    # (the 100-TB regime — same gating idea as the stats-merge threshold).
+    vocab = None
+    if not vocab_overflow and vocab_parts:
+        u = _pcm.unique(pa.chunked_array(vocab_parts))
+        if len(u) <= _VOCAB_MAX_TERMS:
+            vocab = u.take(_pcm.sort_indices(u))
     payload = "blob" if vocab is not None else "dict"
     vocab_ref = ray.put(vocab) if vocab is not None else None
 
