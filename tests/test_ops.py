@@ -95,6 +95,48 @@ def test_minhash_lsh_finds_exact_dups(dup_ds, dup_pd):
             assert len(reps) == 1
 
 
+def test_jaccard_join_path_matches_broadcast(dup_ds, dup_pd):
+    """The zero-driver-state join path (duplicate-heavy-corpus scale path)
+    must produce bit-identical verified pairs to the broadcast path."""
+    from solr_ray.ops.dedup import jaccard_verify_pairs, minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(
+        dup_ds, "doc_id", "text", num_perm=32, bands=8).materialize()
+    vb = jaccard_verify_pairs(cand, dup_ds, "doc_id", "text",
+                              threshold=0.9).to_pandas()
+    vj = jaccard_verify_pairs(cand, dup_ds, "doc_id", "text", threshold=0.9,
+                              method="join").to_pandas()
+    sb = vb.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    sj = vj.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert sb.equals(sj)
+
+
+def test_connected_components_distributed_matches_unionfind(ray_session):
+    """Min-label propagation == driver union-find on a worst-case graph:
+    a long chain (diameter >> 1 exercises multi-round convergence) plus a
+    clique, string vertex ids."""
+    import ray.data
+
+    from solr_ray.ops.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rows = {"id_a": [], "id_b": []}
+    for i in range(30):
+        rows["id_a"].append(f"d{i:03d}")
+        rows["id_b"].append(f"d{i + 1:03d}")
+    for i in range(40, 50):
+        for j in range(i + 1, 50):
+            rows["id_a"].append(f"d{i:03d}")
+            rows["id_b"].append(f"d{j:03d}")
+    pairs = pd.DataFrame(rows)
+    local = connected_components(pairs)
+    dist = connected_components_distributed(
+        ray.data.from_pandas(pairs)).to_pandas()
+    assert dict(zip(dist["id"], dist["cluster"])) == local
+
+
 def test_simhash_candidates(dup_ds, dup_pd):
     from solr_ray.ops.dedup import simhash_candidates, simhash64
 
