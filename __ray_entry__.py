@@ -1482,6 +1482,93 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf_index(idx, qvecs, k=5, nprobe=3)
 
 
+_KNN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def _knn_queries(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qrows = emb.filter(pc.less(emb["vec_id"], pa.scalar(5))).sort_by("vec_id")
+    return np.stack([np.asarray(v, dtype=np.float32)
+                     for v in qrows["embedding"].to_pylist()])
+
+
+def _knn_rank_table(t: pa.Table) -> pa.Table:
+    """(qid, vec_id, rank) -> the oracle-comparable (query_id, rank, vec_id)
+    shape (scores dropped: rank is the contract, matching knn_cosine)."""
+    return pa.table({
+        "query_id": pc.cast(t["qid"], pa.int64()),
+        "rank": pc.cast(t["rank"], pa.int64()),
+        "vec_id": pc.cast(t["vec_id"], pa.int64()),
+    })
+
+
+def _q_knn_hnsw_exh(sf_dir: str):
+    """HNSW at EXHAUSTIVE parameters (ef >= corpus size): the search frontier
+    can never satisfy its early-exit bound, so every node reachable from the
+    entry point is visited and each segment returns its EXACT top-k — the
+    merged result equals brute force, making the knn_cosine SQL oracle apply
+    verbatim. Pruned-ef recall stays covered by pytest."""
+    from solr_ray.ops.hnsw import build_hnsw_index, knn_hnsw_index
+
+    idx = _idx_dir(sf_dir, "hnsw")
+    if not os.path.exists(os.path.join(idx, "_hnsw.json")):
+        build_hnsw_index(_read(sf_dir, "embeddings"), idx,
+                         id_col="vec_id", vec_col="embedding",
+                         num_segments=4)
+    t = knn_hnsw_index(idx, _knn_queries(sf_dir), k=5, ef=1_000_000)
+    return _knn_rank_table(t)
+
+
+def _q_knn_ivf_exh(sf_dir: str):
+    """IVF at nprobe = n_lists: every partition is scanned, so the result is
+    the exact cosine top-k (same normalize+matmul kernel as knn_brute) and
+    the knn_cosine SQL oracle applies verbatim."""
+    from solr_ray.ops.ivf import build_ivf_index, knn_ivf_index
+
+    idx = _idx_dir(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "_ivf.json")):
+        build_ivf_index(_read(sf_dir, "embeddings"), idx,
+                        id_col="vec_id", vec_col="embedding", n_lists=8,
+                        train_sample=5000)
+    t = knn_ivf_index(idx, _knn_queries(sf_dir), k=5, nprobe=8)
+    return _knn_rank_table(t)
+
+
+def _q_knn_lsh_exh(sf_dir: str):
+    """LSH at probe_radius = n_bits: the multiprobe flip set enumerates every
+    bucket, so every vector is scored for every query — exact top-k, oracled
+    by the same SQL as knn_cosine."""
+    from solr_ray.ops.similarity import knn_lsh
+
+    out = knn_lsh(_read(sf_dir, "embeddings"), _knn_queries(sf_dir), k=5,
+                  id_col="vec_id", vec_col="embedding",
+                  n_bits=4, probe_radius=4)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "vec_id": pc.cast(t["id"], pa.int64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_hll_users(sf_dir: str):
     from solr_ray.functions.aggregates import approx_distinct
 
@@ -1636,6 +1723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_hnsw": _q_knn_hnsw,
         "knn_ivf": _q_knn_ivf,
+        "knn_hnsw_exh": _q_knn_hnsw_exh,
+        "knn_ivf_exh": _q_knn_ivf_exh,
+        "knn_lsh_exh": _q_knn_lsh_exh,
         # scalar / aggregate functions
         "scale_acctbal": _q_scale_acctbal,
         "hll_users": _q_hll_users,
@@ -2696,20 +2786,12 @@ FROM documents GROUP BY lang
 SELECT doc_id, lang, n_chars FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) = 1
 """,
-        "knn_cosine": """
-WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-           WHERE vec_id < 5),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(e.embedding, q.embedding) AS score
-  FROM embeddings e CROSS JOIN q
-)
-SELECT query_id, rank, vec_id FROM (
-  SELECT query_id, vec_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id) AS rank
-  FROM scored) WHERE rank <= 5
-""",
+        "knn_cosine": _KNN_TOPK_SQL,
+        # ANN paths at exhaustive parameters are EXACT (see the _exh entry
+        # docstrings), so the brute-force oracle applies verbatim
+        "knn_hnsw_exh": _KNN_TOPK_SQL,
+        "knn_ivf_exh": _KNN_TOPK_SQL,
+        "knn_lsh_exh": _KNN_TOPK_SQL,
         "gather_nodes": """
 WITH RECURSIVE e AS (
   SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
