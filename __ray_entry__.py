@@ -1569,6 +1569,35 @@ def _q_knn_lsh_exh(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_suggest_weighted(sf_dir: str):
+    """Weighted prefix suggester (SuggestComponent semantics): dictionary =
+    distinct terms weighted by document frequency, completion ordered
+    (weight desc, term asc)."""
+    from solr_ray.search.spellcheck import (
+        build_suggest_dictionary,
+        suggest_prefix_weighted,
+    )
+
+    d = build_suggest_dictionary(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "text", analyzer="whitespace")
+    return suggest_prefix_weighted(d, "s", 10)
+
+
+def _q_suggest_fuzzy(sf_dir: str):
+    """Weighted fuzzy suggester: Damerau-Levenshtein <= 2 from the seed,
+    ordered (distance asc, weight desc, term asc)."""
+    from solr_ray.search.spellcheck import (
+        build_suggest_dictionary,
+        suggest_fuzzy_weighted,
+    )
+
+    d = build_suggest_dictionary(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "text", analyzer="whitespace")
+    return suggest_fuzzy_weighted(d, "hach", 10, max_edits=2)
+
+
 def _q_hll_users(sf_dir: str):
     from solr_ray.functions.aggregates import approx_distinct
 
@@ -1653,6 +1682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wand": _q_bm25_wand,
         "term_df": _q_term_df,
         "salted_term_counts": _q_salted_term_counts,
+        "suggest_weighted": _q_suggest_weighted,
+        "suggest_fuzzy": _q_suggest_fuzzy,
         # aggregation / faceting
         "pricing_summary": _q_pricing_summary,
         "facet_lang": _q_facet_lang,
@@ -1989,6 +2020,29 @@ SELECT term, COUNT(*)::BIGINT AS df FROM (
 SELECT tok AS term, COUNT(*)::BIGINT AS cnt
 FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok
+""",
+        "suggest_weighted": """
+WITH dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS weight FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents) AS t(doc_id, tok)
+    WHERE tok <> '') GROUP BY term)
+SELECT term, weight FROM dfreq WHERE term LIKE 's%'
+ORDER BY weight DESC, term LIMIT 10
+""",
+        "suggest_fuzzy": """
+WITH dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS weight FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents) AS t(doc_id, tok)
+    WHERE tok <> '') GROUP BY term)
+SELECT term, weight, distance FROM (
+  SELECT term, weight,
+         damerau_levenshtein(term, 'hach')::BIGINT AS distance FROM dfreq)
+WHERE distance <= 2
+ORDER BY distance, weight DESC, term LIMIT 10
 """,
         "pricing_summary": """
 WITH p AS (

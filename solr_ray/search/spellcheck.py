@@ -101,6 +101,81 @@ class SpellChecker:
         return " ".join(out)
 
 
+def build_suggest_dictionary(ds, text_col: str = "text",
+                             analyzer: str = "simple",
+                             term_col: str | None = None,
+                             weight_col: str | None = None):
+    """Weighted suggester dictionary as a Dataset(term, weight).
+
+    Two sources, mirroring SuggestComponent.java:68's dictionary
+    factories: from a text column (HighFrequencyDictionary — weight is the
+    term's document frequency, computed distributed by term_doc_freq), or
+    from explicit (term_col, weight_col) columns (DocumentDictionaryFactory
+    — e.g. product names weighted by popularity)."""
+    if term_col is not None:
+        import pyarrow.compute as pc
+
+        if weight_col is None:
+            raise ValueError("term_col requires weight_col")
+
+        def shape(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "term": pc.cast(t[term_col], pa.string()),
+                "weight": pc.cast(t[weight_col], pa.int64()),
+            })
+
+        return ds.map_batches(shape, batch_format="pyarrow")
+    from solr_ray.ops.textstats import term_doc_freq
+
+    df = term_doc_freq(ds, text_col, analyzer=analyzer)
+    import pyarrow.compute as pc
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t["term"],
+                         "weight": pc.cast(t["df"], pa.int64())})
+
+    return df.map_batches(shape, batch_format="pyarrow")
+
+
+def suggest_prefix_weighted(dict_ds, prefix: str, count: int = 10):
+    """Weighted prefix completion over a suggest dictionary: terms starting
+    with `prefix`, ordered (weight desc, term asc), top `count`. The filter
+    runs vectorized inside map_batches (pc.starts_with); only survivors hit
+    the small final sort — at 100 TB the sort input is the matching slice
+    of the vocab, not the corpus."""
+    import pyarrow.compute as pc
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(t["term"], pattern=prefix))
+
+    return (dict_ds.map_batches(flt, batch_format="pyarrow")
+            .sort(["weight", "term"], descending=[True, False])
+            .limit(count))
+
+
+def suggest_fuzzy_weighted(dict_ds, seed: str, count: int = 10,
+                           max_edits: int = 2):
+    """Weighted fuzzy suggest: dictionary terms within Damerau-Levenshtein
+    distance <= max_edits of `seed`, ordered (distance asc, weight desc,
+    term asc) — SpellCheckComponent's ranking with SuggestComponent's
+    weights. Distance runs per batch in the workers (cheap length prefilter
+    first); the final sort sees only matches."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        dists = np.array([_damerau_distance(seed, x, max_edits)
+                          for x in terms], dtype=np.int64)
+        keep = dists <= max_edits
+        tt = t.filter(pa.array(keep))
+        return tt.append_column("distance",
+                                pa.array(dists[keep], pa.int64()))
+
+    return (dict_ds.map_batches(flt, batch_format="pyarrow")
+            .sort(["distance", "weight", "term"],
+                  descending=[False, True, False])
+            .limit(count))
+
+
 class SpellcheckActor:
     """map_batches stage: queries(qid, text) -> suggestions per unknown term."""
 

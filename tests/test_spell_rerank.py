@@ -152,3 +152,47 @@ def test_nn_activations():
     assert np.allclose(_ACTIVATIONS["sigmoid"](x), 1 / (1 + np.exp(-x)))
     assert np.allclose(_ACTIVATIONS["tanh"](x), np.tanh(x))
     assert np.allclose(_ACTIVATIONS["identity"](x), x)
+
+
+def test_suggest_weighted_prefix_and_fuzzy():
+    from solr_ray.search.spellcheck import (
+        build_suggest_dictionary,
+        suggest_fuzzy_weighted,
+        suggest_prefix_weighted,
+    )
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "search searching searcher query"},
+        {"doc_id": 2, "text": "search query engine"},
+        {"doc_id": 3, "text": "search segment merge"},
+    ])
+    d = build_suggest_dictionary(docs, "text", analyzer="whitespace")
+    out = suggest_prefix_weighted(d, "sea", 10).to_pandas()
+    assert out["term"].tolist()[0] == "search"  # weight 3 beats the rest
+    assert out["weight"].tolist()[0] == 3
+    assert all(t.startswith("sea") for t in out["term"])
+    ws = out["weight"].tolist()
+    assert ws == sorted(ws, reverse=True)
+
+    fz = suggest_fuzzy_weighted(d, "serch", 10, max_edits=2).to_pandas()
+    assert "search" in fz["term"].tolist()
+    ds_ = fz["distance"].tolist()
+    assert ds_ == sorted(ds_)
+
+
+def test_suggest_dictionary_explicit_columns():
+    from solr_ray.search.spellcheck import (
+        build_suggest_dictionary,
+        suggest_prefix_weighted,
+    )
+
+    prods = ray.data.from_items([
+        {"name": "apple", "popularity": 5},
+        {"name": "apricot", "popularity": 9},
+        {"name": "banana", "popularity": 7},
+    ])
+    d = build_suggest_dictionary(prods, term_col="name",
+                                 weight_col="popularity")
+    out = suggest_prefix_weighted(d, "ap", 10).to_pandas()
+    assert out["term"].tolist() == ["apricot", "apple"]
+    assert out["weight"].tolist() == [9, 5]
