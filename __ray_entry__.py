@@ -806,6 +806,49 @@ def _q_span_unordered(sf_dir: str):
     return _span_result(reader, ids, sc)
 
 
+def _interval_result(reader, expr):
+    """All matching docs as (doc_id, tf = minimal-interval count)."""
+    from solr_ray.search.intervals import interval_match
+
+    ids, tfs = interval_match(reader, expr)
+    doc_ids = [int(reader.url_of(int(d))) for d in ids]
+    order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
+    return pa.table({
+        "doc_id": pa.array([doc_ids[i] for i in order], pa.int64()),
+        "tf": pa.array([int(tfs[i]) for i in order], pa.int64()),
+    })
+
+
+def _q_interval_ordered_maxwidth(sf_dir: str):
+    """Lucene Intervals.maxwidth(Intervals.ordered(table, scan), 6):
+    minimal ordered windows at most 6 tokens wide, counted per doc."""
+    from solr_ray.search.intervals import I
+
+    reader = _span_reader(sf_dir)
+    return _interval_result(
+        reader, I.maxwidth(I.ordered("table", "scan"), 6))
+
+
+def _q_interval_unordered_3(sf_dir: str):
+    """Intervals.unordered over THREE clauses (hash, join, scan) —
+    minimal covering windows, exact at any clause count (edge-sweep is
+    O(n*k), unlike span_near's 2^(k-1) combo cap)."""
+    from solr_ray.search.intervals import I
+
+    reader = _span_reader(sf_dir)
+    return _interval_result(reader, I.unordered("hash", "join", "scan"))
+
+
+def _q_interval_containing(sf_dir: str):
+    """Intervals.containing(unordered(hash, join), table): minimal
+    hash/join windows that physically contain a 'table' occurrence."""
+    from solr_ray.search.intervals import I
+
+    reader = _span_reader(sf_dir)
+    return _interval_result(
+        reader, I.containing(I.unordered("hash", "join"), "table"))
+
+
 def _q_select_fq(sf_dir: str):
     """/select request: q='table scan' + fq lang='en', top-20 page with
     stored lang. Filtered ranking is exact (stats stay corpus-global)."""
@@ -1700,6 +1743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sloppy_phrase": _q_sloppy_phrase,
         "span_near_wildcard": _q_span_near_wildcard,
         "span_unordered": _q_span_unordered,
+        "interval_ordered_maxwidth": _q_interval_ordered_maxwidth,
+        "interval_unordered_3": _q_interval_unordered_3,
+        "interval_containing": _q_interval_containing,
         "geofilt": _q_geofilt,
         "bbox": _q_bbox,
         "geodist_top20": _q_geodist_top20,
@@ -2589,6 +2635,106 @@ ranked AS (
 )
 SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
 FROM ranked WHERE rank <= 20
+""",
+        "interval_ordered_maxwidth": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+pa_ AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'table')) AS p
+  FROM docs
+),
+pb AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'scan')) AS p
+  FROM docs
+),
+chain AS (
+  SELECT a.doc_id, a.p AS p1, MIN(b.p) AS p2
+  FROM pa_ a JOIN pb b ON b.doc_id = a.doc_id AND b.p > a.p
+  GROUP BY a.doc_id, a.p
+),
+minimal AS (
+  SELECT c.doc_id, c.p1, c.p2 FROM chain c
+  WHERE NOT EXISTS (SELECT 1 FROM pa_ a2
+                    WHERE a2.doc_id = c.doc_id
+                      AND a2.p > c.p1 AND a2.p < c.p2)
+)
+SELECT doc_id, COUNT(*)::BIGINT AS tf FROM minimal
+WHERE p2 - p1 + 1 <= 6
+GROUP BY doc_id ORDER BY doc_id
+""",
+        "interval_unordered_3": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+p1 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'hash')) AS p
+  FROM docs
+),
+p2 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'join')) AS p
+  FROM docs
+),
+p3 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'scan')) AS p
+  FROM docs
+),
+wins AS (
+  SELECT DISTINCT a.doc_id,
+         LEAST(a.p, b.p, c.p) AS s, GREATEST(a.p, b.p, c.p) AS e
+  FROM p1 a
+  JOIN p2 b ON b.doc_id = a.doc_id
+  JOIN p3 c ON c.doc_id = a.doc_id
+),
+minimal AS (
+  SELECT w.doc_id, w.s, w.e FROM wins w
+  WHERE NOT EXISTS (SELECT 1 FROM wins w2
+                    WHERE w2.doc_id = w.doc_id
+                      AND w2.s >= w.s AND w2.e <= w.e
+                      AND (w2.s <> w.s OR w2.e <> w.e))
+)
+SELECT doc_id, COUNT(*)::BIGINT AS tf FROM minimal
+GROUP BY doc_id ORDER BY doc_id
+""",
+        "interval_containing": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+p1 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'hash')) AS p
+  FROM docs
+),
+p2 AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'join')) AS p
+  FROM docs
+),
+pc_ AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'table')) AS p
+  FROM docs
+),
+wins AS (
+  SELECT DISTINCT a.doc_id, LEAST(a.p, b.p) AS s, GREATEST(a.p, b.p) AS e
+  FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id
+),
+minimal AS (
+  SELECT w.doc_id, w.s, w.e FROM wins w
+  WHERE NOT EXISTS (SELECT 1 FROM wins w2
+                    WHERE w2.doc_id = w.doc_id
+                      AND w2.s >= w.s AND w2.e <= w.e
+                      AND (w2.s <> w.s OR w2.e <> w.e))
+)
+SELECT m.doc_id, COUNT(*)::BIGINT AS tf FROM minimal m
+WHERE EXISTS (SELECT 1 FROM pc_ c
+              WHERE c.doc_id = m.doc_id AND c.p BETWEEN m.s AND m.e)
+GROUP BY m.doc_id ORDER BY m.doc_id
 """,
         "phrase_search": """
 WITH docs AS (
