@@ -529,6 +529,51 @@ def _q_timeseries_hourly(sf_dir: str):
     )
 
 
+def _q_regress_lineitem(sf_dir: str):
+    """Lang regress()/corr()/cov() as ONE distributed pass: exact integer
+    moment sums (quantity grid 1, price grid cents) -> closed-form OLS.
+    Float expressions mirrored verbatim in the SQL oracle."""
+    from solr_ray.functions.mathx import dataset_regress
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    m = dataset_regress(li, "l_quantity", "l_extendedprice",
+                        x_scale=1, y_scale=100)
+    return pa.table({
+        "n": pa.array([m["n"]], pa.int64()),
+        "corr_xy": pa.array([m["corr_xy"]], pa.float64()),
+        "cov_xy": pa.array([m["cov_xy"]], pa.float64()),
+        "slope": pa.array([m["slope"]], pa.float64()),
+        "intercept": pa.array([m["intercept"]], pa.float64()),
+        "r2": pa.array([m["r2"]], pa.float64()),
+    })
+
+
+def _q_hist_quantity(sf_dir: str):
+    """Lang hist(): 10 equal-width bins over l_quantity in [1, 50] —
+    integer bin keys per batch, bincount partials, tiny merge."""
+    from solr_ray.functions.mathx import dataset_hist
+
+    li = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    return dataset_hist(li, "l_quantity", bins=10, lo=1, hi=50, scale=1)
+
+
+def _q_moving_avg_events(sf_dir: str):
+    """Lang timeseries() |> movingAvg(7): daily event counts stream
+    through the distributed bucketing groupby; the 7-day trailing mean
+    runs on the small driver-side series (the let()-binding model)."""
+    from solr_ray.functions.mathx import moving_avg
+    from solr_ray.ops.windows import timeseries
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+    daily = timeseries(ev, "ts", "day", {"cnt": ("ts", "count")}).to_pandas()
+    ma = moving_avg(daily["cnt"].to_numpy(), 7)
+    return pa.table({
+        "bucket": pa.array(daily["bucket"].iloc[6:].to_numpy()),
+        "ma7": pa.array(ma, pa.float64()),
+    })
+
+
 def _q_quantiles_value(sf_dir: str):
     from solr_ray.functions.aggregates import exact_quantiles
 
@@ -1755,6 +1800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": _q_distinct_event_types,
         "stats_quantity": _q_stats_quantity,
         "quantiles_value": _q_quantiles_value,
+        "regress_lineitem": _q_regress_lineitem,
+        "hist_quantity": _q_hist_quantity,
+        "moving_avg_events": _q_moving_avg_events,
         "significant_terms_en": _q_significant_terms,
         # grouping / collapse / top-k
         "collapse_max_order": _q_collapse_max_order,
@@ -2943,6 +2991,74 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "regress_lineitem": """
+WITH q AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS xq,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yq
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CAST(xq AS HUGEINT)) AS sx,
+         SUM(CAST(yq AS HUGEINT)) AS sy,
+         SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+         SUM(CAST(yq AS HUGEINT) * yq) AS syy,
+         SUM(CAST(xq AS HUGEINT) * yq) AS sxy
+  FROM q
+),
+m AS (
+  SELECT n,
+         n * sxy - sx * sy AS cov_num,
+         n * sxx - sx * sx AS var_x,
+         n * syy - sy * sy AS var_y,
+         sx, sy
+  FROM s
+),
+d AS (
+  SELECT n,
+         CAST(cov_num AS DOUBLE)
+           / SQRT(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)) AS corr_xy,
+         CAST(cov_num AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS cov_xy,
+         CAST(cov_num AS DOUBLE) / CAST(var_x AS DOUBLE) AS slope,
+         sx, sy
+  FROM m
+)
+SELECT n, corr_xy, cov_xy, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       corr_xy * corr_xy AS r2
+FROM d
+""",
+        "hist_quantity": """
+WITH b AS (
+  SELECT ((CAST(ROUND(l_quantity) AS BIGINT) - 1) * 10) // 50 AS raw
+  FROM lineitem
+),
+c AS (
+  SELECT LEAST(GREATEST(raw, 0), 9) AS bin, COUNT(*)::BIGINT AS cnt
+  FROM b GROUP BY 1
+)
+SELECT r.bin, COALESCE(c.cnt, 0)::BIGINT AS cnt
+FROM (SELECT UNNEST(range(0, 10)) AS bin) r
+LEFT JOIN c ON c.bin = r.bin
+ORDER BY r.bin
+""",
+        "moving_avg_events": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS bucket, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT bucket,
+         CAST(SUM(cnt) OVER (ORDER BY bucket
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 7.0 AS ma7,
+         ROW_NUMBER() OVER (ORDER BY bucket) AS rn
+  FROM daily
+)
+SELECT bucket, ma7 FROM w WHERE rn >= 7 ORDER BY bucket
 """,
         "timeseries_hourly": """
 SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events,

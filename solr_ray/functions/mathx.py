@@ -1,0 +1,379 @@
+"""Streaming math/statistics evaluators (the Lang.java math DSL).
+
+Reference surface: the statistics block of the streaming-expression
+evaluator registry (solr/solrj-streaming/src/java/org/apache/solr/client/
+solrj/io/Lang.java:419-668): describe / corr / cov / regress / predict /
+hist / percentile / movingAvg / movingMedian / diff / zscores /
+standardize / unitize / ebeAdd..ebeDivide / scalarAdd / scalarMultiply /
+geometricMean / harmonicMean / mode / distance (euclidean, manhattan,
+canberra, cosine) / matrix ops (transpose, sumRows, sumColumns, grandSum,
+covariance and correlation matrices) / normalCdf.
+
+Two tiers, both vectorized numpy:
+
+- **Array evaluators** operate on in-memory numeric arrays — the exact
+  Lang.java model, where `let(a=col(search(...)), b=movingAvg(a, 3))`
+  binds small driver-side series (a few thousand points: a time series, a
+  facet result). They are also registered into the scalar-function
+  registry so streaming `select()` can apply them to ``list<double>``
+  columns per row.
+
+- **Dataset evaluators** are the 100-TB shapes: one pass of per-batch
+  combiner partials (n, Σx, Σy, Σxy, Σx², Σy²) → a tiny driver merge →
+  closed-form corr/cov/regression; histogram via fixed integer bin keys
+  through the same partial-count pattern. Inputs are integer-quantized
+  (CLAUDE.md invariant) so partial sums are EXACT integers — Ray and any
+  SQL engine then agree bit-for-bit on the final float expressions.
+
+Not modeled (honest scope): hypothesis-test p-values (ttest/ks/anova need
+incomplete-beta tails), random sampling evaluators (non-deterministic),
+markovChain/monteCarlo simulation. normalCdf is exact via math.erf.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+# ----------------------------------------------------------- array tier
+
+def moving_avg(a, window: int):
+    """Trailing-window means over full windows: len(out) = n - window + 1."""
+    a = np.asarray(a, dtype=np.float64)
+    if window < 1 or a.size < window:
+        return np.empty(0, np.float64)
+    c = np.concatenate(([0.0], np.cumsum(a)))
+    return (c[window:] - c[:-window]) / float(window)
+
+
+def moving_median(a, window: int):
+    a = np.asarray(a, dtype=np.float64)
+    if window < 1 or a.size < window:
+        return np.empty(0, np.float64)
+    win = np.lib.stride_tricks.sliding_window_view(a, window)
+    return np.median(win, axis=1)
+
+
+def diff(a, lag: int = 1):
+    """Serial difference a[i] - a[i-lag]."""
+    a = np.asarray(a, dtype=np.float64)
+    if a.size <= lag:
+        return np.empty(0, np.float64)
+    return a[lag:] - a[:-lag]
+
+
+def zscores(a):
+    a = np.asarray(a, dtype=np.float64)
+    sd = a.std(ddof=1)
+    return (a - a.mean()) / sd if sd > 0 else np.zeros_like(a)
+
+
+def standardize(a):
+    return zscores(a)
+
+
+def unitize(a):
+    a = np.asarray(a, dtype=np.float64)
+    n = np.linalg.norm(a)
+    return a / n if n > 0 else a
+
+
+def ebe_add(a, b):
+    return np.asarray(a, np.float64) + np.asarray(b, np.float64)
+
+
+def ebe_subtract(a, b):
+    return np.asarray(a, np.float64) - np.asarray(b, np.float64)
+
+
+def ebe_multiply(a, b):
+    return np.asarray(a, np.float64) * np.asarray(b, np.float64)
+
+
+def ebe_divide(a, b):
+    return np.asarray(a, np.float64) / np.asarray(b, np.float64)
+
+
+def scalar_add(k, a):
+    return np.asarray(a, np.float64) + float(k)
+
+
+def scalar_multiply(k, a):
+    return np.asarray(a, np.float64) * float(k)
+
+
+def geometric_mean(a):
+    a = np.asarray(a, dtype=np.float64)
+    return float(np.exp(np.mean(np.log(a))))
+
+
+def harmonic_mean(a):
+    a = np.asarray(a, dtype=np.float64)
+    return float(a.size / np.sum(1.0 / a))
+
+
+def mode(a):
+    """Most frequent value; ties -> smallest (deterministic)."""
+    vals, cnt = np.unique(np.asarray(a), return_counts=True)
+    return vals[np.argmax(cnt)].item()
+
+
+def percentile_array(a, p):
+    """Lang percentile: linear interpolation, p in (0, 100]."""
+    return float(np.percentile(np.asarray(a, np.float64), p))
+
+
+def describe(a):
+    a = np.asarray(a, dtype=np.float64)
+    return {
+        "n": int(a.size),
+        "min": float(a.min()),
+        "max": float(a.max()),
+        "mean": float(a.mean()),
+        "sum": float(a.sum()),
+        "sumsq": float(np.sum(a * a)),
+        "stddev": float(a.std(ddof=1)) if a.size > 1 else 0.0,
+        "var": float(a.var(ddof=1)) if a.size > 1 else 0.0,
+        "geometric_mean": geometric_mean(a) if (a > 0).all() else float("nan"),
+    }
+
+
+def corr(a, b):
+    """Pearson correlation of two arrays."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    am, bm = a - a.mean(), b - b.mean()
+    den = math.sqrt(float(am @ am) * float(bm @ bm))
+    return float(am @ bm) / den if den > 0 else float("nan")
+
+
+def cov(a, b):
+    """Sample covariance (n-1 denominator, Lang cov semantics)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float((a - a.mean()) @ (b - b.mean())) / (a.size - 1)
+
+
+def regress(x, y):
+    """OLS simple regression: dict with slope/intercept/R/RSquare, and
+    enough to predict (Lang regress -> predict pairing)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    xm, ym = x - x.mean(), y - y.mean()
+    sxx = float(xm @ xm)
+    slope = float(xm @ ym) / sxx if sxx > 0 else float("nan")
+    intercept = float(y.mean() - slope * x.mean())
+    r = corr(x, y)
+    return {"slope": slope, "intercept": intercept,
+            "R": r, "RSquare": r * r, "n": int(x.size)}
+
+
+def predict(model: dict, x):
+    """Apply a regress() model to a point or array."""
+    x = np.asarray(x, np.float64)
+    out = model["slope"] * x + model["intercept"]
+    return float(out) if out.ndim == 0 else out
+
+
+def hist(a, bins: int):
+    """Equal-width histogram -> list of {lo, hi, count} (Lang hist)."""
+    a = np.asarray(a, np.float64)
+    counts, edges = np.histogram(a, bins=bins)
+    return [{"lo": float(edges[i]), "hi": float(edges[i + 1]),
+             "count": int(c)} for i, c in enumerate(counts)]
+
+
+def euclidean(a, b):
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return float(np.sqrt(d @ d))
+
+
+def manhattan(a, b):
+    return float(np.abs(np.asarray(a, np.float64)
+                        - np.asarray(b, np.float64)).sum())
+
+
+def canberra(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    den = np.abs(a) + np.abs(b)
+    num = np.abs(a - b)
+    return float(np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                          0.0).sum())
+
+
+def cosine_distance(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    den = np.linalg.norm(a) * np.linalg.norm(b)
+    return 1.0 - (float(a @ b) / den if den > 0 else 0.0)
+
+
+def normal_cdf(x, mu: float = 0.0, sigma: float = 1.0):
+    """Exact normal CDF via erf (Lang normalDistribution +
+    cumulativeProbability)."""
+    x = np.asarray(x, np.float64)
+    out = 0.5 * (1.0 + np.vectorize(math.erf)(
+        (x - mu) / (sigma * math.sqrt(2.0))))
+    return float(out) if out.ndim == 0 else out
+
+
+# matrix evaluators -----------------------------------------------------
+
+def matrix(*rows):
+    return np.asarray(rows, dtype=np.float64)
+
+
+def transpose(m):
+    return np.asarray(m, np.float64).T
+
+
+def sum_rows(m):
+    return np.asarray(m, np.float64).sum(axis=1)
+
+
+def sum_columns(m):
+    return np.asarray(m, np.float64).sum(axis=0)
+
+
+def grand_sum(m):
+    return float(np.asarray(m, np.float64).sum())
+
+
+def cov_matrix(m):
+    """Sample covariance matrix over COLUMNS of m (observations = rows)."""
+    return np.cov(np.asarray(m, np.float64), rowvar=False, ddof=1)
+
+
+def corr_matrix(m):
+    return np.corrcoef(np.asarray(m, np.float64), rowvar=False)
+
+
+# --------------------------------------------------------- dataset tier
+
+def _quant(col: pa.ChunkedArray | pa.Array, scale: int) -> np.ndarray:
+    v = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return np.rint(v * scale).astype(np.int64)
+
+
+def bivariate_sums(ds, x: str, y: str, x_scale: int = 1, y_scale: int = 1):
+    """EXACT integer moment sums over a Dataset: one map_batches pass of
+    per-batch partials, one tiny driver reduce. Inputs are quantized by
+    the given scales (e.g. 100 for cents) so every partial is an exact
+    int; python-int accumulation on the driver never overflows. This is
+    the combiner-then-merge shape that scales as a pure scan."""
+
+    dec = pa.decimal128(38, 0)
+
+    def part(t: pa.Table) -> pa.Table:
+        xa = _quant(t[x], x_scale)
+        ya = _quant(t[y], y_scale)
+        # elementwise int64 products are safe (|q| < 2^31); the SUM can
+        # exceed int64 on a large batch, so accumulate python bigints
+        # (dtype=object) and ship decimal128 partials
+        return pa.table({
+            "n": pa.array([len(xa)], pa.int64()),
+            "sx": pa.array([int(xa.sum(dtype=object))], dec),
+            "sy": pa.array([int(ya.sum(dtype=object))], dec),
+            "sxx": pa.array([int((xa * xa).sum(dtype=object))], dec),
+            "syy": pa.array([int((ya * ya).sum(dtype=object))], dec),
+            "sxy": pa.array([int((xa * ya).sum(dtype=object))], dec),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    tot = {k: 0 for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    for ref in parts:
+        t = ray.get(ref)
+        for k in tot:
+            for v in t[k].to_pylist():
+                tot[k] += int(v)
+    return tot
+
+
+def dataset_regress(ds, x: str, y: str, x_scale: int = 1, y_scale: int = 1):
+    """Distributed OLS + Pearson from exact integer sums. The float
+    expressions are written once here and mirrored verbatim in the SQL
+    oracle (same parenthesization -> bit-identical doubles).
+
+    Returns one-row dict: n, corr_xy, cov_xy, slope, intercept, r2 in the
+    QUANTIZED units (scale-invariant stats are unaffected; slope is in
+    y-units-per-x-unit of the quantized grid)."""
+    s = bivariate_sums(ds, x, y, x_scale, y_scale)
+    n, sx, sy = s["n"], s["sx"], s["sy"]
+    sxx, syy, sxy = s["sxx"], s["syy"], s["sxy"]
+    cov_num = n * sxy - sx * sy          # exact ints (python bigint)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr_xy = float(cov_num) / math.sqrt(float(var_x) * float(var_y))
+    cov_xy = float(cov_num) / (float(n) * float(n - 1))
+    slope = float(cov_num) / float(var_x)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return {"n": n, "corr_xy": corr_xy, "cov_xy": cov_xy, "slope": slope,
+            "intercept": intercept, "r2": corr_xy * corr_xy}
+
+
+def dataset_hist(ds, col: str, bins: int, lo: int, hi: int,
+                 scale: int = 1):
+    """Distributed equal-width histogram on the integer grid: bin keys are
+    computed per batch ((q - lo) * bins) // (hi - lo + 1) — pure integer
+    math, so any engine agrees exactly. Per-batch bincount partials merge
+    into one `bins`-long vector; out-of-range values are clipped into the
+    edge bins (Lang hist keeps all mass)."""
+    span = hi - lo + 1
+
+    def part(t: pa.Table) -> pa.Table:
+        q = _quant(t[col], scale)
+        b = ((q - lo) * bins) // span
+        b = np.clip(b, 0, bins - 1)
+        cnt = np.bincount(b, minlength=bins)
+        return pa.table({"bin": np.arange(bins, dtype=np.int64),
+                         "cnt": cnt.astype(np.int64)})
+
+    import ray
+
+    tot = np.zeros(bins, dtype=np.int64)
+    for ref in ds.map_batches(part, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        tot[np.asarray(t["bin"])] += np.asarray(t["cnt"])
+    return pa.table({
+        "bin": pa.array(np.arange(bins, dtype=np.int64)),
+        "cnt": pa.array(tot),
+    })
+
+
+def register_evaluators():
+    """Expose the array tier to streaming select() for list<double>
+    columns (per-row application, the Lang evaluator contract)."""
+    from solr_ray.functions.scalar import register_function
+
+    def rowwise(fn, n_extra=0):
+        def applied(col, *extra):
+            vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+            return pa.array([None if v is None
+                             else np.asarray(fn(v, *extra)).tolist()
+                             for v in vals])
+        return applied
+
+    def rowwise_scalar(fn):
+        def applied(col, *extra):
+            vals = col.to_pylist() if hasattr(col, "to_pylist") else col
+            return pa.array([None if v is None else float(fn(v, *extra))
+                             for v in vals], pa.float64())
+        return applied
+
+    register_function("movingAvg", rowwise(moving_avg))
+    register_function("movingMedian", rowwise(moving_median))
+    register_function("seriesDiff", rowwise(diff))
+    register_function("zscores", rowwise(zscores))
+    register_function("unitize", rowwise(unitize))
+    register_function("geometricMean", rowwise_scalar(geometric_mean))
+    register_function("harmonicMean", rowwise_scalar(harmonic_mean))
+    register_function("percentileArray", rowwise_scalar(percentile_array))
+
+
+register_evaluators()

@@ -1,0 +1,157 @@
+"""Math/statistics evaluator tests (Lang.java math DSL surface)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from solr_ray.functions import mathx as mx
+
+
+def test_moving_avg_median_diff():
+    a = [1, 2, 3, 4, 5, 6]
+    assert mx.moving_avg(a, 3).tolist() == [2.0, 3.0, 4.0, 5.0]
+    assert mx.moving_median([5, 1, 9, 3, 7], 3).tolist() == [5.0, 3.0, 7.0]
+    assert mx.diff(a).tolist() == [1, 1, 1, 1, 1]
+    assert mx.diff(a, 2).tolist() == [2, 2, 2, 2]
+    assert mx.moving_avg(a, 10).size == 0
+
+
+def test_zscores_unitize():
+    a = np.array([2.0, 4.0, 6.0])
+    z = mx.zscores(a)
+    assert abs(z.mean()) < 1e-12 and abs(z.std(ddof=1) - 1) < 1e-12
+    u = mx.unitize([3.0, 4.0])
+    assert np.allclose(u, [0.6, 0.8])
+    assert mx.zscores([5.0, 5.0]).tolist() == [0.0, 0.0]
+
+
+def test_ebe_and_scalar_ops():
+    assert mx.ebe_add([1, 2], [3, 4]).tolist() == [4, 6]
+    assert mx.ebe_subtract([5, 5], [2, 1]).tolist() == [3, 4]
+    assert mx.ebe_multiply([2, 3], [4, 5]).tolist() == [8, 15]
+    assert mx.ebe_divide([8, 9], [2, 3]).tolist() == [4, 3]
+    assert mx.scalar_add(10, [1, 2]).tolist() == [11, 12]
+    assert mx.scalar_multiply(3, [1, 2]).tolist() == [3, 6]
+
+
+def test_means_and_mode():
+    assert abs(mx.geometric_mean([1, 4, 16]) - 4.0) < 1e-12
+    assert abs(mx.harmonic_mean([1, 2, 4]) - 3 / (1 + 0.5 + 0.25)) < 1e-12
+    assert mx.mode([3, 1, 3, 2, 2, 3]) == 3
+    assert mx.mode([2, 1, 1, 2]) == 1  # tie -> smallest
+
+
+def test_describe_and_percentile():
+    d = mx.describe([1.0, 2.0, 3.0, 4.0])
+    assert d["n"] == 4 and d["min"] == 1 and d["max"] == 4
+    assert d["mean"] == 2.5 and d["sum"] == 10 and d["sumsq"] == 30
+    assert abs(d["var"] - np.var([1, 2, 3, 4], ddof=1)) < 1e-12
+    assert mx.percentile_array([1, 2, 3, 4], 50) == 2.5
+
+
+def test_corr_cov_regress_predict():
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.1, 3.9, 6.2, 8.0, 9.9]
+    r = mx.corr(x, y)
+    assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-12
+    assert abs(mx.cov(x, y) - np.cov(x, y, ddof=1)[0, 1]) < 1e-12
+    m = mx.regress(x, y)
+    sl, ic = np.polyfit(x, y, 1)
+    assert abs(m["slope"] - sl) < 1e-9 and abs(m["intercept"] - ic) < 1e-9
+    assert abs(m["RSquare"] - r * r) < 1e-12
+    assert abs(mx.predict(m, 6.0) - (m["slope"] * 6 + m["intercept"])) < 1e-12
+    got = mx.predict(m, [0.0, 6.0])
+    assert np.allclose(got, [m["intercept"], m["slope"] * 6 + m["intercept"]])
+
+
+def test_perfect_line_regress():
+    x = [1.0, 2.0, 3.0]
+    y = [3.0, 5.0, 7.0]
+    m = mx.regress(x, y)
+    assert abs(m["slope"] - 2) < 1e-12 and abs(m["intercept"] - 1) < 1e-12
+    assert abs(m["RSquare"] - 1) < 1e-12
+
+
+def test_hist_array():
+    h = mx.hist([0.0, 0.1, 0.9, 1.0, 2.0], 2)
+    assert [b["count"] for b in h] == [3, 2]
+    assert h[0]["lo"] == 0.0 and h[-1]["hi"] == 2.0
+
+
+def test_distances():
+    assert mx.euclidean([0, 0], [3, 4]) == 5.0
+    assert mx.manhattan([1, 2], [4, 6]) == 7.0
+    assert abs(mx.canberra([1, 3], [3, 3]) - 0.5) < 1e-12
+    assert abs(mx.cosine_distance([1, 0], [0, 1]) - 1.0) < 1e-12
+    assert mx.cosine_distance([2, 0], [4, 0]) < 1e-12
+
+
+def test_normal_cdf():
+    assert abs(mx.normal_cdf(0.0) - 0.5) < 1e-12
+    assert abs(mx.normal_cdf(1.96) - 0.9750021048517795) < 1e-9
+    got = mx.normal_cdf([0.0, 1.0], mu=1.0, sigma=2.0)
+    assert abs(got[0] - mx.normal_cdf(-0.5)) < 1e-12
+
+
+def test_matrix_ops():
+    m = mx.matrix([1.0, 2.0], [3.0, 4.0])
+    assert mx.transpose(m).tolist() == [[1, 3], [2, 4]]
+    assert mx.sum_rows(m).tolist() == [3, 7]
+    assert mx.sum_columns(m).tolist() == [4, 6]
+    assert mx.grand_sum(m) == 10.0
+    obs = np.array([[1.0, 2.0], [2.0, 4.0], [3.0, 6.0]])
+    cm = mx.cov_matrix(obs)
+    assert np.allclose(cm, np.cov(obs, rowvar=False, ddof=1))
+    assert np.allclose(mx.corr_matrix(obs)[0, 1], 1.0)
+
+
+def test_dataset_regress_and_hist():
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 50, size=5000).astype(np.float64)
+    y = (3.0 * x + 10.0 + rng.integers(-500, 500, size=5000) / 100.0)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(6)
+    m = mx.dataset_regress(ds, "x", "y", x_scale=1, y_scale=100)
+    # quantized grid: y in cents -> slope/intercept are 100x
+    assert m["n"] == 5000
+    assert abs(m["slope"] / 100.0 - 3.0) < 0.05
+    assert abs(m["intercept"] / 100.0 - 10.0) < 1.5
+    assert m["r2"] > 0.99
+    # cross-check against exact in-memory computation
+    xq = np.rint(x).astype(np.int64)
+    yq = np.rint(y * 100).astype(np.int64)
+    n = len(xq)
+    cov_num = n * int((xq * yq).sum()) - int(xq.sum()) * int(yq.sum())
+    var_x = n * int((xq * xq).sum()) - int(xq.sum()) ** 2
+    assert m["slope"] == float(cov_num) / float(var_x)
+
+    h = mx.dataset_hist(ds, "x", bins=7, lo=1, hi=49, scale=1)
+    cnt = h["cnt"].to_numpy()
+    assert cnt.sum() == 5000
+    want = np.bincount(np.clip(((xq - 1) * 7) // 49, 0, 6), minlength=7)
+    assert cnt.tolist() == want.tolist()
+
+
+def test_registered_list_evaluators_in_select():
+    """Array evaluators apply per row to list<double> columns through the
+    streaming select() evaluator registry."""
+    from solr_ray.expr import eval_expr as evaluate
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "series": pa.array([[1.0, 2.0, 3.0, 4.0], [10.0, 20.0, 30.0]],
+                           pa.list_(pa.float64())),
+    })
+    tables = {"t": ray.data.from_arrow(t)}
+    out = evaluate('select(search(t), id, "movingAvg(series, 2) as ma")',
+                   tables).to_pandas().sort_values("id")
+    assert list(out["ma"].iloc[0]) == [1.5, 2.5, 3.5]
+    assert list(out["ma"].iloc[1]) == [15.0, 25.0]
+    out2 = evaluate(
+        'select(search(t), id, "harmonicMean(series) as hm")',
+        tables).to_pandas().sort_values("id")
+    assert abs(out2["hm"].iloc[0]
+               - 4 / (1 + 0.5 + 1 / 3 + 0.25)) < 1e-12
