@@ -894,6 +894,71 @@ def _q_interval_containing(sf_dir: str):
         reader, I.containing(I.unordered("hash", "join"), "table"))
 
 
+def _payload_reader(sf_dir: str):
+    """Payload index over documents: each token gets the deterministic
+    delimited payload ((doc_id + pos0) % 7) * 0.5 (pos0 = 0-based token
+    position) — exactly representable in float32, so engine float64 sums
+    and the SQL oracle's DOUBLE sums agree bit-for-bit."""
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+
+    def delimit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for d, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            out.append(" ".join(
+                f"{tok}|{((int(d) + p) % 7) * 0.5}"
+                for p, tok in enumerate(toks)))
+        return pa.table({
+            "url": pa.array([f"{i:08d}" for i in ids], pa.string()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    src = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        delimit, batch_format="pyarrow")
+    out = _idx_dir(sf_dir, "whitespace_nb1_payload")
+    build_index(src, out, analyzer="whitespace", num_buckets=1,
+                text_source="text", store_positions=True,
+                payload_delimiter="|")
+    return IndexReader(out)
+
+
+def _q_payload_score_sum(sf_dir: str):
+    """{!payload_score f=text func=sum v=join}: per-doc sum of the 'join'
+    occurrences' payloads (PayloadScoreQParserPlugin.java:36 semantics,
+    includeSpanScore=false). All matching docs, doc_id order."""
+    from solr_ray.search.payloads import payload_score
+
+    reader = _payload_reader(sf_dir)
+    ids, sc = payload_score(reader, "join", func="sum", k=10**9)
+    order = sorted(range(len(ids)),
+                   key=lambda i: int(reader.url_of(int(ids[i]))))
+    return pa.table({
+        "doc_id": pa.array([int(reader.url_of(int(ids[i])))
+                            for i in order], pa.int64()),
+        "score_sum": pa.array([float(sc[i]) for i in order], pa.float64()),
+    })
+
+
+def _q_payload_check_phrase(sf_dir: str):
+    """{!payload_check f=text payloads='1.0 1.5' v='hash join'}: exact
+    phrase whose occurrence payloads equal the given values
+    (PayloadCheckQParserPlugin.java:40). (doc_id, tf) in doc order."""
+    from solr_ray.search.payloads import payload_check
+
+    reader = _payload_reader(sf_dir)
+    ids, tf = payload_check(reader, ["hash", "join"], [1.0, 1.5], k=10**9)
+    order = sorted(range(len(ids)),
+                   key=lambda i: int(reader.url_of(int(ids[i]))))
+    return pa.table({
+        "doc_id": pa.array([int(reader.url_of(int(ids[i])))
+                            for i in order], pa.int64()),
+        "tf": pa.array([int(tf[i]) for i in order], pa.int64()),
+    })
+
+
 def _q_select_fq(sf_dir: str):
     """/select request: q='table scan' + fq lang='en', top-20 page with
     stored lang. Filtered ranking is exact (stats stay corpus-global)."""
@@ -1791,6 +1856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_ordered_maxwidth": _q_interval_ordered_maxwidth,
         "interval_unordered_3": _q_interval_unordered_3,
         "interval_containing": _q_interval_containing,
+        "payload_score_sum": _q_payload_score_sum,
+        "payload_check_phrase": _q_payload_check_phrase,
         "geofilt": _q_geofilt,
         "bbox": _q_bbox,
         "geodist_top20": _q_geodist_top20,
@@ -2683,6 +2750,33 @@ ranked AS (
 )
 SELECT rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
 FROM ranked WHERE rank <= 20
+""",
+        "payload_score_sum": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks) + 1),
+                                    i -> toks[i] = 'join')) AS p
+  FROM docs
+)
+SELECT doc_id,
+       SUM(((doc_id + (p - 1)) % 7) * 0.5) AS score_sum
+FROM occ GROUP BY doc_id ORDER BY doc_id
+""",
+        "payload_check_phrase": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, UNNEST(list_filter(range(1, len(toks)),
+    i -> toks[i] = 'hash' AND toks[i + 1] = 'join'
+         AND ((doc_id + (i - 1)) % 7) * 0.5 = 1.0
+         AND ((doc_id + i) % 7) * 0.5 = 1.5)) AS p
+  FROM docs
+)
+SELECT doc_id, COUNT(*)::BIGINT AS tf
+FROM hits GROUP BY doc_id ORDER BY doc_id
 """,
         "interval_ordered_maxwidth": """
 WITH docs AS (

@@ -49,6 +49,38 @@ def _seg_dir(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, "segments", f"seg={bucket:05d}")
 
 
+def _extract_payloads(t: pa.Table, text_col: str, delim: str) -> pa.Table:
+    """Split ``term<delim>weight`` tokens into clean text + a parallel
+    ``payloads`` list<float32> column (DelimitedPayloadTokenFilter,
+    solr/core: FieldType delimited_payloads_float; default weight 1.0 when
+    a token carries no delimiter). Fully vectorized: one whitespace split,
+    one element-wise append of the default, one delimiter split."""
+    import pyarrow.compute as pc
+
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    toks = pc.utf8_split_whitespace(txt)
+    offsets = toks.offsets
+    flat = toks.values
+    # "tok|2.5" -> "tok|2.5|1", "tok" -> "tok|1": parts[1] is always the
+    # payload (the user's, or the appended default)
+    marked = pc.binary_join_element_wise(flat, pa.scalar("1"),
+                                         pa.scalar(delim))
+    parts = pc.split_pattern(marked, pattern=delim)
+    term = pc.list_element(parts, 0)
+    payf = pc.cast(pc.cast(pc.list_element(parts, 1), pa.float64()),
+                   pa.float32())
+    clean = pc.binary_join(pa.ListArray.from_arrays(offsets, term),
+                           pa.scalar(" "))
+    cols = {}
+    for c in t.column_names:
+        cols[c] = clean if c == text_col else t[c]
+    cols["payloads"] = pa.ListArray.from_arrays(offsets, payf)
+    return pa.table(cols)
+
+
 # vocab sizes above this skip the global-code blob payload (the sorted-vocab
 # union would strain the driver) and fall back to the dict-token shuffle —
 # same gating idea as the stats merge threshold below
@@ -291,6 +323,7 @@ def build_index(
     stored_cols: tuple[str, ...] = (),
     resume: bool = True,
     store_positions: bool = False,
+    payload_delimiter: str | None = None,
 ) -> dict:
     """Build an index at out_dir from a pages Dataset or parquet path(s).
 
@@ -299,6 +332,16 @@ def build_index(
     Returns the index manifest dict.
     """
     get_analyzer(analyzer)  # validate eagerly, not deep inside a Ray task
+    if payload_delimiter is not None:
+        # DelimitedPayloadTokenFilter analog: "term<delim>weight" tokens.
+        # Payloads parallel the position stream 1:1, so the analyzer must
+        # keep every whitespace token (no stop/drop filters).
+        if not store_positions:
+            raise ValueError("payload_delimiter requires store_positions=True")
+        if analyzer != "whitespace":
+            raise ValueError(
+                "payload indexing requires the whitespace analyzer "
+                "(token-per-payload alignment)")
     if isinstance(pages, (str, list)):
         pages = ray.data.read_parquet(pages)
 
@@ -315,6 +358,7 @@ def build_index(
             and prior.get("num_buckets") == num_buckets
             and prior.get("text_source") == text_source
             and bool(prior.get("store_positions")) == store_positions
+            and prior.get("payload_delimiter") == payload_delimiter
             and tuple(prior.get("stored_cols", ())) == tuple(stored_cols)
             and all(
                 is_complete(os.path.join(out_dir, s["dir"]))
@@ -348,11 +392,16 @@ def build_index(
     # segment builder skips tf run-length aggregation entirely
     enc_mode = True if store_positions else "tf"
     keep = ["url", "tokens", "tfs", *stored_cols]
+    if payload_delimiter is not None:
+        keep.append("payloads")
+    _delim = payload_delimiter
 
     def _analyze_and_bucket(t: pa.Table) -> pa.Table:
         # stateless tasks (elastic, no CPU reservation); analyzer state is
         # process-cached (analysis/chain.py:process_analyzer)
         tune_worker_gc()
+        if _delim is not None:
+            t = _extract_payloads(t, "text", _delim)
         t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
         t = t.select([c for c in keep if c in t.column_names])
         return add_bucket(t, "url", num_buckets)
@@ -454,8 +503,9 @@ def build_index(
     sc_tag = ",".join(stored_cols)
     # lineage is payload-independent on purpose: both payloads produce
     # bit-identical segments, so a resume may mix them freely
+    pd_tag = f"|pd={payload_delimiter}" if payload_delimiter is not None else ""
     lineages = {
-        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}{pd_tag}"
         for b in range(num_buckets)
     }
 
@@ -511,6 +561,7 @@ def build_index(
         "num_buckets": num_buckets,
         "text_source": text_source,
         "store_positions": store_positions,
+        "payload_delimiter": payload_delimiter,
         "stored_cols": list(stored_cols),
         "n_docs": n_docs,
         "n_tokens": n_tokens,

@@ -116,9 +116,12 @@ class SegmentIndex:
         self.lazy = lazy
         if lazy:
             self._pf = pq.ParquetFile(ppath)
-            self.has_positions = "positions" in self._pf.schema_arrow.names
+            names = self._pf.schema_arrow.names
+            self.has_positions = "positions" in names
+            self.has_payloads = "payloads" in names
             self._heavy = _HEAVY_COLS + (
-                ["positions"] if self.has_positions else [])
+                ["positions"] if self.has_positions else []) + (
+                ["payloads"] if self.has_payloads else [])
             light = self._pf.read(columns=["term", "df"])
             self.terms = light["term"].to_pylist()
             self.df = light["df"].to_numpy(zero_copy_only=False)
@@ -132,8 +135,10 @@ class SegmentIndex:
         else:
             t = pq.read_table(ppath)
             self.has_positions = "positions" in t.column_names
+            self.has_payloads = "payloads" in t.column_names
             self._heavy = _HEAVY_COLS + (
-                ["positions"] if self.has_positions else [])
+                ["positions"] if self.has_positions else []) + (
+                ["payloads"] if self.has_payloads else [])
             self.terms = t["term"].to_pylist()
             self.df = t["df"].to_numpy(zero_copy_only=False)
             self._cols = {c: t[c] for c in self._heavy}
@@ -222,6 +227,22 @@ class SegmentIndex:
         ).astype(np.int64)
         pos = np.asarray(row["positions"].values, dtype=np.int32)
         return ids, tfs, pos
+
+    def term_payloads(self, term: str):
+        """(doc_ids, tfs, flat_positions, flat_payloads float32) — the
+        payload stream parallels positions occurrence-for-occurrence.
+        Requires a payload_delimiter build."""
+        got = self.term_positions(term)
+        if got is None:
+            return None
+        if not getattr(self, "has_payloads", False):
+            raise ValueError(
+                "index was built without payload_delimiter; "
+                "payload queries need stored payloads")
+        ids, tfs, pos = got
+        i = self.lookup[term]
+        payl = np.asarray(self._row(i)["payloads"].values, dtype=np.float32)
+        return ids, tfs, pos, payl
 
     def url_of(self, doc_id: int) -> str:
         return self.urls[int(doc_id) - self.doc_base].as_py()

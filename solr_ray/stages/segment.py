@@ -320,6 +320,12 @@ def build_segment_tables(
                 pa.LargeListArray.from_arrays(
                     pa.array(np.zeros(1, dtype=np.int64)),
                     pa.array([], pa.int32())))
+            if "payloads" in group.column_names:
+                postings = postings.append_column(
+                    "payloads",
+                    pa.LargeListArray.from_arrays(
+                        pa.array(np.zeros(1, dtype=np.int64)),
+                        pa.array([], pa.float32())))
     else:
         # dictionary-encode ONCE, then all grouping/sorting runs on int32
         # codes instead of strings (micro-profiled ~1.9x on group_by+sort;
@@ -405,6 +411,28 @@ def build_segment_tables(
             postings = postings.append_column(
                 "positions",
                 pa.LargeListArray.from_arrays(pa.array(pos_offs), pos_sorted))
+            if "payloads" in group.column_names:
+                # per-token payloads (DelimitedPayloadTokenFilter analog):
+                # the parallel float32 stream rides the SAME permutation and
+                # list offsets as positions — payload[i] belongs to the
+                # occurrence at positions[i]
+                pl = group["payloads"]
+                if isinstance(pl, pa.ChunkedArray):
+                    pl = pl.combine_chunks()
+                flat_pl = np.asarray(
+                    pl.flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.float32)
+                if flat_pl.size != pos_all.size:
+                    raise ValueError(
+                        "payloads misaligned with token stream "
+                        f"({flat_pl.size} vs {pos_all.size}): payload "
+                        "indexing requires an analyzer that keeps every "
+                        "token (whitespace)")
+                postings = postings.append_column(
+                    "payloads",
+                    pa.LargeListArray.from_arrays(
+                        pa.array(pos_offs),
+                        pa.array(flat_pl[order], pa.float32())))
 
     docs_cols = {
         "doc_id": pa.array(doc_ids),
