@@ -529,6 +529,91 @@ def _q_timeseries_hourly(sf_dir: str):
     )
 
 
+def _q_igain_features(sf_dir: str):
+    """features(igain) over documents vs lang='en': per-term information
+    gain from distributed (df_pos, df_all) presence counts
+    (IGainTermsQParserPlugin.java:43 semantics, natural log)."""
+    from solr_ray.ops.ml import igain_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = igain_features(docs, "text", "lang", "en",
+                         analyzer="whitespace")
+
+    def shape(t: pa.Table) -> pa.Table:
+        import math as _m
+
+        ig = t["igain"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": t["term"],
+            "df_pos": pc.cast(t["df_pos"], pa.int64()),
+            "df_all": pc.cast(t["df_all"], pa.int64()),
+            "igain_r": pa.array([_m.floor(v * 1e5) / 1e5 for v in ig],
+                                pa.float64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow").sort("term")
+
+
+def _q_tlogit_score(sf_dir: str):
+    """classify() with a fixed logistic model (ClassifyStream semantics):
+    score = sigmoid(0.4*tf(hash) - 0.3*tf(join) + 0.2*tf(scan) - 0.1),
+    tf from the whitespace token stream."""
+    from solr_ray.ops.ml import classify_logit
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = classify_logit(docs, "text", ["hash", "join", "scan"],
+                         [0.4, -0.3, 0.2], -0.1, analyzer="whitespace")
+
+    def shape(t: pa.Table) -> pa.Table:
+        import math as _m
+
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score_r": pa.array([_m.floor(v * 1e5) / 1e5 for v in sc],
+                                pa.float64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_train_logit(sf_dir: str):
+    """train() — TextLogitStream full-batch GD over the distributed
+    feature matrix; deterministic (zero init, fixed iters). Iterative
+    algorithm: no SQL form (rows-only by design); pytest proves the
+    learner on separable data."""
+    from solr_ray.ops.ml import train_logit
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    terms = ["hash", "join", "scan", "table", "merge"]
+    w, b, hist = train_logit(docs, "text", "lang", "en", terms,
+                             iters=10, lr=0.2, analyzer="whitespace")
+    return pa.table({
+        "feature": pa.array(terms + ["__bias__"], pa.string()),
+        "weight": pa.array(list(w) + [b], pa.float64()),
+        "final_loss": pa.array([hist[-1][1]] * (len(terms) + 1),
+                               pa.float64()),
+    })
+
+
+def _q_hash_range_split(sf_dir: str):
+    """{!hash_range} shard-split: docs in hash buckets [0, 7] of 16 over
+    doc_id (HashRangeQParserPlugin). siphash isn't SQL-expressible —
+    rows-only; the pytest asserts the disjoint-cover partition property."""
+    from solr_ray.ops.queryfilter import filter_query
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "key", pc.cast(t["doc_id"], pa.string()))
+
+    out = filter_query(docs.map_batches(keyed, batch_format="pyarrow"),
+                       {"op": "hash_range", "field": "key",
+                        "lo": 0, "hi": 7, "buckets": 16})
+    return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
 def _q_regress_lineitem(sf_dir: str):
     """Lang regress()/corr()/cov() as ONE distributed pass: exact integer
     moment sums (quantity grid 1, price grid cents) -> closed-form OLS.
@@ -1870,6 +1955,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regress_lineitem": _q_regress_lineitem,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
+        "igain_features_en": _q_igain_features,
+        "tlogit_score": _q_tlogit_score,
+        "train_logit_en": _q_train_logit,
+        "hash_range_split": _q_hash_range_split,
         "significant_terms_en": _q_significant_terms,
         # grouping / collapse / top-k
         "collapse_max_order": _q_collapse_max_order,
@@ -3085,6 +3174,86 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "igain_features_en": """
+WITH docs AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS np_
+  FROM documents
+),
+pres AS (
+  SELECT DISTINCT doc_id, lang, tok AS term
+  FROM (SELECT doc_id, lang, UNNEST(toks) AS tok FROM docs)
+  WHERE tok <> ''
+),
+cnt AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_pos,
+         COUNT(*)::BIGINT AS df_all
+  FROM pres GROUP BY term
+),
+sc AS (
+  SELECT c.term, c.df_pos, c.df_all,
+         (CASE WHEN t.np_ <= 0 OR t.np_ >= t.n OR t.n <= 0 THEN 0
+               ELSE -(t.np_ / t.n) * LN(t.np_ / t.n)
+                    - ((t.n - t.np_) / t.n) * LN((t.n - t.np_) / t.n) END
+          - (CAST(c.df_all AS DOUBLE) / t.n) *
+            (CASE WHEN CAST(c.df_pos AS DOUBLE) <= 0
+                    OR CAST(c.df_pos AS DOUBLE) >= CAST(c.df_all AS DOUBLE)
+                    OR CAST(c.df_all AS DOUBLE) <= 0 THEN 0
+                  ELSE -(CAST(c.df_pos AS DOUBLE) / CAST(c.df_all AS DOUBLE))
+                        * LN(CAST(c.df_pos AS DOUBLE)
+                             / CAST(c.df_all AS DOUBLE))
+                       - ((CAST(c.df_all AS DOUBLE)
+                           - CAST(c.df_pos AS DOUBLE))
+                          / CAST(c.df_all AS DOUBLE))
+                        * LN((CAST(c.df_all AS DOUBLE)
+                              - CAST(c.df_pos AS DOUBLE))
+                             / CAST(c.df_all AS DOUBLE)) END)
+          - ((t.n - CAST(c.df_all AS DOUBLE)) / t.n) *
+            (CASE WHEN t.np_ - CAST(c.df_pos AS DOUBLE) <= 0
+                    OR t.np_ - CAST(c.df_pos AS DOUBLE)
+                       >= t.n - CAST(c.df_all AS DOUBLE)
+                    OR t.n - CAST(c.df_all AS DOUBLE) <= 0 THEN 0
+                  ELSE -((t.np_ - CAST(c.df_pos AS DOUBLE))
+                         / (t.n - CAST(c.df_all AS DOUBLE)))
+                        * LN((t.np_ - CAST(c.df_pos AS DOUBLE))
+                             / (t.n - CAST(c.df_all AS DOUBLE)))
+                       - (((t.n - CAST(c.df_all AS DOUBLE))
+                           - (t.np_ - CAST(c.df_pos AS DOUBLE)))
+                          / (t.n - CAST(c.df_all AS DOUBLE)))
+                        * LN(((t.n - CAST(c.df_all AS DOUBLE))
+                              - (t.np_ - CAST(c.df_pos AS DOUBLE)))
+                             / (t.n - CAST(c.df_all AS DOUBLE))) END)
+         ) AS ig
+  FROM cnt c CROSS JOIN tot t
+)
+SELECT term, df_pos, df_all, FLOOR(ig * 1e5) / 1e5 AS igain_r
+FROM sc ORDER BY term
+""",
+        "tlogit_score": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, t -> t = 'hash')) AS DOUBLE) AS t0,
+         CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE) AS t1,
+         CAST(len(list_filter(toks, t -> t = 'scan')) AS DOUBLE) AS t2
+  FROM docs
+),
+z AS (
+  SELECT doc_id, (((-0.1) + 0.4 * t0) + (-0.3) * t1) + 0.2 * t2 AS z
+  FROM tf
+)
+SELECT doc_id,
+       FLOOR((1.0 / (1.0 + EXP(-z))) * 1e5) / 1e5 AS score_r
+FROM z ORDER BY doc_id
 """,
         "regress_lineitem": """
 WITH q AS (

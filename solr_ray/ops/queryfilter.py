@@ -84,6 +84,29 @@ def compile_filter(spec: dict):
         return f
     if op == "exists":
         return lambda t: pc.is_valid(t[spec["field"]])
+    if op == "hash_range":
+        # {!hash_range f=field l=lo u=hi} (HashRangeQParserPlugin.java:35):
+        # shard-split routing — match docs whose stable hash of the field,
+        # reduced mod `buckets`, lands in [lo, hi]. Deterministic across
+        # runs/workers (stable_hash64), so the ranges PARTITION the corpus.
+        fld = spec["field"]
+        lo, hi = int(spec["lo"]), int(spec["hi"])
+        buckets = int(spec.get("buckets", 1 << 15))
+
+        def f(t: pa.Table):
+            import numpy as np
+
+            from solr_ray.stages.docids import stable_hash64
+
+            col = t[fld]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            h = np.asarray(stable_hash64(col), dtype=np.uint64) % buckets
+            return pa.array((h >= lo) & (h <= hi))
+
+        return f
     raise ValueError(f"unknown filter op {op!r}")
 
 

@@ -1,0 +1,99 @@
+"""igain / train_logit / classify_logit / hash_range tests."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _corpus():
+    # 'pos' docs contain "spam"; negatives contain "ham"; "common" in all
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        body = ("spam spam common offer" if pos else "ham common meeting")
+        rows.append({"doc_id": i, "text": body + f" filler{i % 5}",
+                     "label": "pos" if pos else "neg"})
+    return ray.data.from_items(rows).repartition(4)
+
+
+def _h(a, b):
+    if a <= 0 or a >= b or b <= 0:
+        return 0.0
+    p, q = a / b, (b - a) / b
+    return -p * math.log(p) - q * math.log(q)
+
+
+def test_igain_features():
+    from solr_ray.ops.ml import igain_features
+
+    out = igain_features(_corpus(), "text", "label", "pos").to_pandas()
+    ig = dict(zip(out["term"], out["igain"]))
+    # perfect separators get the full class entropy; 'common' gets 0
+    assert abs(ig["spam"] - _h(20, 40)) < 1e-12
+    assert abs(ig["ham"] - _h(20, 40)) < 1e-12
+    assert abs(ig["common"]) < 1e-12
+    assert abs(ig["filler0"]) < 1e-9  # uncorrelated with class
+    row = out[out.term == "spam"].iloc[0]
+    assert row["df_pos"] == 20 and row["df_all"] == 20
+    top = out.sort_values(["igain", "term"],
+                          ascending=[False, True]).head(4)["term"].tolist()
+    # all four perfect separators tie at the full class entropy
+    assert set(top) == {"spam", "ham", "offer", "meeting"}
+
+
+def test_train_logit_separable():
+    from solr_ray.ops.ml import classify_logit, train_logit
+
+    w, b, hist = train_logit(_corpus(), "text", "label", "pos",
+                             ["spam", "ham"], iters=60, lr=0.5)
+    # loss decreases monotonically on full-batch GD with stable lr
+    losses = [l for _, l in hist]
+    assert all(l2 <= l1 + 1e-12 for l1, l2 in zip(losses, losses[1:]))
+    assert losses[-1] < losses[0] / 2
+    assert w[0] > 0 > w[1]  # spam -> positive, ham -> negative
+    scored = classify_logit(_corpus(), "text", ["spam", "ham"],
+                            list(w), b).to_pandas()
+    pred = scored["score"] > 0.5
+    truth = scored["label"] == "pos"
+    assert (pred == truth).all()  # separable -> perfect accuracy
+
+
+def test_classify_logit_fixed_weights():
+    from solr_ray.ops.ml import classify_logit
+
+    t = ray.data.from_items([
+        {"id": 1, "text": "a a b"},      # tf = (2, 1)
+        {"id": 2, "text": "c"},          # tf = (0, 0)
+    ])
+    out = classify_logit(t, "text", ["a", "b"], [1.0, -2.0],
+                         0.5).to_pandas().sort_values("id")
+    z1 = 0.5 + 1.0 * 2 + (-2.0) * 1
+    assert abs(out["score"].iloc[0] - 1 / (1 + math.exp(-z1))) < 1e-12
+    assert abs(out["score"].iloc[1] - 1 / (1 + math.exp(-0.5))) < 1e-12
+
+
+def test_hash_range_partitions():
+    from solr_ray.ops.queryfilter import filter_query
+
+    ds = ray.data.from_items(
+        [{"id": f"doc{i}", "v": i} for i in range(200)]).repartition(4)
+    n = 0
+    seen = set()
+    B = 16
+    for lo, hi in [(0, 3), (4, 7), (8, 11), (12, 15)]:
+        part = filter_query(ds, {"op": "hash_range", "field": "id",
+                                 "lo": lo, "hi": hi,
+                                 "buckets": B}).to_pandas()
+        ids = set(part["id"])
+        assert not (ids & seen)  # ranges are disjoint
+        seen |= ids
+        n += len(ids)
+    assert n == 200  # and they cover
+    # deterministic across evaluations
+    again = filter_query(ds, {"op": "hash_range", "field": "id",
+                              "lo": 0, "hi": 3, "buckets": B}).to_pandas()
+    assert set(again["id"]) <= seen
