@@ -1551,6 +1551,22 @@ _SQL_QUERIES = {
     "sql_like": ("SELECT o_orderkey, o_orderpriority FROM orders "
                  "WHERE o_orderpriority LIKE '%URGENT%' "
                  "ORDER BY o_orderkey LIMIT 200"),
+    # JOIN: hash-partitioned Dataset.join per clause, qualified-name
+    # resolution, right key preserved (null on unmatched left_outer)
+    "sql_join": ("SELECT c.c_name, n.n_name FROM customer c "
+                 "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                 "WHERE n.n_name LIKE 'NATION_1%' "
+                 "ORDER BY c_name LIMIT 100"),
+    "sql_join_group": ("SELECT n.n_name, COUNT(*) AS cnt, "
+                       "CAST(SUM(c.c_nationkey) AS BIGINT) AS s "
+                       "FROM customer c "
+                       "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                       "GROUP BY n.n_name ORDER BY n_name"),
+    "sql_left_join": ("SELECT n.n_name, COUNT(o.o_orderkey) AS cnt "
+                      "FROM nation n "
+                      "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
+                      "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+                      "GROUP BY n.n_name ORDER BY n_name"),
 }
 
 
@@ -1559,7 +1575,8 @@ def _make_sql_query(sql: str):
         from solr_ray.sql import execute_sql
 
         tables = {t: _read(sf_dir, t)
-                  for t in ("documents", "lineitem", "orders")}
+                  for t in ("documents", "lineitem", "orders",
+                            "customer", "nation")}
         return execute_sql(sql, tables)
 
     return run

@@ -3,16 +3,26 @@
 Reference: the SQL module parses SQL with Calcite and plans it onto
 streaming expressions over one collection
 (solr/modules/sql/src/java/org/apache/solr/handler/sql/SQLHandler.java:49,
-CalciteSolrDriver). This front-end mirrors that scope — single-table
-SELECT with WHERE / GROUP BY aggregates / HAVING / ORDER BY / LIMIT — and
-compiles onto the same building blocks the streaming-expression DSL uses
-(ops/queryfilter specs, Ray groupby aggregates, sort, limit).
+CalciteSolrDriver). This front-end covers that scope — SELECT with
+WHERE / GROUP BY aggregates / HAVING / ORDER BY / LIMIT — plus INNER and
+LEFT [OUTER] JOIN with table aliases and qualified column references
+(beyond the reference, whose /sql is single-collection; Calcite would
+plan these natively). It compiles onto the building blocks the
+streaming-expression DSL uses (ops/queryfilter specs, Ray groupby
+aggregates, hash-partitioned Dataset.join, sort, limit).
 
 Grammar (case-insensitive keywords):
 
-    SELECT <*| item[, item...]> FROM <table>
+    SELECT <*| item[, item...]> FROM <table> [[AS] alias]
+      [[INNER|LEFT [OUTER]] JOIN <table> [[AS] alias] ON a.x = b.y]...
       [WHERE <cond>] [GROUP BY col[, col...]] [HAVING <cond>]
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
+
+    With JOINs, columns may be qualified (alias.col); bare names resolve
+    when unambiguous. Each JOIN is one hash-partitioned distributed
+    Dataset.join; chained joins are separated by materialize barriers so
+    aggregator pools never deadlock a small CPU budget. HAVING and ORDER
+    BY address OUTPUT column names.
 
     item  := expr [AS alias]        (alias REQUIRED unless expr is a bare
                                      column or a simple aggregate)
@@ -45,7 +55,7 @@ _TOKEN = re.compile(r"""
   | (?P<str>'(?:[^']|'')*')
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<cmp><=|>=|<>|!=|=|<|>)
-  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)
   | (?P<punct>[(),*+\-/])
 """, re.VERBOSE)
 
@@ -54,7 +64,7 @@ _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
-             "ASC", "DESC"}
+             "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "OUTER"}
 
 
 def _tokenize(sql: str):
@@ -279,7 +289,25 @@ class _Parser:
         self.eat("kw", "SELECT")
         items = self.select_list()
         self.eat("kw", "FROM")
-        table = self.eat("name")
+        table, alias = self.table_ref()
+        joins = []
+        while self.at_kw("JOIN", "INNER", "LEFT"):
+            how = "inner"
+            if self.at_kw("INNER"):
+                self.eat()
+            elif self.at_kw("LEFT"):
+                self.eat()
+                how = "left_outer"
+                if self.at_kw("OUTER"):
+                    self.eat()
+            self.eat("kw", "JOIN")
+            jt, ja = self.table_ref()
+            self.eat("kw", "ON")
+            lk = self.eat("name")
+            self.eat("cmp", "=")
+            rk = self.eat("name")
+            joins.append({"table": jt, "alias": ja, "how": how,
+                          "lk": lk, "rk": rk})
         where = group = having = None
         order: list[tuple[str, bool]] = []
         limit = None
@@ -313,9 +341,21 @@ class _Parser:
             limit = int(self.eat("num"))
         if self.peek()[0] != "eof":
             raise ValueError(f"trailing SQL at {self.peek()[1]!r}")
-        return {"items": items, "table": table, "where": where,
+        return {"items": items, "table": table, "alias": alias,
+                "joins": joins, "where": where,
                 "group": group, "having": having, "order": order,
                 "limit": limit}
+
+    def table_ref(self):
+        """table [AS] [alias] — alias defaults to the table name."""
+        table = self.eat("name")
+        alias = table
+        if self.at_kw("AS"):
+            self.eat()
+            alias = self.eat("name")
+        elif self.peek()[0] == "name":
+            alias = self.eat("name")
+        return table, alias
 
 
 def parse_sql(sql: str) -> dict:
@@ -407,19 +447,156 @@ def _make_agg(item: dict):
     name = _agg_alias(item)
     fn, col = item["fn"], item["col"]
     if fn == "COUNT":
+        # ANSI: COUNT(*) counts rows, COUNT(col) counts NON-NULL values
+        # (left-join-produced nulls excluded, matching DuckDB)
         return agg.Count(alias_name=name) if col == "*" else agg.Count(
-            col, alias_name=name)
+            col, ignore_nulls=True, alias_name=name)
     cls = {"SUM": agg.Sum, "AVG": agg.Mean,
            "MIN": agg.Min, "MAX": agg.Max}[fn]
     return cls(col, alias_name=name)
 
 
+def _project(ds, keep: list, renames: dict):
+    """Explicit map_batches projection. Ray's select_columns/rename_columns
+    Project ops can be silently dropped by projection pushdown when they
+    follow a Join + MapBatches chain (observed on dotted column names:
+    the sort then sees the pre-projection schema), so the SQL planner
+    projects with a plain batch function the optimizer can't rewrite."""
+    def f(t: pa.Table, _k=tuple(keep), _r=dict(renames)) -> pa.Table:
+        return pa.table({_r.get(c, c): t[c] for c in _k})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _resolve_name(name: str, qualified: set, bare: dict) -> str:
+    if name in qualified:
+        return name
+    if "." in name:
+        raise ValueError(f"unknown column {name!r}")
+    hits = bare.get(name, [])
+    if len(hits) == 1:
+        return hits[0]
+    raise ValueError(
+        f"{'ambiguous' if hits else 'unknown'} column {name!r}")
+
+
+def _resolve_cond(spec, qualified, bare):
+    if not isinstance(spec, dict):
+        return spec
+    out = dict(spec)
+    if "field" in out:
+        out["field"] = _resolve_name(out["field"], qualified, bare)
+    if "clauses" in out:
+        out["clauses"] = [_resolve_cond(c, qualified, bare)
+                          for c in out["clauses"]]
+    return out
+
+
+def _resolve_expr(node, qualified, bare):
+    if not isinstance(node, dict):
+        return node
+    out = dict(node)
+    if out.get("kind") == "col":
+        out["col"] = _resolve_name(out["col"], qualified, bare)
+    if isinstance(out.get("arg"), dict):
+        out["arg"] = _resolve_expr(out["arg"], qualified, bare)
+    for k in ("l", "r", "inner"):
+        if k in out:
+            out[k] = _resolve_expr(out[k], qualified, bare)
+    return out
+
+
+def _plan_joins(plan, tables, num_partitions: int = 16):
+    """FROM a JOIN b ON ... -> one hash-partitioned Dataset.join per
+    JOIN clause (Ray's distributed shuffle join), all columns qualified
+    as alias.col. Returns (ds, qualified-name set)."""
+
+    def load(tname, alias):
+        if tname not in tables:
+            raise ValueError(f"unknown table {tname!r}")
+        ds = tables[tname]
+        names = ds.schema().names
+        return (ds.rename_columns({c: f"{alias}.{c}" for c in names}),
+                {f"{alias}.{c}" for c in names})
+
+    ds, qualified = load(plan["table"], plan["alias"])
+    for ji, j in enumerate(plan["joins"]):
+        rds, rqual = load(j["table"], j["alias"])
+
+        def side_bare(names):
+            b: dict = {}
+            for q in names:
+                b.setdefault(q.split(".", 1)[1], []).append(q)
+            return b
+
+        lk, rk = j["lk"], j["rk"]
+        try:
+            lk_q = _resolve_name(lk, qualified, side_bare(qualified))
+            rk_q = _resolve_name(rk, rqual, side_bare(rqual))
+        except ValueError:
+            # ON b.y = a.x order: swap sides
+            lk_q = _resolve_name(rk, qualified, side_bare(qualified))
+            rk_q = _resolve_name(lk, rqual, side_bare(rqual))
+        # Ray's join DROPS the right key column; join on a throwaway copy
+        # so the real right key survives (and is correctly NULL for
+        # unmatched left_outer rows)
+        jk = f"__jk{ji}"
+
+        def add_key(t: pa.Table, _rk=rk_q, _jk=jk) -> pa.Table:
+            return t.append_column(_jk, t[_rk])
+
+        rds = rds.map_batches(add_key, batch_format="pyarrow")
+        ds = ds.join(rds, join_type=j["how"],
+                     num_partitions=num_partitions,
+                     on=(lk_q,), right_on=(jk,))
+        if ji < len(plan["joins"]) - 1:
+            # barrier between chained joins: each join's aggregator-actor
+            # pool releases before the next one spins up (two concurrent
+            # pools can starve a small CPU budget); the intermediate
+            # spills through the object store like any shuffle output
+            ds = ds.materialize()
+        qualified |= rqual
+    return ds, qualified
+
+
 def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     """Run the SQL subset against a dict of table-name -> Dataset."""
     plan = parse_sql(sql)
-    if plan["table"] not in tables:
-        raise ValueError(f"unknown table {plan['table']!r}")
-    ds = tables[plan["table"]]
+    if plan["joins"]:
+        ds, qualified = _plan_joins(plan, tables)
+        bare: dict = {}
+        for q in qualified:
+            bare.setdefault(q.split(".", 1)[1], []).append(q)
+        # resolve every table-column reference to its qualified name;
+        # HAVING and ORDER BY address OUTPUT columns and stay as typed
+        if plan["where"] is not None:
+            plan["where"] = _resolve_cond(plan["where"], qualified, bare)
+        if plan["group"]:
+            plan["group"] = [_resolve_name(g, qualified, bare)
+                             for g in plan["group"]]
+        items = []
+        for it in plan["items"]:
+            it = dict(it)
+            if it["kind"] == "col":
+                it["col"] = _resolve_name(it["col"], qualified, bare)
+                it.setdefault("alias", it["col"].split(".", 1)[1])
+            elif it["kind"] == "agg":
+                if it["col"] != "*":
+                    it["col"] = _resolve_name(it["col"], qualified, bare)
+            elif it["kind"] == "expr":
+                it["node"] = _resolve_expr(it["node"], qualified, bare)
+            items.append(it)
+        plan["items"] = items
+        out_names = [it.get("alias") or (it["col"] if it["kind"] == "col"
+                     else _agg_alias(it) if it["kind"] == "agg" else None)
+                     for it in items if it["kind"] != "star"]
+        if len(out_names) != len(set(out_names)):
+            raise ValueError("duplicate output column names across joined "
+                             "tables: add AS aliases")
+    else:
+        if plan["table"] not in tables:
+            raise ValueError(f"unknown table {plan['table']!r}")
+        ds = tables[plan["table"]]
     if plan["where"] is not None:
         ds = filter_query(ds, plan["where"])
 
@@ -499,11 +676,9 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
         keep = [it["col"] if it["kind"] == "col"
                 else it["alias"] if it["kind"] == "expr"
                 else _agg_alias(it) for it in items]
-        ds = ds.select_columns(keep)
         renames = {it["col"]: it["alias"] for it in items
                    if it["kind"] == "col" and "alias" in it}
-        if renames:
-            ds = ds.rename_columns(renames)
+        ds = _project(ds, keep, renames)
     else:
         # ---- projection path (expressions evaluated per batch) ----
         if items and items[0]["kind"] != "star":
@@ -520,11 +695,9 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
                 ds = ds.map_batches(project, batch_format="pyarrow")
             keep = [it["alias"] if it["kind"] == "expr" else it["col"]
                     for it in items]
-            ds = ds.select_columns(keep)
             renames = {it["col"]: it["alias"] for it in items
                        if it["kind"] == "col" and "alias" in it}
-            if renames:
-                ds = ds.rename_columns(renames)
+            ds = _project(ds, keep, renames)
 
     if plan["having"] is not None:
         ds = filter_query(ds, plan["having"])

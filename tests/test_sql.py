@@ -95,8 +95,9 @@ def test_parse_errors():
         parse_sql("SELECT a * b FROM t")  # expression items require AS
     with pytest.raises(ValueError):
         parse_sql("DELETE FROM t")
+    # JOIN is supported since round 3; bad ON syntax still raises
     with pytest.raises(ValueError):
-        parse_sql("SELECT a FROM t JOIN u ON a = b")
+        parse_sql("SELECT a FROM t JOIN u ON a < b")
 
 
 def test_execute_rejects_bad_mix(ray_session, table):
@@ -120,3 +121,90 @@ def test_cast_requires_alias():
         parse_sql("SELECT CAST(SUM(v) AS BIGINT) FROM t")
     with pytest.raises(ValueError):
         parse_sql("SELECT CAST(v AS BLOB) AS x FROM t")
+
+
+@pytest.fixture(scope="module")
+def join_tables():
+    rng = np.random.default_rng(3)
+    n = 500
+    left = pa.table({
+        "c_id": pa.array(np.arange(n)),
+        "c_nat": pa.array(rng.integers(0, 12, n)),
+        "c_bal": pa.array(rng.integers(0, 10_000, n)),
+    })
+    nat = pa.table({
+        "n_id": pa.array(np.arange(12)),
+        "n_name": pa.array([f"N{i:02d}" for i in range(12)]),
+    })
+    ords = pa.table({
+        "o_id": pa.array(np.arange(900)),
+        "o_cust": pa.array(rng.integers(0, 600, 900)),  # some dangling
+        "o_val": pa.array(rng.integers(1, 100, 900)),
+    })
+    return {"cust": left, "nat": nat, "ords": ords}
+
+
+def _both_multi(sql, tabs):
+    import ray.data
+
+    got = execute_sql(
+        sql, {k: ray.data.from_arrow(v) for k, v in tabs.items()}
+    ).to_pandas()
+    con = duckdb.connect()
+    for k, v in tabs.items():
+        con.register(k, v)
+    want = con.execute(sql).df()
+    con.close()
+    return got, want
+
+
+def test_join_inner(ray_session, join_tables):
+    sql = ("SELECT c.c_id, n.n_name FROM cust c "
+           "JOIN nat n ON c.c_nat = n.n_id "
+           "WHERE n.n_name = 'N03' ORDER BY c_id")
+    got, want = _both_multi(sql, join_tables)
+    _assert_same(got, want)
+
+
+def test_join_group_agg(ray_session, join_tables):
+    sql = ("SELECT n.n_name, COUNT(*) AS cnt, "
+           "CAST(SUM(c.c_bal) AS BIGINT) AS bal "
+           "FROM cust c JOIN nat n ON c.c_nat = n.n_id "
+           "GROUP BY n.n_name ORDER BY n_name")
+    got, want = _both_multi(sql, join_tables)
+    _assert_same(got, want)
+
+
+def test_left_join_nulls_and_chain(ray_session, join_tables):
+    sql = ("SELECT c.c_id, o.o_id FROM cust c "
+           "LEFT JOIN ords o ON o.o_cust = c.c_id "
+           "ORDER BY c_id, o_id LIMIT 400")
+    got, want = _both_multi(sql, join_tables)
+    # nullable int comes back float on the Ray side; compare as floats
+    assert len(got) == len(want)
+    assert np.allclose(got["o_id"].astype(float).fillna(-1),
+                       want["o_id"].astype(float).fillna(-1))
+    sql2 = ("SELECT n.n_name, COUNT(o.o_id) AS cnt "
+            "FROM nat n LEFT JOIN cust c ON c.c_nat = n.n_id "
+            "LEFT JOIN ords o ON o.o_cust = c.c_id "
+            "GROUP BY n.n_name ORDER BY n_name")
+    got2, want2 = _both_multi(sql2, join_tables)
+    _assert_same(got2, want2)
+
+
+def test_join_ambiguity_and_errors(ray_session, join_tables):
+    import ray.data
+
+    tabs = {k: ray.data.from_arrow(v) for k, v in join_tables.items()}
+    both = dict(join_tables)
+    both["cust2"] = join_tables["cust"]
+    tabs["cust2"] = ray.data.from_arrow(both["cust2"])
+    with pytest.raises(ValueError, match="ambiguous"):
+        execute_sql("SELECT c_id FROM cust a JOIN cust2 b ON a.c_id = b.c_id",
+                    tabs)
+    with pytest.raises(ValueError, match="duplicate"):
+        execute_sql("SELECT a.c_id, b.c_id FROM cust a "
+                    "JOIN cust2 b ON a.c_id = b.c_id", tabs)
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_sql("SELECT x.zzz FROM cust c JOIN nat n ON c.c_nat = n.n_id",
+                    tabs)
