@@ -1684,6 +1684,23 @@ def _q_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def _q_fingerprints_md5(sf_dir: str):
+    """Winnowing fingerprint with an md5-lower-64 gram hash — identical
+    window/min semantics to `fingerprints`, but the hash is replayable in
+    SQL (DuckDB md5_number_lower), giving the fingerprint op a value
+    oracle. The siphash entry remains the vectorized scale path."""
+    from solr_ray.ops.textstats import rolling_fingerprint_md5
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint_md5(x)
+                for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(vals, pa.int64())})
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(fp, batch_format="pyarrow").sort("doc_id"))
+
+
 def _q_knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -2031,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
+        "fingerprints_md5": _q_fingerprints_md5,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
     }
@@ -3377,6 +3395,30 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
          / COUNT(*) AS avg_tokens
 FROM documents GROUP BY lang
+""",
+        "fingerprints_md5": """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         ELSE [array_to_string(toks[i : i + 3], ' ')
+               FOR i IN range(1, len(toks) - 2)]
+    END AS gs
+  FROM docs
+)
+SELECT doc_id,
+  CASE WHEN len(gs) = 0 THEN 0
+       ELSE list_aggregate(list_transform(gs,
+              g -> CAST(md5_number_lower(g) % 9223372036854775808
+                        AS BIGINT)), 'min')
+  END AS fingerprint
+FROM grams ORDER BY doc_id
 """,
         "exact_dedup_docs": """
 SELECT doc_id, lang, n_chars FROM documents

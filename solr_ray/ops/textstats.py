@@ -167,6 +167,28 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(vals, pa.int64()))
 
 
+def rolling_fingerprint_md5(text: str, window: int = 4) -> int:
+    """SQL-verifiable fingerprint variant: min over whitespace-token
+    4-gram windows of the LOWER 64 bits of md5 (little-endian — exactly
+    DuckDB's md5_number_lower), masked to int64 >= 0. Same winnowing
+    shape as rolling_fingerprint; the siphash version stays the scale
+    path (vectorized), this one exists so the oracle can replay the
+    semantics end-to-end in SQL."""
+    import hashlib
+
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    if len(toks) < window:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + window])
+                 for i in range(len(toks) - window + 1)]
+    return min(int.from_bytes(hashlib.md5(g.encode()).digest()[8:],
+                              "little") & 0x7FFFFFFFFFFFFFFF
+               for g in grams)
+
+
 # ---------------------------------------------- salted term statistics
 
 def term_doc_freq(ds, text_col: str = "text", analyzer: str = "simple"):

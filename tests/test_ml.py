@@ -97,3 +97,24 @@ def test_hash_range_partitions():
     again = filter_query(ds, {"op": "hash_range", "field": "id",
                               "lo": 0, "hi": 3, "buckets": B}).to_pandas()
     assert set(again["id"]) <= seen
+
+
+def test_fingerprint_md5_matches_duckdb_semantics():
+    import duckdb
+
+    from solr_ray.ops.textstats import rolling_fingerprint_md5
+
+    texts = ["red blue green gold gray pink", "a b", "", "one two three four"]
+    for t in texts:
+        got = rolling_fingerprint_md5(t)
+        toks = t.split()
+        if not toks:
+            assert got == 0
+            continue
+        grams = ([" ".join(toks)] if len(toks) < 4 else
+                 [" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)])
+        want = duckdb.execute(
+            "SELECT list_aggregate(list_transform($1::VARCHAR[], g -> "
+            "CAST(md5_number_lower(g) % 9223372036854775808 AS BIGINT)), "
+            "'min')", [grams]).fetchone()[0]
+        assert got == want
