@@ -252,6 +252,94 @@ def corr_matrix(m):
     return np.corrcoef(np.asarray(m, np.float64), rowvar=False)
 
 
+def spearman(a, b):
+    """Spearman rank correlation: Pearson over average ranks (Lang
+    corr(type=spearmans))."""
+
+    def ranks(x):
+        x = np.asarray(x, np.float64)
+        order = np.argsort(x, kind="stable")
+        r = np.empty(x.size, np.float64)
+        r[order] = np.arange(1, x.size + 1)
+        # average ties
+        vals, inv, cnt = np.unique(x, return_inverse=True,
+                                   return_counts=True)
+        sums = np.bincount(inv, weights=r)
+        return (sums / cnt)[inv]
+
+    return corr(ranks(a), ranks(b))
+
+
+def kendall(a, b):
+    """Kendall tau-b (Lang corr(type=kendalls)); O(n^2) pair sweep —
+    array-tier sizes only."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    da = a[:, None] - a[None, :]
+    db = b[:, None] - b[None, :]
+    iu = np.triu_indices(a.size, 1)
+    sa, sb = np.sign(da[iu]), np.sign(db[iu])
+    conc = float(np.sum(sa * sb))
+    ta = float(np.sum(sa == 0))
+    tb = float(np.sum(sb == 0))
+    n0 = float(sa.size)
+    den = math.sqrt((n0 - ta) * (n0 - tb))
+    return conc / den if den > 0 else float("nan")
+
+
+def kmeans(m, k: int, iters: int = 25, seed: int = 0):
+    """Lloyd k-means over rows of m (Lang kmeans): deterministic
+    k-means++ init from the given seed. Returns dict with centroids
+    (k×d), assignments (n,), and within-cluster SSE."""
+    X = np.asarray(m, np.float64)
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    cents = np.empty((k, X.shape[1]))
+    cents[0] = X[rng.integers(n)]
+    d2 = np.sum((X - cents[0]) ** 2, axis=1)
+    for i in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents[i] = X[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, np.sum((X - cents[i]) ** 2, axis=1))
+    assign = np.zeros(n, np.int64)
+    for _ in range(iters):
+        dist = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        new_assign = dist.argmin(axis=1)
+        if (new_assign == assign).all() and _ > 0:
+            break
+        assign = new_assign
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0)
+    sse = float(((X - cents[assign]) ** 2).sum())
+    return {"centroids": cents, "assignments": assign, "sse": sse}
+
+
+def knn_rows(m, q, k: int, distance: str = "euclidean"):
+    """Indices of the k nearest rows of m to vector q (Lang knn)."""
+    X = np.asarray(m, np.float64)
+    qv = np.asarray(q, np.float64)
+    if distance == "euclidean":
+        d = np.sqrt(((X - qv) ** 2).sum(axis=1))
+    elif distance == "manhattan":
+        d = np.abs(X - qv).sum(axis=1)
+    elif distance == "cosine":
+        nx = np.linalg.norm(X, axis=1) * np.linalg.norm(qv)
+        d = 1.0 - np.where(nx > 0, X @ qv / np.where(nx > 0, nx, 1.0), 0.0)
+    else:
+        raise ValueError(f"unknown distance {distance!r}")
+    order = np.lexsort((np.arange(X.shape[0]), d))
+    return order[:k], d[order[:k]]
+
+
+def knn_regress(m, y, q, k: int, distance: str = "euclidean"):
+    """Predict y at q as the mean of the k nearest rows' y values
+    (Lang knnRegress)."""
+    idx, _d = knn_rows(m, q, k, distance)
+    return float(np.mean(np.asarray(y, np.float64)[idx]))
+
+
 # --------------------------------------------------------- dataset tier
 
 def _quant(col: pa.ChunkedArray | pa.Array, scale: int) -> np.ndarray:

@@ -53,22 +53,49 @@ def detect_language(text: str) -> tuple[str, float]:
 
 class LangIdStage:
     """Actor-pool map_batches stage (the langid detector is 'model' state,
-    loaded once per actor like the reference's Tika/OpenNLP profiles)."""
+    loaded once per actor like the reference's Tika/OpenNLP profiles).
+
+    Fully vectorized: one lowercase+split over the batch, then one
+    ``pc.is_in`` + bincount per language profile — no per-row python.
+    Result is bit-identical to detect_language (integer hit counts, one
+    float division; ties resolve to the alphabetically-first language,
+    which argmax over the sorted-language score matrix reproduces)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
         self.profiles = _LANG_PROFILES  # model load stand-in
+        self.langs = sorted(self.profiles)
+        self._sets = [pa.array(sorted(self.profiles[l])) for l in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for t in batch[self.text_col].to_pylist():
-            lang, c = detect_language(t)
-            langs.append(lang)
-            confs.append(c)
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\s+")
+        flat = toks.flatten()
+        n = len(batch)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(n), counts)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_words = np.bincount(parent, weights=nonempty, minlength=n)
+        scores = np.zeros((len(self.langs), n))
+        for li, vs in enumerate(self._sets):
+            hits = pc.is_in(flat, value_set=vs).to_numpy(
+                zero_copy_only=False)
+            scores[li] = np.bincount(parent, weights=hits, minlength=n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = scores / n_words
+        best = scores.argmax(axis=0)  # ties -> first (alphabetical) lang
+        conf = scores[best, np.arange(n)]
+        und = (n_words == 0) | ~(conf >= 0.05)  # NaN-safe
+        conf = np.where(n_words == 0, 0.0, conf)
+        langs = np.where(und, "und", np.array(self.langs)[best])
         return batch.append_column(
-            self.out_col, pa.array(langs, pa.string())
-        ).append_column(self.out_col + "_conf", pa.array(confs, pa.float64()))
+            self.out_col, pa.array(langs.tolist(), pa.string())
+        ).append_column(self.out_col + "_conf",
+                        pa.array(conf, pa.float64()))
 
 
 # ------------------------------------------------------------ quality score
@@ -83,17 +110,28 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
     n_tokens = np.maximum(n_tokens, 0)
 
-    texts_np = texts.to_numpy(zero_copy_only=False)
-    stop = _LANG_PROFILES["en"]
-    stop_ratio = np.empty(len(texts_np))
-    digit_ratio = np.empty(len(texts_np))
-    for i, t in enumerate(texts_np):
-        t = t or ""
-        words = t.lower().split()
-        stop_ratio[i] = (
-            sum(1 for w in words if w in stop) / len(words) if words else 0.0
-        )
-        digit_ratio[i] = sum(c.isdigit() for c in t) / len(t) if t else 0.0
+    # vectorized stop/digit ratios (one is_in + bincount, one regex count
+    # kernel; \d == [0-9] under RE2 — equal to str.isdigit on ASCII text)
+    nrows = len(batch)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lt = pc.utf8_lower(pc.fill_null(texts, ""))
+    wtoks = pc.split_pattern_regex(lt, pattern=r"\s+")
+    flat = wtoks.flatten()
+    wcounts = pc.list_value_length(wtoks).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(nrows), wcounts)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_words = np.bincount(parent, weights=nonempty, minlength=nrows)
+    stop_set = pa.array(sorted(_LANG_PROFILES["en"]))
+    hits = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+    stop_hits = np.bincount(parent, weights=hits, minlength=nrows)
+    stop_ratio = np.where(n_words > 0,
+                          stop_hits / np.maximum(n_words, 1), 0.0)
+    n_digits = pc.count_substring_regex(
+        pc.fill_null(texts, ""), pattern=r"\d").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    digit_ratio = np.where(n_chars > 0,
+                           n_digits / np.maximum(n_chars, 1), 0.0)
 
     mean_wlen = np.where(n_tokens > 0, (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 0.0)
     score = (

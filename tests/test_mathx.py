@@ -155,3 +155,44 @@ def test_registered_list_evaluators_in_select():
         tables).to_pandas().sort_values("id")
     assert abs(out2["hm"].iloc[0]
                - 4 / (1 + 0.5 + 1 / 3 + 0.25)) < 1e-12
+
+
+def test_spearman_kendall():
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.0, 1.0, 4.0, 3.0, 5.0]
+    # monotone transform invariance: spearman(x, x^3) == 1
+    assert abs(mx.spearman(x, [v ** 3 for v in x]) - 1.0) < 1e-12
+    assert abs(mx.spearman(x, list(reversed(x))) + 1.0) < 1e-12
+    # hand-computed tau for the permutation y: 8 concordant, 2 discordant
+    assert abs(mx.kendall(x, y) - 0.6) < 1e-12
+    assert abs(mx.kendall(x, x) - 1.0) < 1e-12
+
+
+def test_kmeans_two_blobs():
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.1, (30, 2))
+    b = rng.normal(5, 0.1, (30, 2)) 
+    X = np.vstack([a, b])
+    out = mx.kmeans(X, 2, seed=3)
+    assign = out["assignments"]
+    # each blob lands in one cluster
+    assert len(set(assign[:30])) == 1 and len(set(assign[30:])) == 1
+    assert assign[0] != assign[30]
+    cents = sorted(out["centroids"][:, 0].tolist())
+    assert abs(cents[0] - 0) < 0.2 and abs(cents[1] - 5) < 0.2
+    # deterministic for a fixed seed
+    out2 = mx.kmeans(X, 2, seed=3)
+    assert (out2["assignments"] == assign).all()
+
+
+def test_knn_rows_and_regress():
+    X = [[0.0, 0.0], [1.0, 0.0], [5.0, 5.0], [0.1, 0.0]]
+    y = [10.0, 20.0, 99.0, 12.0]
+    idx, d = mx.knn_rows(X, [0.0, 0.0], 2)
+    assert idx.tolist() == [0, 3]
+    assert d[0] == 0.0
+    assert mx.knn_regress(X, y, [0.0, 0.0], 2) == 11.0
+    idx_c, _ = mx.knn_rows(X, [1.0, 0.0], 1, distance="cosine")
+    assert idx_c[0] in (1, 3)  # colinear with the query
+    with pytest.raises(ValueError):
+        mx.knn_rows(X, [0, 0], 1, distance="chebyshev")
