@@ -614,6 +614,36 @@ def _q_hash_range_split(sf_dir: str):
     return out.select_columns(["doc_id", "lang"]).sort("doc_id")
 
 
+def _q_let_corr_predict(sf_dir: str):
+    """Lang let()/col()/evaluator surface end-to-end: bind lineitem
+    columns as driver-side series (the LetStream contract), run
+    corr + regress + predict, emit one tuple. Quantized so DuckDB's
+    corr/regr_* aggregates compare exactly."""
+    from solr_ray.expr import eval_expr
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    return eval_expr(
+        'let(d=search(li), q=col(d, l_quantity), '
+        'p=col(d, l_extendedprice), m=regress(q, p), '
+        'tuple(c5=quantize(corr(q, p), 100000), '
+        'yhat2=quantize(predict(m, 30.0), 100)))',
+        {"li": li})
+
+
+def _q_let_moving_avg(sf_dir: str):
+    """let(timeseries -> col -> movingAvg -> zip): the moving_avg_events
+    pipeline expressed entirely in the streaming-expression DSL."""
+    from solr_ray.expr import eval_expr
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+    return eval_expr(
+        'let(d=timeseries(events, ts="ts", gap="day", count(*)), '
+        'c=col(d, "count(*)"), b=col(d, bucket), '
+        'zip(bucket=copyOfRange(b, 6, length(b)), ma7=movingAvg(c, 7)))',
+        {"events": ev})
+
+
 def _q_regress_lineitem(sf_dir: str):
     """Lang regress()/corr()/cov() as ONE distributed pass: exact integer
     moment sums (quantity grid 1, price grid cents) -> closed-form OLS.
@@ -1987,6 +2017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_quantity": _q_stats_quantity,
         "quantiles_value": _q_quantiles_value,
         "regress_lineitem": _q_regress_lineitem,
+        "let_corr_predict": _q_let_corr_predict,
+        "let_moving_avg": _q_let_moving_avg,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
         "igain_features_en": _q_igain_features,
@@ -3289,6 +3321,28 @@ z AS (
 SELECT doc_id,
        FLOOR((1.0 / (1.0 + EXP(-z))) * 1e5) / 1e5 AS score_r
 FROM z ORDER BY doc_id
+""",
+        "let_corr_predict": """
+SELECT FLOOR(corr(l_extendedprice, l_quantity) * 100000) / 100000 AS c5,
+       FLOOR((regr_slope(l_extendedprice, l_quantity) * 30.0
+              + regr_intercept(l_extendedprice, l_quantity)) * 100) / 100
+         AS yhat2
+FROM lineitem
+""",
+        "let_moving_avg": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS bucket, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT bucket,
+         CAST(SUM(cnt) OVER (ORDER BY bucket
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 7.0 AS ma7,
+         ROW_NUMBER() OVER (ORDER BY bucket) AS rn
+  FROM daily
+)
+SELECT bucket, ma7 FROM w WHERE rn >= 7 ORDER BY bucket
 """,
         "regress_lineitem": """
 WITH q AS (

@@ -291,4 +291,144 @@ def _eval(node, tables: dict):
 
         return explode(_eval(args[0], tables), args[1])
 
+    if name == "timeseries":
+        from solr_ray.ops.windows import timeseries as ts_op
+
+        ds = _eval(args[0], tables) if isinstance(args[0], _Call) \
+            else tables[args[0]]
+        aggs = {}
+        for metric in args[1:]:
+            if metric.name == "count":
+                aggs["count(*)"] = (kw["ts"], "count")
+            else:
+                fld = metric.args[0]
+                aggs[f"{metric.name}({fld})"] = (fld, metric.name)
+        return ts_op(ds, kw["ts"], kw.get("gap", "day"), aggs)
+
+    if name == "let":
+        return _eval_let(node, tables)
+
     raise ValueError(f"unknown stream function {name!r}")
+
+
+# -------------------------------------------- let() variable bindings
+#
+# Lang's math-expression surface (Lang.java:419-668 / LetStream.java:42):
+# let(a=<stream|col|evaluator>, b=..., <return>) binds names in order;
+# col(a, field) pulls one column of a bound (small) stream to a
+# driver-side array — the documented Lang contract for series math —
+# and the array evaluators are solr_ray.functions.mathx. The return
+# position takes tuple(k=v, ...) (one row), zip(k=arr, ...) (rows from
+# parallel equal-length arrays), a bound stream name, or any evaluator.
+
+def _let_fns():
+    import math
+
+    import numpy as np
+
+    from solr_ray.functions import mathx as mx
+
+    def quantize(x, scale):
+        s = float(scale)
+        if isinstance(x, np.ndarray):
+            return np.floor(x * s) / s
+        return math.floor(float(x) * s) / s
+
+    return {
+        "movingAvg": mx.moving_avg, "movingMedian": mx.moving_median,
+        "seriesDiff": mx.diff, "zscores": mx.zscores,
+        "standardize": mx.standardize, "unitize": mx.unitize,
+        "corr": mx.corr, "cov": mx.cov, "spearman": mx.spearman,
+        "kendall": mx.kendall, "regress": mx.regress,
+        "predict": mx.predict, "percentile": mx.percentile_array,
+        "geometricMean": mx.geometric_mean,
+        "harmonicMean": mx.harmonic_mean, "mode": mx.mode,
+        "describe": mx.describe, "hist": mx.hist,
+        "euclidean": mx.euclidean, "manhattan": mx.manhattan,
+        "canberra": mx.canberra, "cosineDistance": mx.cosine_distance,
+        "ebeAdd": mx.ebe_add, "ebeSubtract": mx.ebe_subtract,
+        "ebeMultiply": mx.ebe_multiply, "ebeDivide": mx.ebe_divide,
+        "scalarAdd": mx.scalar_add, "scalarMultiply": mx.scalar_multiply,
+        "normalCdf": mx.normal_cdf, "kmeans": mx.kmeans,
+        "knn": mx.knn_rows, "knnRegress": mx.knn_regress,
+        "quantize": quantize,
+        "copyOfRange": lambda a, lo, hi: np.asarray(a)[int(lo):int(hi)],
+        "length": lambda a: len(a),
+        "valueAt": lambda a, i: np.asarray(a)[int(i)].item(),
+        "array": lambda *xs: np.asarray(xs, dtype=np.float64),
+    }
+
+
+def _eval_value(node, tables, env, fns):
+    import ray.data
+
+    if isinstance(node, (int, float)):
+        return node
+    if isinstance(node, str):
+        if node in env:
+            return env[node]
+        raise ValueError(f"unbound let variable {node!r}")
+    if not isinstance(node, _Call):
+        raise ValueError(f"cannot evaluate {node!r}")
+    if node.name == "col":
+        src = node.args[0]
+        ds = (env[src] if isinstance(src, str) and src in env
+              else _eval_value(src, tables, env, fns))
+        if not hasattr(ds, "to_pandas"):
+            raise ValueError("col() needs a stream")
+        return ds.to_pandas()[node.args[1]].to_numpy()
+    if node.name in fns:
+        a = [_eval_value(x, tables, env, fns) for x in node.args]
+        k = {kk: _eval_value(v, tables, env, fns)
+             for kk, v in node.kwargs.items()}
+        return fns[node.name](*a, **k)
+    # stream expression: bound streams are visible as table names
+    stream_env = dict(tables)
+    for kname, v in env.items():
+        if isinstance(v, ray.data.Dataset):
+            stream_env[kname] = v
+    return _eval(node, stream_env)
+
+
+def _let_table(ret, tables, env, fns):
+    import numpy as np
+    import ray.data
+
+    def cell(v):
+        if isinstance(v, np.ndarray):
+            return pa.array([v.tolist()])
+        if isinstance(v, dict):
+            return pa.array([json.dumps(v, sort_keys=True)])
+        return pa.array([v])
+
+    if isinstance(ret, _Call) and ret.name == "tuple":
+        cols = {kk: cell(_eval_value(v, tables, env, fns))
+                for kk, v in ret.kwargs.items()}
+        return ray.data.from_arrow(pa.table(cols))
+    if isinstance(ret, _Call) and ret.name == "zip":
+        arrs = {kk: np.asarray(_eval_value(v, tables, env, fns))
+                for kk, v in ret.kwargs.items()}
+        n = {len(v) for v in arrs.values()}
+        if len(n) != 1:
+            raise ValueError("zip() arrays must share one length")
+        # pa.array on the ndarray directly (tolist() of datetime64[ns]
+        # yields raw integers and loses the timestamp type)
+        return ray.data.from_arrow(
+            pa.table({kk: pa.array(v) for kk, v in arrs.items()}))
+    out = _eval_value(ret, tables, env, fns)
+    if hasattr(out, "to_pandas"):
+        return out
+    if isinstance(out, np.ndarray):
+        return ray.data.from_arrow(pa.table({"value": pa.array(out)}))
+    return ray.data.from_arrow(pa.table({"value": pa.array([out])}))
+
+
+def _eval_let(node, tables):
+    fns = _let_fns()
+    env: dict = {}
+    for kname, v in node.kwargs.items():
+        env[kname] = _eval_value(v, tables, env, fns)
+    if not node.args:
+        raise ValueError("let() needs a return expression "
+                         "(tuple(...), zip(...), or a bound name)")
+    return _let_table(node.args[-1], tables, env, fns)

@@ -196,3 +196,36 @@ def test_knn_rows_and_regress():
     assert idx_c[0] in (1, 3)  # colinear with the query
     with pytest.raises(ValueError):
         mx.knn_rows(X, [0, 0], 1, distance="chebyshev")
+
+
+def test_let_bindings_and_evaluators():
+    from solr_ray.expr import eval_expr
+
+    t = ray.data.from_arrow(pa.table({
+        "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "y": [3.0, 5.0, 7.0, 9.0, 11.0],
+    }))
+    out = eval_expr(
+        'let(d=search(t), a=col(d, x), b=col(d, y), m=regress(a, b), '
+        'tuple(slope=quantize(predict(m, 1.0), 1000000), '
+        'c=corr(a, b)))', {"t": t}).to_pandas()
+    assert abs(out["slope"].iloc[0] - 3.0) < 1e-6  # perfect line y=2x+1
+    assert abs(out["c"].iloc[0] - 1.0) < 1e-12
+
+    z = eval_expr(
+        'let(d=search(t), a=col(d, x), '
+        'zip(x=a, d2=scalarMultiply(2, a)))', {"t": t}).to_pandas()
+    assert z["d2"].tolist() == [2.0, 4.0, 6.0, 8.0, 10.0]
+
+
+def test_let_errors():
+    from solr_ray.expr import eval_expr
+
+    t = ray.data.from_arrow(pa.table({"x": [1.0]}))
+    with pytest.raises(ValueError, match="unbound"):
+        eval_expr('let(a=col(d, x), tuple(v=a))', {"t": t})
+    with pytest.raises(ValueError, match="return expression"):
+        eval_expr('let(a=search(t))', {"t": t})
+    with pytest.raises(ValueError, match="one length"):
+        eval_expr('let(d=search(t), a=col(d, x), '
+                  'zip(x=a, b=array(1, 2, 3)))', {"t": t})
