@@ -1402,6 +1402,21 @@ def _q_mlt(sf_dir: str):
     })
 
 
+def _q_graph_terms(sf_dir: str):
+    """{!graphTerms}: lineitem rows whose l_suppkey is in a candidate
+    frontier, skipping suppliers that appear on more than 600 lineitems
+    (the hub-node guard). Output (l_suppkey, cnt) per surviving key."""
+    from solr_ray.ops.graph import graph_terms_filter
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_orderkey"])
+    frontier = list(range(1, 41))  # supplier keys 1..40
+    out = graph_terms_filter(li, "l_suppkey", frontier, max_doc_freq=600)
+    from ray.data.aggregate import Count
+
+    return (out.groupby("l_suppkey")
+            .aggregate(Count(alias_name="cnt")).sort("l_suppkey"))
+
+
 def _q_gather_nodes(sf_dir: str):
     """Graph BFS (gatherNodes): customer c1 -> their orders -> the suppliers
     on those orders' lineitems, depth 2, namespaced string node ids."""
@@ -2043,6 +2058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_nn": _q_rerank_nn,
         "random_sample": _q_random_sample,
         "gather_nodes": _q_gather_nodes,
+        "graph_terms": _q_graph_terms,
         # joins / lookups / set ops
         "semi_join_building": _q_semi_join_building,
         "anti_join_small_customers": _q_anti_join_small_customers,
@@ -3484,6 +3500,13 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) = 1
         "knn_hnsw_exh": _KNN_TOPK_SQL,
         "knn_ivf_exh": _KNN_TOPK_SQL,
         "knn_lsh_exh": _KNN_TOPK_SQL,
+        "graph_terms": """
+WITH df AS (
+  SELECT l_suppkey, COUNT(*)::BIGINT AS cnt FROM lineitem
+  WHERE l_suppkey BETWEEN 1 AND 40 GROUP BY l_suppkey
+)
+SELECT l_suppkey, cnt FROM df WHERE cnt <= 600 ORDER BY l_suppkey
+""",
         "gather_nodes": """
 WITH RECURSIVE e AS (
   SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders

@@ -88,3 +88,46 @@ def shortest_path(edges, from_col: str, to_col: str, src, dst,
     while parent[path[-1]] is not None:
         path.append(parent[path[-1]])
     return list(reversed(path))
+
+
+def graph_terms_filter(ds, field: str, terms, max_doc_freq: int = -1):
+    """{!graphTerms} (GraphTermsQParserPlugin, solr/core/src/java/org/
+    apache/solr/search/GraphTermsQParserPlugin.java:60): membership filter
+    over a term list that SKIPS terms whose document frequency exceeds
+    maxDocFreq — the traversal-frontier guard that keeps a graph walk from
+    exploding through a hub node.
+
+    Two passes, both distributed: one combiner groupby counts df for the
+    candidate terms only (the frontier is broadcast, so the partial is
+    frontier-sized, not vocab-sized), then the surviving terms broadcast
+    into a vectorized is_in filter."""
+    import ray
+
+    terms = sorted(set(terms))
+    tset = pa.array(terms)
+    if max_doc_freq >= 0:
+        ref = ray.put(tset)
+
+        def df_part(t: pa.Table) -> pa.Table:
+            vs = ray.get(ref)
+            hit = t.filter(pc.is_in(t[field], value_set=vs))
+            agg = (hit.select([field]).group_by(field, use_threads=False)
+                   .aggregate([([], "count_all")]))
+            return pa.table({"term": agg[field],
+                             "df": agg["count_all"]})
+
+        from ray.data.aggregate import Sum
+
+        df = (ds.map_batches(df_part, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())
+        keep = set(df[df["df"] <= max_doc_freq]["term"])
+        tset = pa.array(sorted(k for k in terms if k in keep))
+
+    ref2 = ray.put(tset)
+
+    def flt(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref2)
+        return t.filter(pc.is_in(t[field], value_set=vs))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

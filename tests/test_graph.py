@@ -39,3 +39,20 @@ def test_shortest_path():
     assert shortest_path(_edges(), "src", "dst", "a", "d") == \
         ["a", "b", "c", "d"]
     assert shortest_path(_edges(), "src", "dst", "a", "z2") is None
+
+
+def test_graph_terms_filter(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.graph import graph_terms_filter
+
+    t = ray.data.from_arrow(pa.table({
+        "u": ["a", "a", "a", "b", "b", "c", "d"],
+        "v": [1, 2, 3, 4, 5, 6, 7],
+    })).repartition(3)
+    out = graph_terms_filter(t, "u", ["a", "b", "c", "zzz"],
+                             max_doc_freq=2).to_pandas()
+    assert sorted(out["u"]) == ["b", "b", "c"]  # hub 'a' (df 3) skipped
+    out2 = graph_terms_filter(t, "u", ["a", "d"]).to_pandas()
+    assert sorted(out2["u"]) == ["a", "a", "a", "d"]  # no df cap
