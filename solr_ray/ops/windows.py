@@ -28,26 +28,104 @@ _TRUNC = {
 }
 
 
-def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]]):
+def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]],
+               driver_merge_max_rows: int = 5_000_000):
     """Date-bucketed metrics. gap: hour|minute|day|week|month.
     aggs: out_name -> (col, fn) with fn in sum|mean|min|max|count.
-    Vectorized bucketing per batch; one small groupby(bucket)."""
+
+    Combiner shape (TimeSeriesStream.java:52 buckets a bounded date
+    range, so the bucket count is small by contract): each batch
+    pre-aggregates its rows to one partial row per bucket, and the
+    partials — at most n_blocks x n_buckets rows — merge in one Arrow
+    group_by on the driver, the same gated pattern as the index build's
+    global-stats merge. A generic Ray groupby here pays ~2-4 s of
+    sort-shuffle fixed cost to reduce a few hundred output rows. If the
+    partials exceed driver_merge_max_rows (huge range x tiny gap), fall
+    back to the distributed groupby."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     unit = _TRUNC[gap]
 
-    def bucketize(t: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
         b = t[ts_col].dt.to_period(unit).dt.start_time
-        t = t.copy()
-        t["bucket"] = b
-        return t
+        g = t.groupby(b, sort=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                cols[out] = g[ts_col].size()
+            elif fn == "mean":
+                cols[f"__{out}_s"] = g[col].sum()
+                cols[f"__{out}_c"] = g[col].count()
+            else:
+                cols[out] = getattr(g[col], fn)()
+        out_df = pd.DataFrame(cols)
+        out_df.insert(0, "bucket", out_df.index)
+        return out_df.reset_index(drop=True)
 
-    g = ds.map_batches(bucketize, batch_format="pandas").groupby("bucket")
-    fns = {"sum": Sum, "mean": Mean, "min": Min, "max": Max}
+    parts_ds = ds.map_batches(partial, batch_format="pandas")
+    parts, total = [], 0
+    for ref in parts_ds.to_arrow_refs():
+        t = ray.get(ref)
+        parts.append(t)
+        total += t.num_rows
+        if total > driver_merge_max_rows:
+            parts = None
+            break
+
+    if parts is None:
+        # distributed fallback: merge the partials with a Ray groupby
+        merged = parts_ds.groupby("bucket")
+        specs = []
+        for out, (_col, fn) in aggs.items():
+            if fn == "count" or fn == "sum":
+                specs.append(Sum(out, alias_name=out))
+            elif fn == "mean":
+                specs.append(Sum(f"__{out}_s", alias_name=f"__{out}_s"))
+                specs.append(Sum(f"__{out}_c", alias_name=f"__{out}_c"))
+            else:
+                specs.append((Min if fn == "min" else Max)(
+                    out, alias_name=out))
+        got = merged.aggregate(*specs)
+        if any(fn == "mean" for _o, (_c, fn) in aggs.items()):
+            def finish(t: pa.Table) -> pa.Table:
+                cols = {"bucket": t["bucket"]}
+                for out, (_col, fn) in aggs.items():
+                    cols[out] = (pc.divide(
+                        pc.cast(t[f"__{out}_s"], pa.float64()),
+                        pc.cast(t[f"__{out}_c"], pa.float64()))
+                        if fn == "mean" else t[out])
+                return pa.table(cols)
+
+            got = got.map_batches(finish, batch_format="pyarrow")
+        return got.sort("bucket")
+
+    merged = pa.concat_tables(parts).group_by("bucket", use_threads=False)
     specs = []
-    for out, (col, fn) in aggs.items():
-        specs.append(Count(alias_name=out) if fn == "count" else fns[fn](col, alias_name=out))
-    return g.aggregate(*specs).sort("bucket")
+    for out, (_col, fn) in aggs.items():
+        if fn in ("count", "sum"):
+            specs.append((out, "sum"))
+        elif fn == "mean":
+            specs.append((f"__{out}_s", "sum"))
+            specs.append((f"__{out}_c", "sum"))
+        else:
+            specs.append((out, fn))
+    agg = merged.aggregate(specs)
+    cols = {"bucket": agg["bucket"]}
+    for out, (_col, fn) in aggs.items():
+        if fn in ("count", "sum"):
+            cols[out] = agg[f"{out}_sum"]
+        elif fn == "mean":
+            cols[out] = pc.divide(
+                pc.cast(agg[f"__{out}_s_sum"], pa.float64()),
+                pc.cast(agg[f"__{out}_c_sum"], pa.float64()))
+        else:
+            cols[out] = agg[f"{out}_{fn}"]
+    out_t = pa.table(cols)
+    order = pc.sort_indices(out_t, sort_keys=[("bucket", "ascending")])
+    return ray.data.from_arrow(out_t.take(order))
 
 
 def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,

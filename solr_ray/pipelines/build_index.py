@@ -372,12 +372,15 @@ def build_index(
     # object fetches); push-based merges map outputs en route to reducers
     # (10× faster at 32 CPUs in our profile: 52.9s -> 5.1s on a 1M-doc
     # corpus).
-    ray.data.DataContext.get_current().shuffle_strategy = (
+    _ctx = ray.data.DataContext.get_current()
+    _prev_shuffle = _ctx.shuffle_strategy
+    _prev_reserve = _ctx.op_resource_reservation_enabled
+    _ctx.shuffle_strategy = (
         ray.data.context.ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     )
     # task-only pipeline: operator resource reservation (deadlock guard for
     # actor-pool stages) just idles CPUs here (~26/32 busy during analyze)
-    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    _ctx.op_resource_reservation_enabled = False
 
     t0 = time.time()
     ds = pages
@@ -589,6 +592,12 @@ def build_index(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, index_json)  # atomic publish = the "commit"
+    # push-based sort is a BUILD-local choice: restore the caller's
+    # strategy so later small groupbys in the same process don't pay the
+    # push-based partitioning tax (measured: a 100k-row hourly-bucket
+    # aggregate was 34s of task CPU under push-based vs subsecond default)
+    _ctx.shuffle_strategy = _prev_shuffle
+    _ctx.op_resource_reservation_enabled = _prev_reserve
     return manifest
 
 
@@ -623,12 +632,15 @@ def append_to_index(
     if isinstance(pages, (str, list)):
         pages = ray.data.read_parquet(pages)
 
-    ray.data.DataContext.get_current().shuffle_strategy = (
+    _ctx = ray.data.DataContext.get_current()
+    _prev_shuffle = _ctx.shuffle_strategy
+    _prev_reserve = _ctx.op_resource_reservation_enabled
+    _ctx.shuffle_strategy = (
         ray.data.context.ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     )
     # task-only pipeline: operator resource reservation (deadlock guard for
     # actor-pool stages) just idles CPUs here (~26/32 busy during analyze)
-    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    _ctx.op_resource_reservation_enabled = False
 
     t0 = time.time()
     ds = pages
@@ -716,4 +728,10 @@ def append_to_index(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, index_json)
+    # push-based sort is a BUILD-local choice: restore the caller's
+    # strategy so later small groupbys in the same process don't pay the
+    # push-based partitioning tax (measured: a 100k-row hourly-bucket
+    # aggregate was 34s of task CPU under push-based vs subsecond default)
+    _ctx.shuffle_strategy = _prev_shuffle
+    _ctx.op_resource_reservation_enabled = _prev_reserve
     return manifest
