@@ -235,15 +235,17 @@ def _q_pricing_summary(sf_dir: str):
             ),
         })
 
-    g = (
-        li.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("q_i", alias_name="sum_q_i"),
-            Sum("price_c", alias_name="sum_price_c"),
-            Sum("dp_c4", alias_name="sum_dp_c4"),
-            Count(alias_name="n_rows"),
-        )
+    from solr_ray.ops.grouping import combiner_groupby
+
+    # 6 output groups from 600k rows: per-batch combining turns the
+    # sort-shuffle into a scan (exact: integer-quantized sums)
+    g = combiner_groupby(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_q_i": ("q_i", "sum"),
+         "sum_price_c": ("price_c", "sum"),
+         "sum_dp_c4": ("dp_c4", "sum"),
+         "n_rows": ("q_i", "count")},
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -202,3 +202,69 @@ def significant_terms(
     return (merged.map_batches(score, batch_format="pyarrow")
             .sort(["score", "term"], descending=[True, False])
             .limit(limit))
+
+
+def combiner_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                     driver_merge_max_rows: int = 5_000_000):
+    """Grouped aggregation with EXPLICIT per-batch combining — the
+    "pre-aggregate inside map_batches before a groupby" scale pattern.
+
+    aggs: out_name -> (col, fn), fn in sum|min|max|count (count ignores
+    col). Each batch reduces to one partial row per key via ONE Arrow
+    group_by; the partials (n_blocks x n_groups rows) merge in a single
+    driver-side Arrow group_by when small (gated), else through a Ray
+    groupby whose input is already combiner-sized. For low-cardinality
+    keys this replaces a full sort-shuffle of the raw rows with a scan —
+    Ray's generic Aggregate costs seconds of fixed shuffle work to
+    reduce a 6-group table. Results are identical for integer sums
+    (order-free); float sums may reassociate, same as any shuffle."""
+    import ray
+    import ray.data
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        specs = []
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                cnt_src = keys[0]
+                specs.append((cnt_src, "count"))
+                cols[out] = f"{cnt_src}_count"
+            else:
+                specs.append((col, fn))
+                cols[out] = f"{col}_{fn}"
+        agg = t.group_by(keys, use_threads=False).aggregate(specs)
+        out_cols = {k: agg[k] for k in keys}
+        for out, src in cols.items():
+            out_cols[out] = agg[src]
+        return pa.table(out_cols)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    parts, total = [], 0
+    for ref in parts_ds.to_arrow_refs():
+        t = ray.get(ref)
+        parts.append(t)
+        total += t.num_rows
+        if total > driver_merge_max_rows:
+            parts = None
+            break
+    if parts is None:
+        g = parts_ds.groupby(keys)
+        specs = []
+        for out, (_col, fn) in aggs.items():
+            cls = Sum if fn in ("sum", "count") else (
+                Min if fn == "min" else Max)
+            specs.append(cls(out, alias_name=out))
+        return g.aggregate(*specs)
+    merged = pa.concat_tables(parts).group_by(keys, use_threads=False)
+    specs = []
+    for out, (_col, fn) in aggs.items():
+        specs.append((out, "sum" if fn == "count" else
+                      ("sum" if fn == "sum" else fn)))
+    agg = merged.aggregate(specs)
+    cols = {k: agg[k] for k in keys}
+    for out, (_col, fn) in aggs.items():
+        suffix = "sum" if fn in ("sum", "count") else fn
+        cols[out] = agg[f"{out}_{suffix}"]
+    return ray.data.from_arrow(pa.table(cols))
