@@ -755,13 +755,13 @@ def _q_top100_orders(sf_dir: str):
 
 
 def _q_sessions_per_user(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from solr_ray.ops.grouping import combiner_groupby
     from solr_ray.ops.windows import session_windows
 
     out = session_windows(_read(sf_dir, "events", columns=["user_id", "ts"]),
                           "user_id", "ts", gap_us=2 * 3600 * 1_000_000)
-    return out.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+    return combiner_groupby(out, ["user_id"],
+                            {"n_sessions": ("user_id", "count")})
 
 
 def _q_tumbling_daily(sf_dir: str):

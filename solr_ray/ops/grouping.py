@@ -244,11 +244,15 @@ def combiner_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     parts, total = [], 0
     for ref in parts_ds.to_arrow_refs():
         t = ray.get(ref)
+        if t.num_rows == 0:
+            continue  # empty blocks can carry a degenerate schema
         parts.append(t)
         total += t.num_rows
         if total > driver_merge_max_rows:
             parts = None
             break
+    if parts == []:
+        parts = None  # fall through: empty input handled by Ray groupby
     if parts is None:
         g = parts_ds.groupby(keys)
         specs = []
@@ -257,7 +261,8 @@ def combiner_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
                 Min if fn == "min" else Max)
             specs.append(cls(out, alias_name=out))
         return g.aggregate(*specs)
-    merged = pa.concat_tables(parts).group_by(keys, use_threads=False)
+    merged = pa.concat_tables(parts, promote_options="permissive")\
+        .group_by(keys, use_threads=False)
     specs = []
     for out, (_col, fn) in aggs.items():
         specs.append((out, "sum" if fn == "count" else

@@ -166,26 +166,55 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
     return ds.groupby(key_col).map_groups(roll, batch_format="pandas")
 
 
-def session_windows(ds, key_col: str, ts_col: str, gap_us: int):
+def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
+                    num_buckets: int = 64):
     """Per-key session windows: a new session starts when the gap to the
-    previous event exceeds gap_us. Returns per-session rows."""
+    previous event exceeds gap_us. Returns per-session rows.
+
+    Keys are hash-bucketed so the shuffle produces num_buckets groups
+    (not one python UDF call per key); inside a bucket the sessionize is
+    ONE vectorized pass over (key, ts)-sorted rows — new-session = key
+    change OR gap exceeded — so per-key work never touches the
+    interpreter. Same co-location guarantee (a key lives in exactly one
+    bucket), ~25x fewer UDF invocations on a 1.5k-key log."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            b = (col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % num_buckets).astype(np.int64)
+        else:
+            from solr_ray.stages.docids import stable_hash64
+
+            b = (np.asarray(stable_hash64(col), dtype=np.uint64)
+                 % num_buckets).astype(np.int64)
+        return t.append_column("__sbucket", pa.array(b))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
+        g = g.sort_values([key_col, ts_col], kind="stable")
         ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
         new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        if len(ts) > 1:
+            new[1:] = (keys[1:] != keys[:-1]) | (
+                (ts[1:] - ts[:-1]) > gap_us)
         sid = np.cumsum(new) - 1
-        out = pd.DataFrame({"sid": sid, "ts": ts})
-        agg = out.groupby("sid")["ts"].agg(["min", "max", "count"])
+        df = pd.DataFrame({"k": keys, "sid": sid, "ts": ts})
+        agg = df.groupby("sid", sort=True).agg(
+            k=("k", "first"), mn=("ts", "min"), mx=("ts", "max"),
+            n=("ts", "count"))
         return pd.DataFrame({
-            key_col: g[key_col].iloc[0],
-            "session_start": pd.to_datetime(agg["min"], unit="us"),
-            "session_end": pd.to_datetime(agg["max"], unit="us"),
-            "n_events": agg["count"].to_numpy(),
+            key_col: agg["k"].to_numpy(),
+            "session_start": pd.to_datetime(agg["mn"], unit="us"),
+            "session_end": pd.to_datetime(agg["mx"], unit="us"),
+            "n_events": agg["n"].to_numpy(),
         })
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__sbucket")
+            .map_groups(sessions, batch_format="pandas"))
 
 
 class TopicCheckpoint:
