@@ -128,23 +128,51 @@ def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]],
     return ray.data.from_arrow(out_t.take(order))
 
 
+def _hash_bucket(t: pa.Table, key_col: str, num_buckets: int,
+                 out_col: str = "__wbucket") -> pa.Table:
+    """Append a hash-bucket column so per-key window ops shuffle into
+    num_buckets groups instead of one python group per key; each key
+    lives in exactly one bucket (co-location preserved)."""
+    col = t[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        b = (col.to_numpy(zero_copy_only=False).astype(np.uint64)
+             % num_buckets).astype(np.int64)
+    else:
+        from solr_ray.stages.docids import stable_hash64
+
+        b = (np.asarray(stable_hash64(col), dtype=np.uint64)
+             % num_buckets).astype(np.int64)
+    return t.append_column(out_col, pa.array(b))
+
+
 def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,
                     value_col: str, agg: str = "sum"):
     """Per-key tumbling windows of fixed width (event-time, no watermark —
     batch log semantics). Returns (key, window_start, agg value)."""
 
+    num_buckets = 64
+
     def windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
+        # all keys of the bucket in ONE vectorized pandas groupby
         ts_us = g[ts_col].astype("datetime64[us]").astype("int64")
         w = (ts_us // width_us) * width_us
-        out = g.groupby(w)[value_col].agg(agg)
+        out = (g.assign(__w=w)
+               .groupby([key_col, "__w"], sort=True)[value_col].agg(agg))
+        idx = out.index
         return pd.DataFrame({
-            key_col: g[key_col].iloc[0],
-            "window_start": pd.to_datetime(out.index, unit="us"),
+            key_col: idx.get_level_values(0),
+            "window_start": pd.to_datetime(idx.get_level_values(1),
+                                           unit="us"),
             f"{agg}_{value_col}": out.to_numpy(),
         })
 
-    return ds.groupby(key_col).map_groups(windows, batch_format="pandas")
+    return (ds.map_batches(
+                lambda t: _hash_bucket(t, key_col, num_buckets),
+                batch_format="pyarrow")
+            .groupby("__wbucket")
+            .map_groups(windows, batch_format="pandas"))
 
 
 def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
@@ -157,13 +185,22 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
 
     keys = [ts_col] if tie_col is None else [ts_col, tie_col]
 
+    num_buckets = 64
+
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(keys, kind="stable").copy()
-        r = g[value_col].rolling(n, min_periods=1)
-        g[f"rolling_{value_col}"] = getattr(r, agg)()
+        g = (g.sort_values([key_col, *keys], kind="stable")
+             .drop(columns=["__wbucket"]).copy())
+        r = (g.groupby(key_col, sort=False)[value_col]
+             .rolling(n, min_periods=1))
+        vals = getattr(r, agg)().reset_index(level=0, drop=True)
+        g[f"rolling_{value_col}"] = vals
         return g
 
-    return ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+    return (ds.map_batches(
+                lambda t: _hash_bucket(t, key_col, num_buckets),
+                batch_format="pyarrow")
+            .groupby("__wbucket")
+            .map_groups(roll, batch_format="pandas"))
 
 
 def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
