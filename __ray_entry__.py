@@ -531,6 +531,37 @@ def _q_timeseries_hourly(sf_dir: str):
     )
 
 
+def _q_edge_ngram_df(sf_dir: str):
+    """EdgeNGramFilterFactory chain (1..4-char prefixes per token) feeding
+    the distributed df combiner — the classic search-as-you-type index
+    shape. (gram, doc-frequency) over documents, gram order."""
+    from solr_ray.ops.textstats import term_doc_freq
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = term_doc_freq(docs, "text", analyzer="edge_ngram")
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t["term"],
+                         "df": pc.cast(t["df"], pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow").sort("term")
+
+
+def _q_shingle_counts(sf_dir: str):
+    """ShingleFilterFactory (2-word shingles, '_' separator) through the
+    salted heavy-hitter term counter. (shingle, total count)."""
+    from solr_ray.ops.textstats import salted_term_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = salted_term_counts(docs, "text", analyzer="shingle2")
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t["term"],
+                         "cnt": pc.cast(t["cnt"], pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow").sort("term")
+
+
 def _q_igain_features(sf_dir: str):
     """features(igain) over documents vs lang='en': per-term information
     gain from distributed (df_pos, df_all) presence counts
@@ -2038,6 +2069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "let_moving_avg": _q_let_moving_avg,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
+        "edge_ngram_df": _q_edge_ngram_df,
+        "shingle_counts": _q_shingle_counts,
         "igain_features_en": _q_igain_features,
         "tlogit_score": _q_tlogit_score,
         "train_logit_en": _q_train_logit,
@@ -3259,6 +3292,39 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "edge_ngram_df": """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(flatten([[substr(tok, 1, n)
+                            FOR n IN range(1, least(4, len(tok)) + 1)]
+                           FOR tok IN toks])) AS g
+    FROM docs)
+)
+SELECT g AS term, COUNT(*)::BIGINT AS df
+FROM grams GROUP BY g ORDER BY term
+""",
+        "shingle_counts": """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT UNNEST([toks[i] || '_' || toks[i + 1]
+                 FOR i IN range(1, len(toks))]) AS term
+  FROM docs
+)
+SELECT term, COUNT(*)::BIGINT AS cnt
+FROM sh GROUP BY term ORDER BY term
 """,
         "igain_features_en": """
 WITH docs AS (

@@ -351,8 +351,53 @@ def _general_token_fn(tok: str) -> str | None:
     return tok
 
 
+def _ngram_pre(min_n: int, max_n: int, edge: bool):
+    """Char-filter that rewrites text into space-separated character
+    n-grams of each whitespace token — NGramFilterFactory /
+    EdgeNGramFilterFactory semantics (solr/core FieldTypes delegate to
+    Lucene NGramTokenFilter/EdgeNGramTokenFilter): for each token emit
+    grams of length min_n..max_n (edge: prefixes only); tokens shorter
+    than min_n emit nothing. Lowercased first (the standard ngram-field
+    chain)."""
+
+    def pre(text: str) -> str:
+        out = []
+        for tok in text.lower().split():
+            L = len(tok)
+            hi = min(max_n, L)
+            for n in range(min_n, hi + 1):
+                if edge:
+                    out.append(tok[:n])
+                else:
+                    out.extend(tok[i:i + n] for i in range(L - n + 1))
+        return " ".join(out)
+
+    return pre
+
+
+def _shingle_pre(size: int, sep: str = "_"):
+    """ShingleFilterFactory semantics (word n-grams, outputUnigrams=false,
+    tokenSeparator configurable — '_' here so shingles survive the
+    whitespace re-tokenize). Lowercased first."""
+
+    def pre(text: str) -> str:
+        toks = text.lower().split()
+        return " ".join(sep.join(toks[i:i + size])
+                        for i in range(len(toks) - size + 1))
+
+    return pre
+
+
 def _make_analyzers() -> dict[str, Callable[[], Analyzer]]:
     return {
+        "ngram": lambda: Analyzer("ngram", _WHITESPACE_RE,
+                                  _ngram_pre(2, 3, edge=False),
+                                  split_tbl={}),
+        "edge_ngram": lambda: Analyzer("edge_ngram", _WHITESPACE_RE,
+                                       _ngram_pre(1, 4, edge=True),
+                                       split_tbl={}),
+        "shingle2": lambda: Analyzer("shingle2", _WHITESPACE_RE,
+                                     _shingle_pre(2), split_tbl={}),
         "text_en": lambda: Analyzer("text_en", _STANDARD_TOKEN_RE, None,
                                     _en_token_fn, _STANDARD_TBL),
         "text_general": lambda: Analyzer(

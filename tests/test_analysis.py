@@ -92,3 +92,32 @@ def test_analyzer_registry_extension():
 
     register_analyzer("digits", lambda: Analyzer("digits", re.compile(r"\d+")))
     assert get_analyzer("digits").tokenize_text("a1 b22 c333") == ["1", "22", "333"]
+
+
+def test_ngram_analyzers():
+    from solr_ray.analysis.chain import get_analyzer
+
+    az = get_analyzer("ngram")
+    assert az.tokenize_text("Red ab") == ["re", "ed", "red", "ab"]
+    assert az.tokenize_text("a") == []  # shorter than min_n=2
+
+    ez = get_analyzer("edge_ngram")
+    assert ez.tokenize_text("Hash j") == ["h", "ha", "has", "hash", "j"]
+
+    sh = get_analyzer("shingle2")
+    assert sh.tokenize_text("The quick brown") == \
+        ["the_quick", "quick_brown"]
+    assert sh.tokenize_text("single") == []
+
+
+def test_ngram_vectorized_matches_scalar():
+    import pyarrow as pa
+
+    from solr_ray.analysis.chain import get_analyzer
+
+    texts = ["Red ab", "", "a bc def", "Hash join merge"]
+    for name in ("ngram", "edge_ngram", "shingle2"):
+        az = get_analyzer(name)
+        got = az.tokenize_array(pa.array(texts)).to_pylist()
+        want = [az.tokenize_text(t) for t in texts]
+        assert got == want, name
