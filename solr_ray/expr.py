@@ -350,6 +350,9 @@ def _let_fns():
         "ebeMultiply": mx.ebe_multiply, "ebeDivide": mx.ebe_divide,
         "scalarAdd": mx.scalar_add, "scalarMultiply": mx.scalar_multiply,
         "normalCdf": mx.normal_cdf, "kmeans": mx.kmeans,
+        "ttest": mx.ttest, "pairedTtest": mx.paired_ttest,
+        "mannWhitney": mx.mann_whitney, "anova": mx.anova,
+        "chiSquare": mx.chi_square,
         "knn": mx.knn_rows, "knnRegress": mx.knn_regress,
         "quantize": quantize,
         "copyOfRange": lambda a, lo, hi: np.asarray(a)[int(lo):int(hi)],

@@ -25,8 +25,12 @@ Two tiers, both vectorized numpy:
   (CLAUDE.md invariant) so partial sums are EXACT integers — Ray and any
   SQL engine then agree bit-for-bit on the final float expressions.
 
-Not modeled (honest scope): hypothesis-test p-values (ttest/ks/anova need
-incomplete-beta tails), random sampling evaluators (non-deterministic),
+Hypothesis tests ship with exact tails: the regularized incomplete beta
+(Lentz continued fraction) and incomplete gamma (series/CF) give
+Student-t, F and chi-squared p-values in pure python/numpy — ttest
+(Welch), pairedTtest, mannWhitney (normal approx + tie correction),
+anova, chiSquare, matching Apache Commons Math semantics. Not modeled
+(honest scope): random sampling evaluators (non-deterministic),
 markovChain/monteCarlo simulation. normalCdf is exact via math.erf.
 """
 
@@ -250,6 +254,188 @@ def cov_matrix(m):
 
 def corr_matrix(m):
     return np.corrcoef(np.asarray(m, np.float64), rowvar=False)
+
+
+# ---- special functions (public algorithms: regularized incomplete
+# beta via Lentz continued fraction, incomplete gamma via series/CF —
+# the standard Numerical-Recipes-class formulations) ----
+
+def _betacf(a: float, b: float, x: float) -> float:
+    MAXIT, EPS, FPMIN = 200, 3e-14, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+             + a * math.log(x) + b * math.log(1.0 - x))
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def gammainc_lower(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x)."""
+    if x < 0 or a <= 0:
+        raise ValueError("gammainc needs x >= 0, a > 0")
+    if x == 0:
+        return 0.0
+    if x < a + 1.0:
+        # series
+        ap, s, d = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            d *= x / ap
+            s += d
+            if abs(d) < abs(s) * 3e-14:
+                break
+        return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    # continued fraction for Q, P = 1 - Q
+    FPMIN = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = b + an / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < 3e-14:
+            break
+    q = math.exp(-x + a * math.log(x) - math.lgamma(a)) * h
+    return 1.0 - q
+
+
+def t_sf2(t: float, df: float) -> float:
+    """Two-sided p-value of Student's t."""
+    return betainc(df / 2.0, 0.5, df / (df + t * t))
+
+
+def f_sf(f: float, d1: float, d2: float) -> float:
+    """Upper tail of the F distribution."""
+    if f <= 0:
+        return 1.0
+    return betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
+
+def chi2_sf(x: float, k: float) -> float:
+    """Upper tail of chi-squared with k dof."""
+    return 1.0 - gammainc_lower(k / 2.0, x / 2.0)
+
+
+# ---- hypothesis tests (Lang ttest / pairedTtest / mannWhitney /
+# anova / chiSquare — Apache Commons Math semantics) ----
+
+def ttest(a, b):
+    """Welch's two-sample t-test (Commons Math TTest.tTest default):
+    dict with t, df (Welch-Satterthwaite), p (two-sided)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = a.size, b.size
+    se2 = va / na + vb / nb
+    t = float((a.mean() - b.mean()) / math.sqrt(se2))
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return {"t": t, "df": float(df), "p": t_sf2(t, df)}
+
+
+def paired_ttest(a, b):
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    n = d.size
+    t = float(d.mean() / (d.std(ddof=1) / math.sqrt(n)))
+    return {"t": t, "df": float(n - 1), "p": t_sf2(t, n - 1)}
+
+
+def mann_whitney(a, b):
+    """Mann-Whitney U with normal approximation + tie correction:
+    dict with u, z, p (two-sided)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    na, nb = a.size, b.size
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(allv.size, np.float64)
+    ranks[order] = np.arange(1, allv.size + 1)
+    vals, inv, cnt = np.unique(allv, return_inverse=True,
+                               return_counts=True)
+    sums = np.bincount(inv, weights=ranks)
+    ranks = (sums / cnt)[inv]
+    ra = ranks[:na].sum()
+    u1 = ra - na * (na + 1) / 2.0
+    u = min(u1, na * nb - u1)
+    n = na + nb
+    tie = float(((cnt ** 3 - cnt).sum())) / (n * (n - 1)) if n > 1 else 0.0
+    sigma = math.sqrt(na * nb / 12.0 * ((n + 1) - tie))
+    mu = na * nb / 2.0
+    z = (u - mu) / sigma if sigma > 0 else 0.0
+    p = 2.0 * (1.0 - float(normal_cdf(abs(z))))
+    return {"u": float(u), "z": float(z), "p": min(p, 1.0)}
+
+
+def anova(*groups):
+    """One-way ANOVA: dict with f, df1, df2, p."""
+    gs = [np.asarray(g, np.float64) for g in groups]
+    k = len(gs)
+    n = sum(g.size for g in gs)
+    grand = np.concatenate(gs).mean()
+    ssb = sum(g.size * (g.mean() - grand) ** 2 for g in gs)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in gs)
+    df1, df2 = k - 1, n - k
+    f = (ssb / df1) / (ssw / df2)
+    return {"f": float(f), "df1": float(df1), "df2": float(df2),
+            "p": f_sf(f, df1, df2)}
+
+
+def chi_square(observed, expected):
+    """Pearson chi-squared goodness-of-fit: dict with chi2, df, p."""
+    o = np.asarray(observed, np.float64)
+    e = np.asarray(expected, np.float64)
+    stat = float(((o - e) ** 2 / e).sum())
+    df = o.size - 1
+    return {"chi2": stat, "df": float(df), "p": chi2_sf(stat, df)}
 
 
 def spearman(a, b):

@@ -229,3 +229,39 @@ def test_let_errors():
     with pytest.raises(ValueError, match="one length"):
         eval_expr('let(d=search(t), a=col(d, x), '
                   'zip(x=a, b=array(1, 2, 3)))', {"t": t})
+
+
+def test_special_functions_critical_values():
+    # classic two-sided 5% critical values from published tables
+    assert abs(mx.t_sf2(2.228, 10) - 0.05) < 1e-3
+    assert abs(mx.f_sf(4.965, 1, 10) - 0.05) < 1e-3
+    assert abs(mx.chi2_sf(3.841, 1) - 0.05) < 1e-3
+    assert abs(mx.chi2_sf(18.307, 10) - 0.05) < 1e-3
+    assert abs(mx.betainc(2, 2, 0.5) - 0.5) < 1e-12
+    assert abs(mx.gammainc_lower(1, 1) - (1 - math.exp(-1))) < 1e-12
+    # large-df t converges to the normal tail
+    assert abs(mx.t_sf2(1.96, 1_000_000) - 0.05) < 1e-4
+
+
+def test_hypothesis_tests():
+    rng = np.random.default_rng(5)
+    a = rng.normal(0.0, 1.0, 200)
+    b = rng.normal(1.0, 1.0, 200)  # well-separated
+    r = mx.ttest(a, b)
+    assert r["p"] < 1e-6 and r["t"] < 0
+    same = mx.ttest(a, rng.normal(0.0, 1.0, 200))
+    assert same["p"] > 0.01
+    pr = mx.paired_ttest(a, a + 0.5)
+    assert pr["p"] < 1e-6 and abs(pr["df"] - 199) < 1e-12
+    mw = mx.mann_whitney(a, b)
+    assert mw["p"] < 1e-6
+    an = mx.anova(a, b, rng.normal(0.5, 1.0, 200))
+    assert an["p"] < 1e-6 and an["df1"] == 2
+    cs = mx.chi_square([18, 22, 20, 40], [25, 25, 25, 25])
+    assert cs["df"] == 3 and 0 < cs["p"] < 0.05
+
+
+def test_ttest_identical_groups_high_p():
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    r = mx.ttest(a, list(a))
+    assert abs(r["t"]) < 1e-12 and r["p"] > 0.999
