@@ -531,6 +531,42 @@ def _q_timeseries_hourly(sf_dir: str):
     )
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation, one streaming chain: quality
+    gate (floored score >= 0.5) -> language ID (keep 'en') -> exact
+    text dedup (first-writer-wins by doc_id) -> per-doc token counts.
+    Every stage is the SQL-oracled operator, so the COMPOSITION has a
+    full value oracle too."""
+    from solr_ray.ops.dedup import exact_dedup
+    from solr_ray.ops.textstats import LangIdStage, quality_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = docs.map_batches(lambda t: quality_features(t, "text"),
+                          batch_format="pyarrow")
+
+    def gate(t: pa.Table) -> pa.Table:
+        s = np.floor(t["quality_score"].to_numpy(zero_copy_only=False)
+                     * 1e6) / 1e6
+        return t.filter(pa.array(s >= 0.5))
+
+    ds = ds.map_batches(gate, batch_format="pyarrow")
+    ds = ds.map_batches(LangIdStage("text"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang_pred"], "en")),
+        batch_format="pyarrow")
+    ds = exact_dedup(ds, ["text"], "doc_id")
+
+    def shape(t: pa.Table) -> pa.Table:
+        sc = t["quality_score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "score_r": pa.array(np.floor(sc * 1e6) / 1e6, pa.float64()),
+        })
+
+    return ds.map_batches(shape, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_edge_ngram_df(sf_dir: str):
     """EdgeNGramFilterFactory chain (1..4-char prefixes per token) feeding
     the distributed df combiner — the classic search-as-you-type index
@@ -2069,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "let_moving_avg": _q_let_moving_avg,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
+        "curation_pipeline": _q_curation_pipeline,
         "edge_ngram_df": _q_edge_ngram_df,
         "shingle_counts": _q_shingle_counts,
         "igain_features_en": _q_igain_features,
@@ -3292,6 +3329,76 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "curation_pipeline": """
+WITH f AS (
+  SELECT doc_id, text,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w <> '') AS words,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, n_chars, n_tokens, words,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, w -> w IN ('and','are','as','at','be',
+             'for','have','in','is','it','not','of','on','that','the',
+             'this','to','was','with','you')))::DOUBLE / len(words)
+         ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_digits / n_chars
+              ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tokens > 0
+              THEN (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)
+              ELSE 0.0 END AS mean_wlen
+  FROM f
+),
+scored AS (
+  SELECT doc_id, text, n_tokens, words,
+         LEAST(GREATEST(n_tokens / 50.0, 0), 1) * 0.4
+       + LEAST(GREATEST(stop_ratio / 0.4, 0), 1) * 0.3
+       + LEAST(GREATEST(1.0 - digit_ratio * 5, 0), 1) * 0.15
+       + LEAST(GREATEST((mean_wlen - 2) / 4, 0), 1) * 0.15 AS score
+  FROM r
+),
+gated AS (
+  SELECT * FROM scored WHERE FLOOR(score * 1e6) / 1e6 >= 0.5
+),
+lang AS (
+  SELECT doc_id, text, n_tokens, score,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('the','and','of','to','in','is','that','it','was','for','with','as',
+       'on','are','this','be','at','have','not','you')))::DOUBLE
+        / len(words) ELSE 0.0 END AS s_en,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('der','die','und','das','ist','ich','nicht','mit','ein','auf','sich',
+       'den','von','des','im','dem','zu','für','sie')))::DOUBLE
+        / len(words) ELSE 0.0 END AS s_de,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('le','la','les','et','des','est','un','une','du','que','pour','dans',
+       'qui','sur','pas','au','avec','ce','il')))::DOUBLE
+        / len(words) ELSE 0.0 END AS s_fr,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN
+      ('el','la','los','las','de','que','y','en','un','una','es','por','con',
+       'para','del','se','su','al','lo','más')))::DOUBLE
+        / len(words) ELSE 0.0 END AS s_es,
+    len(words) AS nw
+  FROM gated
+),
+en AS (
+  SELECT doc_id, text, n_tokens, score FROM lang
+  WHERE nw > 0 AND GREATEST(s_de, s_en, s_es, s_fr) >= 0.05
+    AND NOT (s_de >= s_en AND s_de >= s_es AND s_de >= s_fr)
+    AND (s_en >= s_es AND s_en >= s_fr)
+),
+dedup AS (
+  SELECT doc_id, n_tokens, score FROM en
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       FLOOR(score * 1e6) / 1e6 AS score_r
+FROM dedup ORDER BY doc_id
 """,
         "edge_ngram_df": """
 WITH docs AS (
