@@ -1739,11 +1739,36 @@ def _q_text_profile_sigs(sf_dir: str):
 
 
 def _q_pairwise_cosine(sf_dir: str):
-    """Rows-only: embedding-cosine near-dup top-k pairs over the corpus."""
+    """Rows-only: embedding-cosine near-dup top-k pairs over the corpus
+    (float32 scale path)."""
     from solr_ray.ops.similarity import pairwise_cosine_topk
 
     return pairwise_cosine_topk(_read(sf_dir, "embeddings"), k=3,
                                 threshold=0.25)
+
+
+def _q_near_dup_pairs(sf_dir: str):
+    """Exact near-dup pairs in float64 — value-comparable to the SQL
+    cross-join cosine (engine and DuckDB agree to ~1e-15, quantized 1e-5).
+    (id_a, id_b, cosine_r) with per-id_a top-3 partners."""
+    from solr_ray.ops.similarity import pairwise_cosine_topk
+
+    out = pairwise_cosine_topk(_read(sf_dir, "embeddings"), k=3,
+                               threshold=0.25, dtype=np.float64)
+
+    def shape(t: pa.Table) -> pa.Table:
+        import math as _m
+
+        cs = t["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pc.cast(t["id_a"], pa.int64()),
+            "id_b": pc.cast(t["id_b"], pa.int64()),
+            "cosine_r": pa.array([_m.floor(v * 1e5) / 1e5 for v in cs],
+                                 pa.float64()),
+        })
+
+    return (out.map_batches(shape, batch_format="pyarrow")
+            .sort(["id_a", "id_b"]))
 
 
 def _q_langid(sf_dir: str):
@@ -2106,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
         "curation_pipeline": _q_curation_pipeline,
+        "near_dup_pairs": _q_near_dup_pairs,
         "edge_ngram_df": _q_edge_ngram_df,
         "shingle_counts": _q_shingle_counts,
         "igain_features_en": _q_igain_features,
@@ -2425,6 +2451,33 @@ SELECT term, COUNT(*)::BIGINT AS df FROM (
 SELECT tok AS term, COUNT(*)::BIGINT AS cnt
 FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
 WHERE tok <> '' GROUP BY tok
+""",
+        "spellcheck": """
+WITH vocab AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM (
+    SELECT DISTINCT doc_id, tok AS term
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents) AS t(doc_id, tok)
+    WHERE tok <> '') GROUP BY term
+),
+q(qid, term) AS (
+  VALUES (0, 'tabel'), (0, 'scann'), (1, 'merg'), (1, 'joinn'),
+         (2, 'sparkk')
+),
+unknown AS (
+  SELECT qid, term FROM q
+  WHERE term NOT IN (SELECT term FROM vocab)
+),
+cand AS (
+  SELECT u.qid, u.term, v.term AS suggestion,
+         damerau_levenshtein(u.term, v.term)::BIGINT AS distance, v.df
+  FROM unknown u JOIN vocab v
+    ON damerau_levenshtein(u.term, v.term) <= 2
+)
+SELECT qid, term, suggestion, distance, df FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid, term
+                           ORDER BY distance, df DESC, suggestion) <= 3
+ORDER BY qid, term, distance, df DESC, suggestion
 """,
         "suggest_weighted": """
 WITH dfreq AS (
@@ -3329,6 +3382,22 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "near_dup_pairs": """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+),
+f AS (SELECT * FROM p WHERE cosine >= 0.25),
+t AS (
+  SELECT id_a, id_b, cosine FROM f
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id_a
+                             ORDER BY cosine DESC, id_b) <= 3
+)
+SELECT id_a, id_b, FLOOR(cosine * 1e5) / 1e5 AS cosine_r
+FROM t ORDER BY id_a, id_b
 """,
         "curation_pipeline": """
 WITH f AS (

@@ -317,7 +317,8 @@ def knn_lsh_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
 def pairwise_cosine_topk(ds, k: int | None = None, id_col: str = "vec_id",
                          vec_col: str = "embedding", threshold: float = 0.9,
                          method: str = "exact", n_bits: int = 8,
-                         bands: int = 4, seed: int = 11):
+                         bands: int = 4, seed: int = 11,
+                         dtype=None):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
     method="exact": block-vs-block all-pairs. The corpus is materialized into
@@ -398,16 +399,30 @@ def pairwise_cosine_topk(ds, k: int | None = None, id_col: str = "vec_id",
         mat = ds.select_columns([id_col, vec_col]).materialize()
         block_refs = mat.to_arrow_refs()
 
+        # dtype=np.float64 makes the exact path SQL-comparable (float32
+        # normalize+matmul drifts ~1e-7 — enough to flip a threshold or a
+        # 1e-5 quantile; float64 agrees with any engine to ~1e-13)
+        _dt = dtype
+
+        def _norm_mat(col):
+            m = _vec_matrix(col)
+            if _dt is None:
+                return _l2_normalize(m)  # float32 scale path
+            m = m.astype(_dt)
+            nr = np.linalg.norm(m, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            return m / nr
+
         def pairs(batch: pa.Table) -> pa.Table:
             bids = batch[id_col].to_numpy(zero_copy_only=False)
-            bm = _l2_normalize(_vec_matrix(batch[vec_col]))
+            bm = _norm_mat(batch[vec_col])
             out = []
             for ref in block_refs:
                 blk = ray.get(ref)
                 if blk.num_rows == 0:
                     continue
                 oids = blk[id_col].to_numpy(zero_copy_only=False)
-                om = _l2_normalize(_vec_matrix(blk[vec_col]))
+                om = _norm_mat(blk[vec_col])
                 sims = bm @ om.T
                 ii, jj = np.where((sims >= threshold)
                                   & (oids[None, :] > bids[:, None]))
