@@ -199,10 +199,14 @@ def _eval(node, tables: dict):
                 return t
 
             ds = ds.map_batches(add_computed, batch_format="pyarrow")
-        ds = ds.select_columns(keep)
-        if renames:
-            ds = ds.rename_columns(renames)
-        return ds
+
+        # explicit projection: Ray's select_columns/rename Project ops can
+        # be silently dropped by projection pushdown after Join+MapBatches
+        # chains (see sql._project) — a plain batch fn can't be rewritten
+        def project(t: pa.Table, _k=tuple(keep), _r=dict(renames)) -> pa.Table:
+            return pa.table({_r.get(c, c): t[c] for c in _k})
+
+        return ds.map_batches(project, batch_format="pyarrow")
 
     if name == "unique":
         from solr_ray.ops.grouping import distinct

@@ -73,3 +73,88 @@ def test_sql_parser_never_crashes_unstructured(sql):
         parse_sql(sql)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------- intervals
+
+class _FakeSeg:
+    """Segment stub exposing exactly the API segment_intervals needs —
+    lets hypothesis hammer the interval algebra without Ray or disk."""
+
+    def __init__(self, docs):
+        self.dl = np.array([len(d) for d in docs], dtype=np.int64)
+        vocab = sorted({t for d in docs for t in d})
+        self.terms = vocab
+        self.lookup = {t: i for i, t in enumerate(vocab)}
+        self._pos = {}
+        for t in vocab:
+            ids, tfs, pos = [], [], []
+            for di, d in enumerate(docs):
+                ps = [i for i, x in enumerate(d) if x == t]
+                if ps:
+                    ids.append(di)
+                    tfs.append(len(ps))
+                    pos.extend(ps)
+            self._pos[t] = (np.array(ids, np.int64),
+                            np.array(tfs, np.int64),
+                            np.array(pos, np.int32))
+
+    def term_positions(self, t):
+        return self._pos.get(t)
+
+
+_IV_VOCAB = ["a", "b", "c", "d"]
+
+
+def _iv_exprs():
+    from solr_ray.search.intervals import I
+
+    leaf = st.sampled_from(_IV_VOCAB)
+
+    def compose(children):
+        return st.one_of(
+            st.tuples(children, children).map(lambda x: I.ordered(*x)),
+            st.tuples(children, children).map(lambda x: I.unordered(*x)),
+            st.tuples(children, children).map(lambda x: I.or_(*x)),
+            st.tuples(children, st.integers(1, 6)).map(
+                lambda x: I.maxwidth(x[0], x[1])),
+            st.tuples(children, children).map(
+                lambda x: I.containing(x[0], x[1])),
+            st.tuples(children, children).map(
+                lambda x: I.not_containing(x[0], x[1])),
+            st.tuples(children, children).map(
+                lambda x: I.contained_by(x[0], x[1])),
+            st.tuples(children, children).map(
+                lambda x: I.overlapping(x[0], x[1])),
+            st.tuples(children, children).map(
+                lambda x: I.before(x[0], x[1])),
+        )
+
+    return st.recursive(leaf, compose, max_leaves=5)
+
+
+@given(st.lists(st.lists(st.sampled_from(_IV_VOCAB), max_size=14),
+                min_size=1, max_size=6),
+       _iv_exprs())
+@settings(max_examples=150, deadline=None)
+def test_interval_algebra_property(docs, expr):
+    """Engine minimal-interval sets == brute-force enumeration for random
+    corpora and random operator trees."""
+    from solr_ray.search.intervals import segment_intervals
+    from tests.test_intervals import _brute
+
+    if isinstance(expr, str):
+        return  # bare leaf: trivially the term positions
+    seg = _FakeSeg(docs)
+    mult = np.int64(int(seg.dl.max(initial=0)) + 2)
+    s, e, _w = segment_intervals(seg, expr, mult)
+    got = {}
+    for sk, ek in zip(s.tolist(), e.tolist()):
+        got.setdefault(int(sk // mult), set()).add(
+            (int(sk % mult), int(ek % mult)))
+    want = {}
+    for di, d in enumerate(docs):
+        ivs = _brute(d, expr)
+        if ivs:
+            want[di] = ivs
+    assert got == want
