@@ -175,32 +175,56 @@ def minhash_lsh_candidates(
     def sigs(batch: pa.Table) -> pa.Table:
         tune_worker_gc()
         ids = batch[id_col].to_pylist()
-        out_ids, out_band, out_bucket = [], [], []
-        for i, t in zip(ids, batch[text_col].to_pylist()):
-            sig = minhash_signature(t, num_perm, shingle_k)
-            bb = sig.reshape(bands, rows_per_band)
-            buckets = pd.util.hash_array(
-                np.array([bb[j].tobytes() for j in range(bands)], dtype=object),
-                hash_key="solr_ray_band000",
-            )
-            out_ids.extend([i] * bands)
-            out_band.extend(range(bands))
-            out_bucket.extend(buckets.tolist())
+        texts = batch[text_col].to_pylist()
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], batch[id_col].type),
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.uint64()),
+            })
+        # ONE permute-min over the whole batch: concatenate every doc's
+        # shingle hashes, compute the (num_perm, total) universal-hash
+        # matrix once, and take per-doc minima with minimum.reduceat at
+        # the doc boundaries (identical values to the per-doc loop —
+        # minhash_signature stays as the scalar reference)
+        parts = [_shingle_hashes(t, shingle_k) & np.uint64((1 << 61) - 1)
+                 for t in texts]
+        counts = np.array([max(p.size, 1) for p in parts], dtype=np.int64)
+        flat = np.concatenate(
+            [p if p.size else np.zeros(1, np.uint64) for p in parts])
+        empty = np.array([p.size == 0 for p in parts])
+        a, b = _perm_params(num_perm)
+        vals = (np.outer(a, flat) + b[:, None]) % _MERSENNE_P
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        sig = np.minimum.reduceat(vals, offs, axis=1)  # (num_perm, n)
+        sig[:, empty] = 0  # empty text -> zero signature (scalar parity)
+        bb = sig.T.reshape(n * bands, rows_per_band)
+        buckets = pd.util.hash_array(
+            np.array([bb[j].tobytes() for j in range(n * bands)],
+                     dtype=object),
+            hash_key="solr_ray_band000",
+        )
         return pa.table({
-            id_col: pa.array(out_ids),
-            "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(np.array(out_bucket, dtype=np.uint64)),
+            id_col: pa.array(np.repeat(np.asarray(ids), bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.astype(np.uint64)),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+        # one python call per COARSE group (band, bucket%256), not per
+        # LSH bucket — most buckets are singletons, so the inner loop
+        # only touches the rare colliding ones
         out_a, out_b = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                out_a.append(ids[x])
-                out_b.append(ids[y])
+        for _, sub in g.groupby(["band", "bucket"], sort=False):
+            if sub[id_col].nunique() < 2:
+                continue
+            ids = sorted(sub[id_col].unique().tolist())
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     from solr_ray.ops.grouping import distinct
@@ -210,7 +234,12 @@ def minhash_lsh_candidates(
         # computation (the CPU-heavy stage) parallelizes
         ds.repartition(target_num_rows_per_block=512)
         .map_batches(sigs, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
+        .map_batches(
+            lambda t: t.append_column(
+                "gb", pa.array((t["bucket"].to_numpy(
+                    zero_copy_only=False) % 256).astype(np.int32))),
+            batch_format="pyarrow")
+        .groupby(["band", "gb"])
         .map_groups(pairs, batch_format="pandas")
     )
     # a pair can match in several bands: dedupe before the (expensive) verify

@@ -118,3 +118,27 @@ def test_fingerprint_md5_matches_duckdb_semantics():
             "CAST(md5_number_lower(g) % 9223372036854775808 AS BIGINT)), "
             "'min')", [grams]).fetchone()[0]
         assert got == want
+
+
+def test_minhash_batch_matches_scalar_signatures():
+    """The batched permute-min must produce EXACTLY the scalar
+    minhash_signature values (bucket hashes depend on raw bytes)."""
+    import numpy as np
+
+    from solr_ray.ops.dedup import (
+        _MERSENNE_P, _perm_params, _shingle_hashes, minhash_signature)
+
+    texts = ["the quick brown fox", "", "abc", "aaaaa bbbbb ccccc"]
+    parts = [_shingle_hashes(t, 5) & np.uint64((1 << 61) - 1)
+             for t in texts]
+    counts = np.array([max(p.size, 1) for p in parts])
+    flat = np.concatenate([p if p.size else np.zeros(1, np.uint64)
+                           for p in parts])
+    a, b = _perm_params(64)
+    vals = (np.outer(a, flat) + b[:, None]) % _MERSENNE_P
+    offs = np.zeros(len(texts), np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    sig = np.minimum.reduceat(vals, offs, axis=1)
+    sig[:, [p.size == 0 for p in parts]] = 0
+    for i, t in enumerate(texts):
+        assert np.array_equal(sig[:, i], minhash_signature(t, 64, 5)), t
