@@ -1665,6 +1665,12 @@ _SQL_QUERIES = {
     "sql_like": ("SELECT o_orderkey, o_orderpriority FROM orders "
                  "WHERE o_orderpriority LIKE '%URGENT%' "
                  "ORDER BY o_orderkey LIMIT 200"),
+    # global aggregates + COUNT(DISTINCT col) (two-phase distinct shuffle)
+    "sql_count_star": ("SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS dl "
+                       "FROM documents"),
+    "sql_distinct_group": ("SELECT lang, COUNT(DISTINCT source) AS dsrc, "
+                           "COUNT(*) AS n FROM documents "
+                           "GROUP BY lang ORDER BY lang"),
     # JOIN: hash-partitioned Dataset.join per clause, qualified-name
     # resolution, right key preserved (null on unmatched left_outer)
     "sql_join": ("SELECT c.c_name, n.n_name FROM customer c "

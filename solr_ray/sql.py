@@ -28,7 +28,8 @@ Grammar (case-insensitive keywords):
                                      column or a simple aggregate)
     expr  := full arithmetic over columns/literals with + - * / and unary
              minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
-             and aggregates COUNT(*) | COUNT|SUM|AVG|MIN|MAX(expr) as leaves
+             and aggregates COUNT(*) | COUNT(DISTINCT col) |
+             COUNT|SUM|AVG|MIN|MAX(expr) as leaves
              (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
              `/` is ANSI float division, matching DuckDB)
     cond  := disjunctions/conjunctions of: col <op> literal, col IN (...),
@@ -64,7 +65,8 @@ _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
-             "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "OUTER"}
+             "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "OUTER",
+             "DISTINCT"}
 
 
 def _tokenize(sql: str):
@@ -179,15 +181,30 @@ class _Parser:
             return {"kind": "cast", "inner": inner, "type": ty}
         if up in _AGGS and self.peek() == ("punct", "("):
             self.eat()
+            distinct = False
+            if self.at_kw("DISTINCT"):
+                if up != "COUNT":
+                    raise ValueError(
+                        f"{name}(DISTINCT ...) not supported (COUNT only)")
+                self.eat()
+                distinct = True
             if self.peek() == ("punct", "*"):
                 if up != "COUNT":
                     raise ValueError(f"{name}(*) not supported")
+                if distinct:
+                    raise ValueError("COUNT(DISTINCT *) is not SQL")
                 self.eat()
                 arg = "*"
             else:
                 arg = self.expr()
             self.eat("punct", ")")
-            return {"kind": "agg", "fn": up, "arg": arg}
+            node = {"kind": "agg", "fn": up, "arg": arg}
+            if distinct:
+                if arg == "*" or arg["kind"] != "col":
+                    raise ValueError(
+                        "COUNT(DISTINCT ...) needs a bare column")
+                node["distinct"] = True
+            return node
         return {"kind": "col", "col": name}
 
     # ---- conditions -> queryfilter spec ----
@@ -371,7 +388,13 @@ def _normalize_item(node: dict) -> dict:
     if node["kind"] == "agg" and (
             node["arg"] == "*" or node["arg"]["kind"] == "col"):
         col = "*" if node["arg"] == "*" else node["arg"]["col"]
-        return {"kind": "agg", "fn": node["fn"], "col": col}
+        item = {"kind": "agg", "fn": node["fn"], "col": col}
+        if node.get("distinct"):
+            item["distinct"] = True
+        return item
+    if node.get("distinct"):
+        raise ValueError("COUNT(DISTINCT ...) cannot appear inside an "
+                         "expression")
     return {"kind": "expr", "node": node}
 
 
@@ -438,19 +461,28 @@ def _subst_aggs(node: dict) -> dict:
 def _agg_alias(item: dict) -> str:
     if "alias" in item:
         return item["alias"]
+    if item.get("distinct"):
+        return f"count(DISTINCT {item['col']})"  # DuckDB's default name
     return f"{item['fn'].lower()}({item['col']})"
 
 
-def _make_agg(item: dict):
+def _make_agg(item: dict, star_col: str | None = None):
     import ray.data.aggregate as agg
 
     name = _agg_alias(item)
     fn, col = item["fn"], item["col"]
     if fn == "COUNT":
         # ANSI: COUNT(*) counts rows, COUNT(col) counts NON-NULL values
-        # (left-join-produced nulls excluded, matching DuckDB)
-        return agg.Count(alias_name=name) if col == "*" else agg.Count(
-            col, ignore_nulls=True, alias_name=name)
+        # (left-join-produced nulls excluded, matching DuckDB).
+        # GLOBAL Dataset.aggregate(Count()) without a column returns 0 in
+        # Ray 2.49 — the caller passes star_col (any input column) so
+        # COUNT(*) counts rows WITH nulls over a real column instead.
+        if col == "*":
+            if star_col is not None:
+                return agg.Count(star_col, ignore_nulls=False,
+                                 alias_name=name)
+            return agg.Count(alias_name=name)
+        return agg.Count(col, ignore_nulls=True, alias_name=name)
     cls = {"SUM": agg.Sum, "AVG": agg.Mean,
            "MIN": agg.Min, "MAX": agg.Max}[fn]
     return cls(col, alias_name=name)
@@ -559,6 +591,46 @@ def _plan_joins(plan, tables, num_partitions: int = 16):
     return ds, qualified
 
 
+def _attach_distinct_counts(ds, src, group, items):
+    """COUNT(DISTINCT col): distinct (keys, col) combos via a groupby
+    (combiner shuffle), then a per-key non-null count, joined back onto
+    the aggregated frame (hash-partitioned join — group cardinality can
+    be large). ANSI semantics: NULLs don't count."""
+    import pyarrow.compute as _pc
+    import ray.data
+    import ray.data.aggregate as agg
+
+    keys = list(group or [])
+    for it in items:
+        alias = _agg_alias(it)
+        col = it["col"]
+        dd = _project(src, keys + [col], {})
+        dd = _project(dd.groupby(keys + [col]).count(), keys + [col], {})
+        if keys:
+            dcnt = dd.groupby(keys).aggregate(
+                agg.Count(col, ignore_nulls=True, alias_name=alias))
+            # repartition coalesces the aggregates' empty zero-schema
+            # blocks, which otherwise break the join's key resolution
+            ds = ds.repartition(4).join(
+                dcnt.repartition(4), join_type="inner", num_partitions=8,
+                on=tuple(keys))
+        else:
+            def nn(t: pa.Table, _c=col) -> pa.Table:
+                v = int(_pc.sum(_pc.cast(_pc.is_valid(t[_c]),
+                                         pa.int64())).as_py() or 0)
+                return pa.table({"c": pa.array([v], pa.int64())})
+
+            total = int(dd.map_batches(nn, batch_format="pyarrow")
+                        .sum("c") or 0)
+
+            def put(t: pa.Table, _a=alias, _v=total) -> pa.Table:
+                return t.append_column(
+                    _a, pa.array([_v] * t.num_rows, pa.int64()))
+
+            ds = ds.map_batches(put, batch_format="pyarrow")
+    return ds
+
+
 def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     """Run the SQL subset against a dict of table-name -> Dataset."""
     plan = parse_sql(sql)
@@ -600,21 +672,28 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     if plan["where"] is not None:
         ds = filter_query(ds, plan["where"])
 
+    src_ds = ds  # post-WHERE input (COUNT(DISTINCT) re-reads this)
     items = plan["items"]
     expr_items = [it for it in items if it["kind"] == "expr"]
-    simple_aggs = [it for it in items if it["kind"] == "agg"]
+    simple_aggs = [it for it in items
+                   if it["kind"] == "agg" and not it.get("distinct")]
+    distinct_aggs = [it for it in items
+                     if it["kind"] == "agg" and it.get("distinct")]
     inner_aggs: list[dict] = []
     for it in expr_items:
         _walk_aggs(it["node"], inner_aggs)
+    if any(a.get("distinct") for a in inner_aggs):
+        raise ValueError("COUNT(DISTINCT ...) cannot appear inside an "
+                         "expression")
 
-    if simple_aggs or inner_aggs or plan["group"]:
+    if simple_aggs or inner_aggs or distinct_aggs or plan["group"]:
         # ---- aggregation path ----
         # 1. one Ray aggregate per DISTINCT inner agg (SUM(x)/SUM(x) runs
         #    SUM once); non-bare-column args become precomputed columns
         alias_of: dict[str, str] = {}
         fn_of_alias: dict[str, str] = {}
         pre: dict[str, object] = {}
-        ray_aggs = []
+        agg_specs: list[dict] = []
         for a in inner_aggs:
             key = repr((a["fn"], a["arg"]))
             if key not in alias_of:
@@ -626,12 +705,12 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
                 else:
                     col = f"__pre{len(pre)}"
                     pre[col] = compile_expr(a["arg"])
-                ray_aggs.append(_make_agg(
-                    {"fn": a["fn"], "col": col, "alias": name}))
+                agg_specs.append({"fn": a["fn"], "col": col, "alias": name})
             a["_alias"] = alias_of[key]
         for it in simple_aggs:
             fn_of_alias[_agg_alias(it)] = it["fn"]
-            ray_aggs.append(_make_agg(it))
+            agg_specs.append(it)
+        ray_aggs = [_make_agg(s) for s in agg_specs]
 
         if pre:
             def add_pre(t: pa.Table, _pre=pre) -> pa.Table:
@@ -645,18 +724,43 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
             cols = [it["col"] for it in items if it["kind"] == "col"]
             if set(cols) - set(plan["group"]):
                 raise ValueError("non-grouped bare column in SELECT")
-            ds = ds.groupby(plan["group"]).aggregate(*ray_aggs)
+            if ray_aggs:
+                ds = ds.groupby(plan["group"]).aggregate(*ray_aggs)
+            else:
+                # distinct-count-only query: the main frame is the
+                # distinct group keys
+                ds = _project(
+                    _project(ds, plan["group"], {})
+                    .groupby(plan["group"]).count(),
+                    plan["group"], {})
         else:
             if any(it["kind"] == "col" for it in items):
                 raise ValueError("mixing aggregates and bare columns "
                                  "needs GROUP BY")
-            row = ds.aggregate(*ray_aggs)
-            if row is None:
-                # empty/fully-filtered input: ANSI global aggregates still
-                # return ONE row — 0 for COUNT, NULL for SUM/AVG/MIN/MAX
-                row = {n: (0 if fn == "COUNT" else None)
-                       for n, fn in fn_of_alias.items()}
-            ds = _one_row(row, list(fn_of_alias))
+            if ray_aggs:
+                # GLOBAL aggregate: rebuild COUNT(*) against a real input
+                # column — Dataset.aggregate(Count()) without a column
+                # returns 0 in Ray 2.49 (the grouped path is unaffected)
+                schema = ds.schema()
+                star = schema.names[0] if schema and schema.names else None
+                if star is not None:
+                    ray_aggs = [_make_agg(s, star_col=star)
+                                for s in agg_specs]
+                row = ds.aggregate(*ray_aggs)
+                if row is None:
+                    # empty/fully-filtered input: ANSI global aggregates
+                    # still return ONE row — 0 for COUNT, NULL otherwise
+                    row = {n: (0 if fn == "COUNT" else None)
+                           for n, fn in fn_of_alias.items()}
+                ds = _one_row(row, list(fn_of_alias))
+            else:
+                import ray.data
+
+                ds = ray.data.from_arrow(
+                    pa.table({"__one": pa.array([0], pa.int64())}))
+        if distinct_aggs:
+            ds = _attach_distinct_counts(
+                ds, src_ds, plan["group"], distinct_aggs)
 
         # 2. expression items evaluate over the aggregated rows, with the
         #    agg leaves substituted by their result columns

@@ -208,3 +208,33 @@ def test_join_ambiguity_and_errors(ray_session, join_tables):
     with pytest.raises(ValueError, match="unknown column"):
         execute_sql("SELECT x.zzz FROM cust c JOIN nat n ON c.c_nat = n.n_id",
                     tabs)
+
+
+def test_count_star_global_and_distinct(ray_session, table):
+    # global COUNT(*) (Ray's no-column Count returns 0 — regression guard)
+    got, want = _both("SELECT COUNT(*) AS n FROM t", table)
+    _assert_same(got, want)
+    got, want = _both(
+        "SELECT COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS s FROM t", table)
+    _assert_same(got, want)
+    got, want = _both(
+        "SELECT COUNT(DISTINCT kind) AS dk, COUNT(*) AS n FROM t", table)
+    _assert_same(got, want)
+    got, want = _both(
+        "SELECT grp, COUNT(DISTINCT kind) AS dk, COUNT(*) AS n FROM t "
+        "GROUP BY grp ORDER BY grp", table)
+    _assert_same(got, want)
+    # DISTINCT-only group query
+    got, want = _both(
+        "SELECT grp, COUNT(DISTINCT kind) AS dk FROM t "
+        "GROUP BY grp ORDER BY grp", table)
+    _assert_same(got, want)
+
+
+def test_count_distinct_errors():
+    with pytest.raises(ValueError, match="COUNT only"):
+        parse_sql("SELECT SUM(DISTINCT v) AS s FROM t")
+    with pytest.raises(ValueError, match="bare column"):
+        parse_sql("SELECT COUNT(DISTINCT v + 1) AS s FROM t")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT COUNT(DISTINCT *) AS s FROM t")
