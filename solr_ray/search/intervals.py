@@ -147,6 +147,13 @@ def _minimal(s, e, w):
         return s, e, w
     order = np.lexsort((e, s))
     s, e, w = s[order], e[order], w[order]
+    # exact duplicates first — otherwise the two rules below annihilate
+    # BOTH copies (the suffix-min sees its own twin as a dominator);
+    # e.g. or(x, x) must still yield x's intervals
+    dup = np.zeros(s.size, dtype=bool)
+    dup[1:] = (s[1:] == s[:-1]) & (e[1:] == e[:-1])
+    if dup.any():
+        s, e, w = s[~dup], e[~dup], w[~dup]
     keep = np.ones(s.size, dtype=bool)
     # equal starts: only the tightest (smallest end) survives
     keep[1:] &= s[1:] != s[:-1]
