@@ -69,11 +69,9 @@ class LangIdStage:
         self._sets = [pa.array(sorted(self.profiles[l])) for l in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\s+")
+        texts = _text_column(batch[self.text_col])
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                      pattern=r"\s+")
         flat = toks.flatten()
         n = len(batch)
         counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -98,13 +96,24 @@ class LangIdStage:
                         pa.array(conf, pa.float64()))
 
 
+def _text_column(col):
+    """Null-safe text column: combine chunks, coerce all-null (null-typed)
+    columns to string, treat NULL as '' (matching the scalar paths'
+    `t or ""`)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = pc.cast(col, pa.string())
+    return pc.fill_null(col, "")
+
+
 # ------------------------------------------------------------ quality score
 
 def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Vectorized quality features: n_tokens (whitespace), mean word length,
     stopword ratio, digit ratio, upper ratio. Composite quality_score in
     [0,1] (heuristic filter for training-data pipelines)."""
-    texts = batch[text_col]
+    texts = _text_column(batch[text_col])
     n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
     toks = pc.split_pattern_regex(texts, pattern=r"\s+")
     n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -113,9 +122,7 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # vectorized stop/digit ratios (one is_in + bincount, one regex count
     # kernel; \d == [0-9] under RE2 — equal to str.isdigit on ASCII text)
     nrows = len(batch)
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    lt = pc.utf8_lower(pc.fill_null(texts, ""))
+    lt = pc.utf8_lower(texts)
     wtoks = pc.split_pattern_regex(lt, pattern=r"\s+")
     flat = wtoks.flatten()
     wcounts = pc.list_value_length(wtoks).to_numpy(zero_copy_only=False)

@@ -69,11 +69,29 @@ def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]],
     parts, total = [], 0
     for ref in parts_ds.to_arrow_refs():
         t = ray.get(ref)
+        if t.num_rows == 0:
+            continue  # empty blocks can carry a degenerate schema
         parts.append(t)
         total += t.num_rows
         if total > driver_merge_max_rows:
             parts = None
             break
+
+    if parts is not None and not parts:
+        # empty input: typed empty result (Ray loses the schema of empty
+        # map outputs, so build it from the agg spec + input schema)
+        sch = ds.schema()
+        in_types = dict(zip(sch.names, sch.types)) if sch else {}
+        cols = {"bucket": pa.array([], pa.timestamp("ns"))}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                ty = pa.int64()
+            elif fn == "mean":
+                ty = pa.float64()
+            else:
+                ty = in_types.get(col, pa.float64())
+            cols[out] = pa.array([], ty)
+        return ray.data.from_arrow(pa.table(cols))
 
     if parts is None:
         # distributed fallback: merge the partials with a Ray groupby

@@ -541,7 +541,14 @@ def _resolve_expr(node, qualified, bare):
 def _plan_joins(plan, tables, num_partitions: int = 16):
     """FROM a JOIN b ON ... -> one hash-partitioned Dataset.join per
     JOIN clause (Ray's distributed shuffle join), all columns qualified
-    as alias.col. Returns (ds, qualified-name set)."""
+    as alias.col. Returns (ds, qualified-name set).
+
+    Known upstream limitation: Ray 2.49's Dataset.join raises
+    ArrowInvalid when one side is COMPLETELY empty (its hash shuffle
+    drops zero-row blocks, so the Acero join never sees that side's
+    schema). A guard would cost a full count() pass per join input, so
+    an empty-side join surfaces Ray's error instead of silently
+    guessing."""
 
     def load(tname, alias):
         if tname not in tables:

@@ -688,3 +688,29 @@ def test_raw_pcm_audio_features(ray_session):
                          concurrency=1).to_pandas()
     assert out.decode_ok.tolist() == [True, False]
     assert len(out.audio_feature[0]) == 11
+
+
+def test_null_and_empty_text_edges(ray_session):
+    """Null-typed text columns (Ray's per-item blocks) and empty inputs
+    flow through the text/window operators without crashing."""
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.textstats import LangIdStage, quality_features
+    from solr_ray.ops.windows import timeseries
+
+    nulls = ray.data.from_items([
+        {"doc_id": 1, "text": None}, {"doc_id": 2, "text": "a b"}])
+    q = nulls.map_batches(lambda t: quality_features(t, "text"),
+                          batch_format="pyarrow").to_pandas()
+    assert len(q) == 2 and q["n_tokens"].min() >= 0
+    lg = nulls.map_batches(LangIdStage("text"),
+                           batch_format="pyarrow").to_pandas()
+    assert lg["lang_pred"].tolist() == ["und", "und"]
+
+    ev_empty = ray.data.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+    }))
+    out = timeseries(ev_empty, "ts", "day", {"n": ("ts", "count")})
+    assert out.count() == 0
+    assert out.schema().names == ["bucket", "n"]
