@@ -40,7 +40,10 @@ def compile_filter(spec: dict):
     op = spec["op"]
     if op in ("and", "or"):
         subs = [compile_filter(s) for s in spec["clauses"]]
-        comb = pc.and_ if op == "and" else pc.or_
+        # Kleene three-valued logic, matching SQL: NULL OR TRUE = TRUE,
+        # NULL AND FALSE = FALSE (arrow's plain and_/or_ propagate null
+        # instead, which diverges under NOT — hypothesis-caught)
+        comb = pc.and_kleene if op == "and" else pc.or_kleene
 
         def f(t: pa.Table):
             m = subs[0](t)
@@ -56,8 +59,15 @@ def compile_filter(spec: dict):
         return lambda t: pc.equal(t[spec["field"]], pa.scalar(spec["value"]))
     if op == "terms":
         vals = list(spec["values"])
-        return lambda t: pc.is_in(t[spec["field"]],
-                                  value_set=pa.array(vals))
+
+        def f(t: pa.Table):
+            col = t[spec["field"]]
+            hit = pc.is_in(col, value_set=pa.array(vals))
+            # SQL: NULL IN (...) is NULL, not FALSE — matters under NOT
+            return pc.if_else(pc.is_valid(col), hit,
+                              pa.scalar(None, pa.bool_()))
+
+        return f
     if op == "prefix":
         return lambda t: pc.starts_with(t[spec["field"]],
                                         pattern=spec["value"])

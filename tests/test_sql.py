@@ -238,3 +238,64 @@ def test_count_distinct_errors():
         parse_sql("SELECT COUNT(DISTINCT v + 1) AS s FROM t")
     with pytest.raises(ValueError):
         parse_sql("SELECT COUNT(DISTINCT *) AS s FROM t")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _conds():
+    num = st.integers(-5, 15)
+    base = st.one_of(
+        st.tuples(st.just("cmp"), st.sampled_from(["=", "<>", "<", "<=",
+                                                   ">", ">="]), num).map(
+            lambda x: f"v {x[1]} {x[2]}"),
+        st.tuples(st.just("in"), st.lists(num, min_size=1, max_size=3)).map(
+            lambda x: "v IN (" + ", ".join(map(str, x[1])) + ")"),
+        st.tuples(num, num).map(
+            lambda x: f"v BETWEEN {min(x)} AND {max(x)}"),
+        st.sampled_from(["s LIKE 'a%'", "s LIKE '%b%'", "s LIKE '_b'",
+                         "s = 'ab'", "s <> 'c'"]),
+    )
+
+    def compose(children):
+        return st.one_of(
+            st.tuples(children, children).map(
+                lambda x: f"({x[0]} AND {x[1]})"),
+            st.tuples(children, children).map(
+                lambda x: f"({x[0]} OR {x[1]})"),
+            children.map(lambda c: f"NOT ({c})"),
+        )
+
+    return st.recursive(base, compose, max_leaves=4)
+
+
+@given(st.lists(st.tuples(st.one_of(st.none(), st.integers(-5, 15)),
+                          st.sampled_from(["ab", "b", "c", "abc", ""])),
+                min_size=0, max_size=25),
+       _conds())
+@settings(max_examples=120, deadline=None)
+def test_where_semantics_property(ray_session, rows, cond):
+    """Random WHERE trees (cmp/IN/BETWEEN/LIKE/AND/OR/NOT) over rows with
+    NULLs must select exactly DuckDB's rows."""
+    import ray.data
+
+    t = pa.table({
+        "id": pa.array(range(len(rows)), pa.int64()),
+        "v": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.string()),
+    })
+    sql = f"SELECT id FROM t WHERE {cond} ORDER BY id"
+    got = execute_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    try:
+        want = con.execute(sql).df()
+    except duckdb.InternalException:
+        return  # DuckDB optimizer assertion bug on this input — no oracle
+    finally:
+        con.close()
+    assert len(got) == len(want), cond
+    if len(got) == 0:
+        return  # Ray loses the schema of fully-empty results (known)
+    assert got["id"].tolist() == want["id"].tolist(), cond
