@@ -206,7 +206,31 @@ def rolling_fingerprint(text: str, analyzer: str = "simple",
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fingerprint") -> pa.Table:
-    vals = [rolling_fingerprint(t) for t in batch[text_col].to_pylist()]
+    """Batch winnowing fingerprints: ONE hash_array over every doc's
+    grams concatenated + minimum.reduceat at doc boundaries — exact
+    scalar parity with rolling_fingerprint (which stays as the per-row
+    reference)."""
+    texts = batch[text_col].to_pylist()
+    az = process_analyzer("simple")
+    window = 4
+    gram_lists = []
+    for t in texts:
+        toks = az.tokenize_text(t or "")
+        if not toks:
+            gram_lists.append([])
+        elif len(toks) < window:
+            gram_lists.append([" ".join(toks)])
+        else:
+            gram_lists.append([" ".join(toks[i:i + window])
+                               for i in range(len(toks) - window + 1)])
+    counts = np.array([max(len(g), 1) for g in gram_lists], dtype=np.int64)
+    flat = [g for gl in gram_lists for g in (gl or [""])]
+    h = stable_hash64(np.array(flat, dtype=object))
+    offs = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    mins = np.minimum.reduceat(h, offs) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    empty = np.array([not g for g in gram_lists])
+    vals = np.where(empty, 0, mins.astype(np.int64))
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, pa.array(vals, pa.int64()))

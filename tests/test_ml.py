@@ -142,3 +142,15 @@ def test_minhash_batch_matches_scalar_signatures():
     sig[:, [p.size == 0 for p in parts]] = 0
     for i, t in enumerate(texts):
         assert np.array_equal(sig[:, i], minhash_signature(t, 64, 5)), t
+
+
+def test_add_fingerprint_batch_matches_scalar():
+    import pyarrow as pa
+
+    from solr_ray.ops.textstats import add_fingerprint, rolling_fingerprint
+
+    texts = ["the quick brown fox jumps", "", "a b",
+             "hash join merge sort scan", "x " * 40]
+    t = pa.table({"text": pa.array(texts)})
+    got = add_fingerprint(t)["fingerprint"].to_pylist()
+    assert got == [rolling_fingerprint(x) for x in texts]
