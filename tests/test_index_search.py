@@ -188,3 +188,30 @@ def test_time_allowed_partial_results(index_dir, queries_40):
     ids2, sc2 = reader.search(text, 10, time_allowed_ms=60_000.0)
     assert reader.partial_results is False
     assert np.array_equal(ids2, full_ids) and np.array_equal(sc2, full_sc)
+
+
+def test_random_seed_corpora_match_oracle(tmp_path):
+    """Search rank+score identity vs the in-repo oracle on corpora drawn
+    from DIFFERENT seeds (the standard fixtures are one fixed seed)."""
+    import numpy as np
+    import ray.data
+
+    from solr_ray.fixtures import gen_pages, gen_queries
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.oracle import OracleIndex
+    from solr_ray.search.searcher import search_dataset
+
+    for seed in (3, 1234):
+        pages = gen_pages(400, seed=seed)
+        out = str(tmp_path / f"idx{seed}")
+        build_index(ray.data.from_arrow(pages), out, analyzer="text_en",
+                    num_buckets=4)
+        qds = ray.data.from_arrow(gen_queries(20, seed=seed + 1))
+        df = search_dataset(qds, out, k=10, num_shards=2).to_pandas()
+        orc = OracleIndex(pages, "text_en", num_buckets=4)
+        for q in gen_queries(20, seed=seed + 1).to_pylist():
+            got = df[df.qid == q["qid"]]
+            ids, scores, _urls = orc.search(q["text"], 10)
+            assert list(got["doc_id"]) == list(ids), (seed, q["text"])
+            assert np.array_equal(got["score"].to_numpy(),
+                                  np.asarray(scores)), (seed, q["text"])
