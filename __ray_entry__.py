@@ -531,6 +531,16 @@ def _q_timeseries_hourly(sf_dir: str):
     )
 
 
+def _q_facet_prefix_index(sf_dir: str):
+    """facet.prefix + facet.sort=index over documents.source: sources
+    starting 'src1' in value order (FacetFieldProcessor options)."""
+    from solr_ray.ops.grouping import facet_field
+
+    docs = _read(sf_dir, "documents", columns=["source"])
+    return facet_field(docs, "source", limit=50, prefix="src1",
+                       sort="index")
+
+
 def _q_curation_pipeline(sf_dir: str):
     """End-to-end training-data curation, one streaming chain: quality
     gate (floored score >= 0.5) -> language ID (keep 'en') -> exact
@@ -2136,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "let_moving_avg": _q_let_moving_avg,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
+        "facet_prefix_index": _q_facet_prefix_index,
         "curation_pipeline": _q_curation_pipeline,
         "near_dup_pairs": _q_near_dup_pairs,
         "edge_ngram_df": _q_edge_ngram_df,
@@ -3388,6 +3399,11 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "facet_prefix_index": """
+SELECT source, COUNT(*)::BIGINT AS count FROM documents
+WHERE source LIKE 'src1%'
+GROUP BY source ORDER BY source LIMIT 50
 """,
         "near_dup_pairs": """
 WITH p AS (

@@ -53,15 +53,41 @@ def group_topk(ds, field: str, sort_col: str, k: int, descending: bool = True):
     return ds.groupby(field).map_groups(pick, batch_format="pandas")
 
 
-def facet_field(ds, field: str, limit: int = 10, mincount: int = 1):
-    """Term facet: value -> count, ordered by count desc then value asc
-    (Solr's default facet.sort=count). Returns a small Dataset."""
+def facet_field(ds, field: str, limit: int = 10, mincount: int = 1,
+                prefix: str | None = None, sort: str = "count"):
+    """Term facet: value -> count (FacetFieldProcessor parameter surface:
+    facet.limit, facet.mincount, facet.prefix, facet.sort=count|index).
+    sort="count" orders (count desc, value asc) — Solr's default;
+    sort="index" orders by value asc. NULL values never facet (Solr
+    counts them separately via facet.missing — see facet_missing)."""
     counts = ds.groupby(field).count()
-    out = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["count()"], mincount)),
-        batch_format="pyarrow",
-    ).rename_columns({"count()": "count"}) if hasattr(counts, "rename_columns") else counts
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(pc.greater_equal(t["count()"], mincount),
+                          pc.is_valid(t[field]))
+        if prefix is not None:
+            m = pc.and_kleene(
+                m, pc.starts_with(pc.cast(t[field], pa.string()),
+                                  pattern=prefix))
+        return t.filter(m)
+
+    out = counts.map_batches(flt, batch_format="pyarrow").rename_columns(
+        {"count()": "count"})
+    if sort == "index":
+        return out.sort(field).limit(limit)
     return out.sort(["count", field], descending=[True, False]).limit(limit)
+
+
+def facet_missing(ds, field: str) -> int:
+    """facet.missing: number of docs with no value in the field."""
+    import ray
+
+    def part(t: pa.Table) -> pa.Table:
+        v = int(pc.sum(pc.cast(pc.is_null(t[field]),
+                               pa.int64())).as_py() or 0)
+        return pa.table({"c": pa.array([v], pa.int64())})
+
+    return int(ds.map_batches(part, batch_format="pyarrow").sum("c") or 0)
 
 
 def facet_range(ds, field: str, start, end, gap, agg_field: str | None = None):

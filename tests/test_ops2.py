@@ -232,3 +232,22 @@ def test_interval_facet_overlap_and_brackets(ray_session):
     assert out["closed"] == 2
     assert out["open_lo"] == 2
     assert out["unbounded"] == 2  # 100 counts here AND in open_lo (overlap)
+
+
+def test_facet_prefix_sort_and_missing(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.grouping import facet_field, facet_missing
+
+    t = ray.data.from_arrow(pa.table({
+        "f": ["ab", "ab", "ac", "b", None, None, "ab"],
+    }))
+    out = facet_field(t, "f", limit=10, prefix="a",
+                      sort="index").to_pandas()
+    assert out["f"].tolist() == ["ab", "ac"]
+    assert out["count"].tolist() == [3, 1]
+    out2 = facet_field(t, "f", limit=10).to_pandas()
+    assert out2["f"].tolist()[0] == "ab"  # count-desc default
+    assert None not in out2["f"].tolist()  # nulls never facet
+    assert facet_missing(t, "f") == 2
