@@ -531,6 +531,19 @@ def _q_timeseries_hourly(sf_dir: str):
     )
 
 
+def _q_relatedness_source(sf_dir: str):
+    """JSON Facet relatedness() over documents.source with foreground
+    lang='en' (RelatednessAgg.computeRelatedness semantics: z-score of
+    the bucket's fg count against the background probability, five-
+    sigmoid blend, round-half-up to 5 digits)."""
+    from solr_ray.ops.grouping import relatedness_facet
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    return relatedness_facet(
+        docs, "source", {"op": "term", "field": "lang", "value": "en"},
+        limit=25)
+
+
 def _q_facet_prefix_index(sf_dir: str):
     """facet.prefix + facet.sort=index over documents.source: sources
     starting 'src1' in value order (FacetFieldProcessor options)."""
@@ -2146,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "let_moving_avg": _q_let_moving_avg,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
+        "relatedness_source": _q_relatedness_source,
         "facet_prefix_index": _q_facet_prefix_index,
         "curation_pipeline": _q_curation_pipeline,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -3399,6 +3413,47 @@ SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS element FROM embeddings
         "fetch_supplier_nation": """
 SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s
 LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+        "relatedness_source": """
+WITH tot AS (
+  SELECT COUNT(*)::DOUBLE AS bg_size,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS fg_size
+  FROM documents
+),
+b AS (
+  SELECT source,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         COUNT(*)::BIGINT AS bg_count
+  FROM documents GROUP BY source
+),
+z AS (
+  SELECT source, fg_count, bg_count, t.fg_size, t.bg_size,
+         (CAST(fg_count AS DOUBLE)
+          - t.fg_size * (CAST(bg_count AS DOUBLE) / t.bg_size))
+         / (CASE WHEN SQRT(t.fg_size
+                           * (CAST(bg_count AS DOUBLE) / t.bg_size)
+                           * (1 - (CAST(bg_count AS DOUBLE) / t.bg_size)))
+                      = 0
+                 THEN 1e-10
+                 ELSE SQRT(t.fg_size
+                           * (CAST(bg_count AS DOUBLE) / t.bg_size)
+                           * (1 - (CAST(bg_count AS DOUBLE) / t.bg_size)))
+            END) AS zv
+  FROM b CROSS JOIN tot t
+)
+SELECT source, fg_count, bg_count,
+       FLOOR((CAST(fg_count AS DOUBLE) / bg_size) * 1e5 + 0.5) / 1e5
+         AS fg_pop,
+       FLOOR((CAST(bg_count AS DOUBLE) / bg_size) * 1e5 + 0.5) / 1e5
+         AS bg_pop,
+       FLOOR((0.2 * ((zv + -80) / (50 + ABS(zv + -80)))
+              + 0.2 * ((zv + -30) / (30 + ABS(zv + -30)))
+              + 0.2 * ((zv + 0) / (30 + ABS(zv + 0)))
+              + 0.2 * ((zv + 30) / (30 + ABS(zv + 30)))
+              + 0.2 * ((zv + 80) / (50 + ABS(zv + 80)))) * 1e5 + 0.5)
+         / 1e5 AS relatedness
+FROM z
+ORDER BY relatedness DESC, source LIMIT 25
 """,
         "facet_prefix_index": """
 SELECT source, COUNT(*)::BIGINT AS count FROM documents

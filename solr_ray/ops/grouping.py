@@ -299,3 +299,76 @@ def combiner_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         suffix = "sum" if fn in ("sum", "count") else fn
         cols[out] = agg[f"{out}_{suffix}"]
     return ray.data.from_arrow(pa.table(cols))
+
+
+def relatedness_facet(ds, field: str, fg_spec: dict, limit: int = 10,
+                      min_pop: float = 0.0):
+    """Semantic-knowledge-graph relatedness per facet bucket
+    (solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java:
+    computeRelatedness — z-score of the bucket's foreground count against
+    the background probability, blended through five sigmoids, rounded to
+    5 digits; fg/bg popularity are counts over the BACKGROUND size by
+    design, RelatednessAgg.java:539).
+
+    One distributed pass: per-batch partials count (bucket, bg, fg) with
+    the foreground indicator evaluated inline; a small groupby(field)
+    merges; scoring is vectorized. Buckets sort (relatedness desc, value
+    asc); buckets under min_pop get -inf relatedness like the reference.
+    """
+    from ray.data.aggregate import Sum
+
+    from solr_ray.ops.queryfilter import compile_filter
+
+    pred = compile_filter(fg_spec)
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pred(t)
+        fg = pc.cast(pc.fill_null(m, False), pa.int64())
+        agg = (pa.table({field: t[field], "fg": fg,
+                         "one": pa.array(np.ones(len(t), np.int64))})
+               .group_by(field, use_threads=False)
+               .aggregate([("fg", "sum"), ("one", "sum")]))
+        return pa.table({field: agg[field], "fg_count": agg["fg_sum"],
+                         "bg_count": agg["one_sum"]})
+
+    merged = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(field)
+              .aggregate(Sum("fg_count", alias_name="fg_count"),
+                         Sum("bg_count", alias_name="bg_count")))
+    bg_size = ds.count()
+    fg_size = int(merged.sum("fg_count") or 0)
+
+    def score(t: pa.Table) -> pa.Table:
+        fgc = t["fg_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bgc = t["bg_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fg_size_d = float(fg_size)
+        bg_size_d = float(bg_size)
+        bg_prob = bgc / bg_size_d
+        num = fgc - fg_size_d * bg_prob
+        denom = np.sqrt(fg_size_d * bg_prob * (1 - bg_prob))
+        denom = np.where(denom == 0, 1e-10, denom)
+        z = num / denom
+
+        def sig(x, offset, scale):
+            return (x + offset) / (scale + np.abs(x + offset))
+
+        result = (0.2 * sig(z, -80, 50) + 0.2 * sig(z, -30, 30)
+                  + 0.2 * sig(z, 0, 30) + 0.2 * sig(z, 30, 30)
+                  + 0.2 * sig(z, 80, 50))
+        r5 = np.floor(result * 1e5 + 0.5) / 1e5  # Java Math.round
+        fg_pop = np.floor((fgc / bg_size_d) * 1e5 + 0.5) / 1e5
+        bg_pop = np.floor((bgc / bg_size_d) * 1e5 + 0.5) / 1e5
+        r5 = np.where((fg_pop < min_pop) | (bg_pop < min_pop),
+                      -np.inf, r5)
+        return pa.table({
+            field: t[field],
+            "fg_count": pc.cast(t["fg_count"], pa.int64()),
+            "bg_count": pc.cast(t["bg_count"], pa.int64()),
+            "fg_pop": pa.array(fg_pop, pa.float64()),
+            "bg_pop": pa.array(bg_pop, pa.float64()),
+            "relatedness": pa.array(r5, pa.float64()),
+        })
+
+    return (merged.map_batches(score, batch_format="pyarrow")
+            .sort(["relatedness", field], descending=[True, False])
+            .limit(limit))

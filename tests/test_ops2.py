@@ -251,3 +251,34 @@ def test_facet_prefix_sort_and_missing(ray_session):
     assert out2["f"].tolist()[0] == "ab"  # count-desc default
     assert None not in out2["f"].tolist()  # nulls never facet
     assert facet_missing(t, "f") == 2
+
+
+def test_relatedness_facet(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.grouping import relatedness_facet
+
+    # bucket 'hot' is strongly foreground-correlated; 'cold' is anti
+    rows = ([{"b": "hot", "fg": "y"}] * 30 + [{"b": "hot", "fg": "n"}] * 5
+            + [{"b": "cold", "fg": "y"}] * 2 + [{"b": "cold", "fg": "n"}] * 40
+            + [{"b": "mid", "fg": "y"}] * 10 + [{"b": "mid", "fg": "n"}] * 10)
+    ds = ray.data.from_items(rows).repartition(3)
+    out = relatedness_facet(ds, "b", {"op": "term", "field": "fg",
+                                      "value": "y"}, limit=10).to_pandas()
+    assert out["b"].tolist()[0] == "hot" and out["b"].tolist()[-1] == "cold"
+    assert out[out.b == "hot"]["relatedness"].iloc[0] > 0
+    assert out[out.b == "cold"]["relatedness"].iloc[0] < 0
+    # reference formula spot-check (computeRelatedness, RelatednessAgg.java)
+    row = out[out.b == "hot"].iloc[0]
+    fgc, bgc = row["fg_count"], row["bg_count"]
+    fg_size, bg_size = 42.0, 97.0
+    p = bgc / bg_size
+    z = (fgc - fg_size * p) / math.sqrt(fg_size * p * (1 - p))
+    sig = lambda x, o, s: (x + o) / (s + abs(x + o))  # noqa: E731
+    want = (0.2 * sig(z, -80, 50) + 0.2 * sig(z, -30, 30)
+            + 0.2 * sig(z, 0, 30) + 0.2 * sig(z, 30, 30)
+            + 0.2 * sig(z, 80, 50))
+    assert abs(row["relatedness"] - math.floor(want * 1e5 + 0.5) / 1e5) < 1e-12
