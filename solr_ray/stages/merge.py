@@ -33,14 +33,17 @@ from solr_ray.stages.worker_gc import tune_worker_gc
 from solr_ray.state.manifest import is_complete, read_manifest, write_manifest
 
 
-def decode_segment_flat(seg_dir: str, with_positions: bool = False):
+def decode_segment_flat(seg_dir: str, with_positions: bool = False,
+                        with_payloads: bool = False):
     """postings.parquet -> (terms: pa.Array unique-per-row, df, flat doc_ids,
-    flat tfs[, per-posting positions ListArray]). One varint_decode over the
-    whole column (rows were sliced from one stream at build time;
-    concatenation restores a valid stream)."""
+    flat tfs[, per-posting positions ListArray][, per-posting payloads]).
+    One varint_decode over the whole column (rows were sliced from one
+    stream at build time; concatenation restores a valid stream)."""
     cols = ["term", "df", "doc_ids_delta_varint", "tfs_varint"]
     if with_positions:
         cols.append("positions")
+    if with_payloads:
+        cols.append("payloads")
     t = pq.read_table(os.path.join(seg_dir, "postings.parquet"), columns=cols)
     df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = int(df.sum())
@@ -63,7 +66,13 @@ def decode_segment_flat(seg_dir: str, with_positions: bool = False):
     pp_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tfs, out=pp_offs[1:])
     per_posting = pa.LargeListArray.from_arrays(pa.array(pp_offs), pos_values)
-    return t["term"].combine_chunks(), df, doc_ids, tfs, per_posting
+    if not with_payloads:
+        return t["term"].combine_chunks(), df, doc_ids, tfs, per_posting
+    # payloads parallel positions occurrence-for-occurrence: same offsets
+    pl_values = t["payloads"].combine_chunks().flatten()
+    per_payload = pa.LargeListArray.from_arrays(pa.array(pp_offs), pl_values)
+    return (t["term"].combine_chunks(), df, doc_ids, tfs, per_posting,
+            per_payload)
 
 
 def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> dict:
@@ -73,15 +82,17 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
     if is_complete(out_seg_dir, lineage):
         return read_manifest(out_seg_dir)
 
-    with_pos = all(
-        "positions" in pq.ParquetFile(
-            os.path.join(d, "postings.parquet")).schema_arrow.names
-        for d in seg_dirs
-    )
-    terms_l, df_l, ids_l, tfs_l, pos_l, segord_l = [], [], [], [], [], []
+    schemas = [pq.ParquetFile(
+        os.path.join(d, "postings.parquet")).schema_arrow.names
+        for d in seg_dirs]
+    with_pos = all("positions" in names for names in schemas)
+    with_payl = with_pos and all("payloads" in names for names in schemas)
+    terms_l, df_l, ids_l, tfs_l, pos_l, payl_l, segord_l = (
+        [], [], [], [], [], [], [])
     docs_tables = []
     for s, d in enumerate(seg_dirs):
-        out = decode_segment_flat(d, with_positions=with_pos)
+        out = decode_segment_flat(d, with_positions=with_pos,
+                                  with_payloads=with_payl)
         terms, df, ids, tfs = out[:4]
         terms_l.append(terms)
         df_l.append(df)
@@ -89,6 +100,8 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
         tfs_l.append(tfs)
         if with_pos:
             pos_l.append(out[4])
+        if with_payl:
+            payl_l.append(out[5])
         segord_l.append(s)
         docs_tables.append(pq.read_table(os.path.join(d, "docs.parquet")))
 
@@ -137,6 +150,14 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
             "positions",
             pa.LargeListArray.from_arrays(pa.array(term_offs),
                                           taken.flatten()))
+        if with_payl:
+            pl_all = pa.concat_arrays(
+                [arr.cast(pa.large_list(pa.float32())) for arr in payl_l])
+            taken_pl = pl_all.take(pa.array(order))
+            postings = postings.append_column(
+                "payloads",
+                pa.LargeListArray.from_arrays(pa.array(term_offs),
+                                              taken_pl.flatten()))
     os.makedirs(out_seg_dir, exist_ok=True)
     pq.write_table(postings, os.path.join(out_seg_dir, "postings.parquet"),
                    row_group_size=8192)

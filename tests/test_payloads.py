@@ -110,3 +110,29 @@ def test_phrase_search_unaffected_by_payloads(payload_idx):
     are stripped from terms before analysis)."""
     ids, _sc = payload_idx.phrase_search("alpha beta", 10)
     assert {payload_idx.url_of(int(d)) for d in ids} == {"https://p/0000"}
+
+
+def test_payloads_survive_merge(tmp_path):
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.payloads import payload_check, payload_score
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.stages.merge import merge_index
+
+    t = pa.table({
+        "url": pa.array([f"{i:04d}" for i in range(8)]),
+        "text": pa.array([f"alpha|{(i % 3) * 0.5} beta|1.0"
+                          for i in range(8)]),
+    })
+    out = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(t), out, analyzer="whitespace",
+                num_buckets=4, text_source="text", store_positions=True,
+                payload_delimiter="|")
+    before = payload_score(IndexReader(out), "alpha", "sum", 10)
+    merge_index(out, merge_factor=10)
+    r = IndexReader(out)
+    assert len(r.segments) == 1
+    after = payload_score(r, "alpha", "sum", 10)
+    assert before[0].tolist() == after[0].tolist()
+    assert before[1].tolist() == after[1].tolist()
+    ids, tf = payload_check(r, ["alpha", "beta"], [0.5, 1.0], 10)
+    assert ids.tolist() == [1, 4, 6]
