@@ -206,12 +206,26 @@ def _q_dismax(sf_dir: str):
 
 
 def _q_bm25_wand(sf_dir: str):
-    """Rows-only: text_en analysis chain, 4 buckets, 2 shards, block-max
-    WAND — pytest asserts its rank+score identity vs the in-repo oracle."""
-    return _search_docs(
-        sf_dir, "text_en", 4, BM25_QUERIES + BM25_LONG_QUERIES,
-        k=10, mode="bmw", num_shards=2,
-    )
+    """Block-max WAND + the sharded scatter/gather merge path, SQL-oracled:
+    same whitespace/nb=1 index as bm25_top10 (docID == doc_id so SQL
+    tie-breaks replay exactly), so _bm25_oracle_sql() applies verbatim —
+    this value-oracles the WAND scorer end-to-end, not just its identity
+    to TAAT. The text_en / 4-bucket / long-query sharded config stays
+    exercised by entry() and by pytest's sharded==single assertion."""
+    res = _search_docs(sf_dir, "whitespace", 1, BM25_QUERIES,
+                       k=10, mode="bmw", num_shards=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))), pa.scalar(1e5))
+        return pa.table({
+            "qid": t["qid"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "score_r": score_r,
+        })
+
+    return res.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -1290,6 +1304,26 @@ def _q_json_facet(sf_dir: str):
     })
 
 
+def _q_json_facet_highcard(sf_dir: str):
+    """JSON Facet over a HIGH-CARDINALITY field (o_custkey — one bucket per
+    customer): exercises the distributed terms path (combiner aggregate +
+    distributed mincount/sort/limit; only the 10 winners reach the driver).
+    MAX is float-exact, so the stat oracles bit-exactly."""
+    from solr_ray.ops.jsonfacet import json_facet
+
+    resp = json_facet(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]), {
+            "type": "terms", "field": "o_custkey", "limit": 10,
+            "facet": {"max_price": "max(o_totalprice)"},
+        })
+    b = resp["buckets"]
+    return pa.table({
+        "o_custkey": pa.array([x["val"] for x in b], pa.int64()),
+        "cnt": pa.array([x["count"] for x in b], pa.int64()),
+        "max_price": pa.array([x["max_price"] for x in b], pa.float64()),
+    })
+
+
 def _q_facet_on_query(sf_dir: str):
     """Facet over a query's FULL match set (FacetComponent on /select):
     lang counts of documents matching any of {table, scan}."""
@@ -2132,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_on_query": _q_facet_on_query,
         "json_facet_lang": _q_json_facet,
         "json_facet_range": _q_json_facet_range,
+        "json_facet_highcard": _q_json_facet_highcard,
         "stream_expr_rollup": _q_stream_expr,
         "stream_expr_join": _q_stream_expr_join,
         "stream_expr_eval": _q_stream_expr_eval,
@@ -2470,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_SQL_QUERIES,
         "bm25_top10": _bm25_oracle_sql(),
+        "bm25_wand": _bm25_oracle_sql(),
         "dismax_search": _dismax_oracle_sql(),
         "term_df": """
 SELECT term, COUNT(*)::BIGINT AS df FROM (
@@ -3297,6 +3333,10 @@ SELECT lang, COUNT(*) AS cnt,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        COUNT(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10
+""",
+        "json_facet_highcard": """
+SELECT o_custkey, COUNT(*) AS cnt, MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey ORDER BY cnt DESC, o_custkey LIMIT 10
 """,
         "stream_expr_rollup": """
 SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -144,11 +144,33 @@ def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
         prows = g.take(pa.array(pidx)).drop_columns(["_kid", "_is_parent"])
         return prows.append_column(child_col, lst).cast(out_schema)
 
-    # sort(key) is exactly what groupby().map_groups does internally to
-    # co-locate equal keys in one block; map_batches(batch_size=None) then
-    # sees whole blocks = whole groups, without the per-group UDF dispatch
-    return unioned.sort(parent_key).map_batches(
-        build_block, batch_format="pyarrow", batch_size=None)
+    # Co-locate each parent key via a COARSE hash bucket groupby —
+    # map_groups guarantees every row of a bucket reaches ONE UDF call
+    # (a plain sort can split an oversized reduce partition into multiple
+    # blocks, silently orphaning a key that straddles the split), while
+    # build_block stays vectorized over the whole bucket so UDF dispatch
+    # is O(num_buckets), not O(parent keys).
+    num_buckets = 64
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t[parent_key]
+        if pa.types.is_integer(k.type):
+            h = pc.cast(k, pa.uint64())
+        else:
+            h = pa.array(pd.util.hash_array(
+                np.asarray(pc.cast(k, pa.string()).to_pandas(),
+                           dtype=object)))
+        return t.append_column(
+            "__pb", pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int64()))
+
+    def build_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__pb"]).combine_chunks()
+        return build_block(g.sort_by(parent_key))
+
+    return unioned.map_batches(add_pb, batch_format="pyarrow").groupby(
+        "__pb").map_groups(build_bucket, batch_format="pyarrow")
 
 
 def parent_query(ds, child_filter: dict, score_field: str | None = None,

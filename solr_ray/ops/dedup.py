@@ -46,9 +46,16 @@ def add_signature(batch: pa.Table, cols: list[str], out_col: str = "sig") -> pa.
         col = batch[c]
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
             col = pc.cast(col, pa.string())
+        # pandas' hash_array truncates object strings at an embedded \x00
+        # (C-string semantics) — escape NULs in the VALUES injectively
+        # (\x01 -> \x01\x01 first so the escape can't be forged) so rows
+        # differing only past a NUL byte still hash differently
+        col = pc.replace_substring(col, pattern="\x01",
+                                   replacement="\x01\x01")
+        col = pc.replace_substring(col, pattern="\x00",
+                                   replacement="\x01\x02")
         parts.append(pc.fill_null(col, "\x01<null>"))
-    # separator must be NUL-free: pandas' hash_array truncates object
-    # strings at an embedded \x00 (C-string semantics)
+    # separator must be NUL-free (same hash_array C-string semantics)
     joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
         *parts, "\x1f")
     vals = np.asarray(joined.to_pandas(), dtype=object)

@@ -78,7 +78,14 @@ def _agg_dataset(ds, stats) -> dict:
     unique(field) is an exact distinct = tiny groupby(field) count."""
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-    aggs, names = [Count(alias_name="__n")], []
+    # GLOBAL Dataset.aggregate(Count()) without a column returns 0 in
+    # Ray 2.49 (same bug sql.py works around) — count a real input
+    # column with ignore_nulls=False so nulls still count as rows.
+    schema = ds.schema()
+    star = schema.names[0] if schema and schema.names else None
+    count_agg = (Count(star, ignore_nulls=False, alias_name="__n")
+                 if star is not None else Count(alias_name="__n"))
+    aggs, names = [count_agg], []
     for name, fn, field in stats:
         if fn in ("count", "unique"):
             continue
@@ -146,23 +153,102 @@ def json_facet(ds, request: dict) -> dict:
     mincount = int(request.get("mincount", 1))
     sort = request.get("sort", "count desc" if ftype == "terms" else "index asc")
 
+    if not nested:
+        return _terms_distributed(ds, key, stats, limit, mincount, sort)
+
+    # nested facets: per-bucket UDF (the nested DSL recursion), but the
+    # bucket ROWS stay a Dataset — mincount filter + sort + limit run
+    # distributed and only the ≤limit winning buckets reach the driver
+    # (nested results travel as JSON strings so blocks stay Arrow-typed).
+    import json as _json
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         row = {"val": [g[key].iloc[0]]}
         row.update({k: [v] for k, v in _agg_group(g, stats).items()})
-        for name, spec in nested:
-            row[name] = [json_facet_pandas(g, spec)]
+        row["__nested"] = [_json.dumps(
+            {name: json_facet_pandas(g, spec) for name, spec in nested})]
         return pd.DataFrame(row)
 
-    rows = ds.groupby(key).map_groups(per_bucket,
-                                      batch_format="pandas").to_pandas()
-    rows = rows[rows["count"] >= mincount]
+    rows = ds.groupby(key).map_groups(per_bucket, batch_format="pandas")
+    if mincount > 0:
+        rows = rows.filter(
+            lambda r, _m=mincount: r["count"] >= _m)
     if sort.startswith("count"):
-        rows = rows.sort_values(["count", "val"],
-                                ascending=[False, True], kind="stable")
+        rows = rows.sort(["count", "val"], descending=[True, False])
     else:  # index order
-        rows = rows.sort_values("val", kind="stable")
-    rows = rows.head(limit)
-    return {"buckets": rows.to_dict(orient="records")}
+        rows = rows.sort("val")
+    out = rows.limit(limit).to_pandas()
+    buckets = []
+    for rec in out.to_dict(orient="records"):
+        nested_vals = _json.loads(rec.pop("__nested"))
+        rec.update(nested_vals)
+        buckets.append(rec)
+    return {"buckets": buckets}
+
+
+def _terms_distributed(ds, key: str, stats, limit: int, mincount: int,
+                       sort: str) -> dict:
+    """Flat terms/range facet as ONE combiner-style grouped aggregate +
+    distributed mincount filter + sort().limit() — the facet_field shape
+    (grouping.py:56): no bucket row ever materializes on the driver except
+    the ≤limit winners, so a high-cardinality field (urls) can't OOM it.
+    unique(field) stats are computed ONLY for the winning buckets (a
+    broadcast is_in filter + distinct-pair groupby)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    schema = ds.schema()
+    star = schema.names[0] if schema and schema.names else None
+    aggs = [Count(star, ignore_nulls=False, alias_name="count")
+            if star is not None else Count(alias_name="count")]
+    numeric = []
+    for name, fn, field in stats:
+        if fn in ("count", "unique"):
+            continue
+        cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
+        aggs.append(cls(field, alias_name=f"__{name}"))
+        numeric.append(name)
+    counts = ds.groupby(key).aggregate(*aggs)
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t[key])  # NULL values never facet (Solr: missing)
+        if mincount > 0:
+            m = pc.and_kleene(m, pc.greater_equal(t["count"], mincount))
+        return t.filter(m)
+
+    counts = counts.map_batches(flt, batch_format="pyarrow")
+    if sort.startswith("count"):
+        counts = counts.sort(["count", key], descending=[True, False])
+    else:
+        counts = counts.sort(key)
+    head = counts.limit(limit).to_pandas()
+
+    uniq_stats = [(n, f) for n, fn, f in stats if fn == "unique"]
+    uniq_maps: dict[str, dict] = {}
+    if uniq_stats and len(head):
+        winners = set(head[key].tolist())
+        sub = ds.filter(
+            lambda r, _k=key, _w=winners: r[_k] in _w)
+        for name, field in uniq_stats:
+            pairs = (sub.select_columns([key, field])
+                     .groupby([key, field]).count()
+                     .groupby(key).count().to_pandas())
+            uniq_maps[name] = dict(zip(pairs[key], pairs["count()"]))
+
+    buckets = []
+    for rec in head.to_dict(orient="records"):
+        b = {"val": rec[key], "count": int(rec["count"])}
+        for name, fn, field in stats:
+            if fn == "count":
+                b[name] = int(rec["count"])
+            elif fn == "unique":
+                b[name] = int(uniq_maps.get(name, {}).get(rec[key], 0))
+            else:
+                v = rec.get(f"__{name}")
+                b[name] = float(v) if v is not None and v == v \
+                    else float("nan")
+        buckets.append(b)
+    return {"buckets": buckets}
 
 
 def json_facet_pandas(df: pd.DataFrame, request: dict) -> dict:

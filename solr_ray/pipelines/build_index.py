@@ -62,8 +62,17 @@ def _extract_payloads(t: pa.Table, text_col: str, delim: str) -> pa.Table:
         txt = txt.combine_chunks()
     txt = pc.fill_null(txt, "")
     toks = pc.utf8_split_whitespace(txt)
-    offsets = toks.offsets
-    flat = toks.values
+    # utf8_split_whitespace emits EMPTY tokens for empty strings and
+    # leading/trailing/double spaces — the whitespace analyzer never does,
+    # so drop them (rebuilding list offsets) or payloads misalign with the
+    # token stream downstream.
+    raw_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_flat = toks.values
+    keep_mask = pc.not_equal(raw_flat, "")
+    keep = keep_mask.to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(keep)])
+    offsets = pa.array(cum[raw_off], pa.int32())
+    flat = raw_flat.filter(keep_mask)
     # "tok|2.5" -> "tok|2.5|1", "tok" -> "tok|1": parts[1] is always the
     # payload (the user's, or the appended default)
     marked = pc.binary_join_element_wise(flat, pa.scalar("1"),
@@ -381,224 +390,228 @@ def build_index(
     # task-only pipeline: operator resource reservation (deadlock guard for
     # actor-pool stages) just idles CPUs here (~26/32 busy during analyze)
     _ctx.op_resource_reservation_enabled = False
+    try:
 
-    t0 = time.time()
-    ds = pages
-    if text_source == "html":
-        ds = ds.map_batches(
-            extract_batch, batch_format="pyarrow", zero_copy_batch=True,
-        )
-    az_name = analyzer
-    # positions-free builds pre-aggregate per-doc tfs at ANALYZE time
-    # ("tf" mode): the bucket shuffle then ships one (code, tf) entry per
-    # distinct term per doc (~20% fewer entries on web text) and the
-    # segment builder skips tf run-length aggregation entirely
-    enc_mode = True if store_positions else "tf"
-    keep = ["url", "tokens", "tfs", *stored_cols]
-    if payload_delimiter is not None:
-        keep.append("payloads")
-    _delim = payload_delimiter
+        t0 = time.time()
+        ds = pages
+        if text_source == "html":
+            ds = ds.map_batches(
+                extract_batch, batch_format="pyarrow", zero_copy_batch=True,
+            )
+        az_name = analyzer
+        # positions-free builds pre-aggregate per-doc tfs at ANALYZE time
+        # ("tf" mode): the bucket shuffle then ships one (code, tf) entry per
+        # distinct term per doc (~20% fewer entries on web text) and the
+        # segment builder skips tf run-length aggregation entirely
+        enc_mode = True if store_positions else "tf"
+        keep = ["url", "tokens", "tfs", *stored_cols]
+        if payload_delimiter is not None:
+            keep.append("payloads")
+        _delim = payload_delimiter
 
-    def _analyze_and_bucket(t: pa.Table) -> pa.Table:
-        # stateless tasks (elastic, no CPU reservation); analyzer state is
-        # process-cached (analysis/chain.py:process_analyzer)
-        tune_worker_gc()
-        if _delim is not None:
-            t = _extract_payloads(t, "text", _delim)
-        t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
-        t = t.select([c for c in keep if c in t.column_names])
-        return add_bucket(t, "url", num_buckets)
+        def _analyze_and_bucket(t: pa.Table) -> pa.Table:
+            # stateless tasks (elastic, no CPU reservation); analyzer state is
+            # process-cached (analysis/chain.py:process_analyzer)
+            tune_worker_gc()
+            if _delim is not None:
+                t = _extract_payloads(t, "text", _delim)
+            t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
+            t = t.select([c for c in keep if c in t.column_names])
+            return add_bucket(t, "url", num_buckets)
 
-    # Single pass over the input: extract+analyze once, hold the (url,
-    # tokens, bucket) intermediate in the object store, derive per-bucket
-    # counts from it (doc_id offsets), then shuffle. At cluster scale the
-    # shuffle would buffer this data in the object store anyway (with
-    # spilling), so the materialize adds no asymptotic memory cost — it
-    # replaces a second full read+extract of the raw corpus. (Measured: a
-    # streaming analyze fused into the shuffle map side is ~30% SLOWER than
-    # materialize-then-shuffle — the sort-shuffle pipelines poorly with an
-    # expensive fused map — so the barrier stays.)
-    tokenized = ds.map_batches(
-        _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    t_analyze = time.time() - t0
+        # Single pass over the input: extract+analyze once, hold the (url,
+        # tokens, bucket) intermediate in the object store, derive per-bucket
+        # counts from it (doc_id offsets), then shuffle. At cluster scale the
+        # shuffle would buffer this data in the object store anyway (with
+        # spilling), so the materialize adds no asymptotic memory cost — it
+        # replaces a second full read+extract of the raw corpus. (Measured: a
+        # streaming analyze fused into the shuffle map side is ~30% SLOWER than
+        # materialize-then-shuffle — the sort-shuffle pipelines poorly with an
+        # expensive fused map — so the barrier stays.)
+        tokenized = ds.map_batches(
+            _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        t_analyze = time.time() - t0
 
-    # ONE pass over the materialized tokenized data computes BOTH the
-    # per-bucket doc counts (docID offsets) and — for positions-free builds —
-    # the union of per-block token dictionaries (the global-code vocab).
-    # These were two separate scheduled passes; fusing them halves the
-    # fixed driver-side latency between analyze and the shuffle (~1-2 s at
-    # 32 CPUs, which is pure serial time in the scaling-efficiency profile).
-    want_vocab = not store_positions
+        # ONE pass over the materialized tokenized data computes BOTH the
+        # per-bucket doc counts (docID offsets) and — for positions-free builds —
+        # the union of per-block token dictionaries (the global-code vocab).
+        # These were two separate scheduled passes; fusing them halves the
+        # fixed driver-side latency between analyze and the shuffle (~1-2 s at
+        # 32 CPUs, which is pure serial time in the scaling-efficiency profile).
+        want_vocab = not store_positions
 
-    def _count_and_dicts(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        binc = np.bincount(b, minlength=num_buckets)
-        nz = np.flatnonzero(binc)
-        out_bucket = nz.astype(np.int64)
-        out_cnt = binc[nz].astype(np.int64)
-        terms = pa.array([], pa.string())
-        if want_vocab:
-            col = t["tokens"]
-            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-            parts = [ch.values.dictionary for ch in chunks
-                     if isinstance(ch.values, pa.DictionaryArray)]
-            if parts:
-                terms = (_pc.unique(pa.chunked_array(parts))
-                         if len(parts) > 1 else _pc.unique(parts[0]))
-        n_terms = len(terms)
-        return pa.table({
-            "bucket": pa.array(np.concatenate(
-                [out_bucket, np.full(n_terms, -1, np.int64)])),
-            "cnt": pa.array(np.concatenate(
-                [out_cnt, np.zeros(n_terms, np.int64)])),
-            "term": pa.nulls(len(out_bucket), pa.string())
-            if n_terms == 0 else pa.concat_arrays(
-                [pa.nulls(len(out_bucket), pa.string()),
-                 terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
-                 else terms]),
-        })
+        def _count_and_dicts(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            b = t["bucket"].to_numpy(zero_copy_only=False)
+            binc = np.bincount(b, minlength=num_buckets)
+            nz = np.flatnonzero(binc)
+            out_bucket = nz.astype(np.int64)
+            out_cnt = binc[nz].astype(np.int64)
+            terms = pa.array([], pa.string())
+            if want_vocab:
+                col = t["tokens"]
+                chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+                parts = [ch.values.dictionary for ch in chunks
+                         if isinstance(ch.values, pa.DictionaryArray)]
+                if parts:
+                    terms = (_pc.unique(pa.chunked_array(parts))
+                             if len(parts) > 1 else _pc.unique(parts[0]))
+            n_terms = len(terms)
+            return pa.table({
+                "bucket": pa.array(np.concatenate(
+                    [out_bucket, np.full(n_terms, -1, np.int64)])),
+                "cnt": pa.array(np.concatenate(
+                    [out_cnt, np.zeros(n_terms, np.int64)])),
+                "term": pa.nulls(len(out_bucket), pa.string())
+                if n_terms == 0 else pa.concat_arrays(
+                    [pa.nulls(len(out_bucket), pa.string()),
+                     terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+                     else terms]),
+            })
 
-    import pyarrow.compute as _pcm
+        import pyarrow.compute as _pcm
 
-    counts: dict[int, int] = {}
-    vocab_parts: list[pa.Array] = []
-    vocab_total = 0
-    vocab_overflow = not want_vocab
-    for bt in tokenized.map_batches(
-            _count_and_dicts, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        mask = _pcm.greater_equal(bt["bucket"], pa.scalar(0))
-        cr = bt.filter(mask)
-        for bb, cc in zip(cr["bucket"].to_pylist(), cr["cnt"].to_pylist()):
-            counts[int(bb)] = counts.get(int(bb), 0) + int(cc)
-        if not vocab_overflow:
-            tr = bt.filter(_pcm.invert(mask))["term"].combine_chunks()
-            vocab_parts.append(tr)
-            vocab_total += len(tr)
-            if vocab_total > _VOCAB_MAX_TERMS:
-                vocab_overflow = True
-                vocab_parts = []
-    t_count = time.time() - t0 - t_analyze
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in range(num_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    n_docs = acc
+        counts: dict[int, int] = {}
+        vocab_parts: list[pa.Array] = []
+        vocab_total = 0
+        vocab_overflow = not want_vocab
+        for bt in tokenized.map_batches(
+                _count_and_dicts, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            mask = _pcm.greater_equal(bt["bucket"], pa.scalar(0))
+            cr = bt.filter(mask)
+            for bb, cc in zip(cr["bucket"].to_pylist(), cr["cnt"].to_pylist()):
+                counts[int(bb)] = counts.get(int(bb), 0) + int(cc)
+            if not vocab_overflow:
+                tr = bt.filter(_pcm.invert(mask))["term"].combine_chunks()
+                vocab_parts.append(tr)
+                vocab_total += len(tr)
+                if vocab_total > _VOCAB_MAX_TERMS:
+                    vocab_overflow = True
+                    vocab_parts = []
+        t_count = time.time() - t0 - t_analyze
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in range(num_buckets):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        n_docs = acc
 
-    # global-code varint-blob shuffle payload (positions-free builds with a
-    # boundable vocab): block dictionaries -> sorted global vocab (broadcast
-    # once via ray.put), token columns remapped to per-doc delta+varint
-    # blobs fused into the shuffle's map side. ~3x fewer shuffle bytes and
-    # no arrow-dictionary unification on the reduce side. Falls back to the
-    # dict-token payload when the union would exceed _VOCAB_MAX_TERMS
-    # (the 100-TB regime — same gating idea as the stats-merge threshold).
-    vocab = None
-    if not vocab_overflow and vocab_parts:
-        u = _pcm.unique(pa.chunked_array(vocab_parts))
-        if len(u) <= _VOCAB_MAX_TERMS:
-            vocab = u.take(_pcm.sort_indices(u))
-    payload = "blob" if vocab is not None else "dict"
-    vocab_ref = ray.put(vocab) if vocab is not None else None
+        # global-code varint-blob shuffle payload (positions-free builds with a
+        # boundable vocab): block dictionaries -> sorted global vocab (broadcast
+        # once via ray.put), token columns remapped to per-doc delta+varint
+        # blobs fused into the shuffle's map side. ~3x fewer shuffle bytes and
+        # no arrow-dictionary unification on the reduce side. Falls back to the
+        # dict-token payload when the union would exceed _VOCAB_MAX_TERMS
+        # (the 100-TB regime — same gating idea as the stats-merge threshold).
+        vocab = None
+        if not vocab_overflow and vocab_parts:
+            u = _pcm.unique(pa.chunked_array(vocab_parts))
+            if len(u) <= _VOCAB_MAX_TERMS:
+                vocab = u.take(_pcm.sort_indices(u))
+        payload = "blob" if vocab is not None else "dict"
+        vocab_ref = ray.put(vocab) if vocab is not None else None
 
-    sc_tag = ",".join(stored_cols)
-    # lineage is payload-independent on purpose: both payloads produce
-    # bit-identical segments, so a resume may mix them freely
-    pd_tag = f"|pd={payload_delimiter}" if payload_delimiter is not None else ""
-    lineages = {
-        b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}{pd_tag}"
-        for b in range(num_buckets)
-    }
+        sc_tag = ",".join(stored_cols)
+        # lineage is payload-independent on purpose: both payloads produce
+        # bit-identical segments, so a resume may mix them freely
+        pd_tag = f"|pd={payload_delimiter}" if payload_delimiter is not None else ""
+        lineages = {
+            b: f"v1|az={analyzer}|nb={num_buckets}|src={text_source}|pos={int(store_positions)}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}{pd_tag}"
+            for b in range(num_buckets)
+        }
 
-    if vocab is not None:
-        ds = tokenized.map_batches(
-            _make_blob_remap(vocab_ref, stored_cols),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-    else:
-        ds = tokenized
-    writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols,
-                            store_positions=store_positions,
-                            vocab_ref=vocab_ref)
+        if vocab is not None:
+            ds = tokenized.map_batches(
+                _make_blob_remap(vocab_ref, stored_cols),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        else:
+            ds = tokenized
+        writer = _SegmentWriter(out_dir, offsets, lineages, stored_cols,
+                                store_positions=store_positions,
+                                vocab_ref=vocab_ref)
 
-    def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
-        return _w(group)
+        def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
+            return _w(group)
 
-    # Stream segment summaries as groups COMPLETE and kick off each
-    # segment's stats-partial read immediately on a thread pool — the stats
-    # pass's I/O hides behind the segment-build tail instead of running
-    # serially after it.
-    from concurrent.futures import ThreadPoolExecutor
+        # Stream segment summaries as groups COMPLETE and kick off each
+        # segment's stats-partial read immediately on a thread pool — the stats
+        # pass's I/O hides behind the segment-build tail instead of running
+        # serially after it.
+        from concurrent.futures import ThreadPoolExecutor
 
-    summaries = []
-    stats_parts = []
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        res_ds = (ds.groupby("bucket")
-                  .map_groups(write_segment_group, batch_format="pyarrow"))
-        for batch in res_ds.iter_batches(batch_size=None,
-                                         batch_format="pyarrow"):
-            for row in batch.to_pylist():
-                summaries.append(row)
-                if row["n_docs"]:
-                    f = os.path.join(_seg_dir(out_dir, int(row["bucket"])),
-                                     "postings.parquet")
-                    stats_parts.append(ex.submit(
-                        pq.read_table, f, columns=["term", "df", "cf"],
-                        use_threads=False))
-        parts = [fut.result() for fut in stats_parts]
-    build_sec = time.time() - t0
+        summaries = []
+        stats_parts = []
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            res_ds = (ds.groupby("bucket")
+                      .map_groups(write_segment_group, batch_format="pyarrow"))
+            for batch in res_ds.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"):
+                for row in batch.to_pylist():
+                    summaries.append(row)
+                    if row["n_docs"]:
+                        f = os.path.join(_seg_dir(out_dir, int(row["bucket"])),
+                                         "postings.parquet")
+                        stats_parts.append(ex.submit(
+                            pq.read_table, f, columns=["term", "df", "cf"],
+                            use_threads=False))
+            parts = [fut.result() for fut in stats_parts]
+        build_sec = time.time() - t0
 
-    t1 = time.time()
-    _write_global_stats(out_dir, [
-        os.path.join(_seg_dir(out_dir, b), "postings.parquet")
-        for b in range(num_buckets) if counts.get(b, 0)
-    ], preread=parts)
-    stats_sec = time.time() - t1
-
-    n_tokens = int(sum(s["n_tokens"] for s in summaries))
-    manifest = {
-        "version": 1,
-        "analyzer": analyzer,
-        "num_buckets": num_buckets,
-        "text_source": text_source,
-        "store_positions": store_positions,
-        "payload_delimiter": payload_delimiter,
-        "stored_cols": list(stored_cols),
-        "n_docs": n_docs,
-        "n_tokens": n_tokens,
-        "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
-        "k1": 1.2,
-        "b": 0.75,
-        "segments": [
-            {"dir": f"segments/seg={b:05d}", "bucket": b,
-             "doc_id_offset": offsets[b], "n_docs": counts.get(b, 0)}
+        t1 = time.time()
+        _write_global_stats(out_dir, [
+            os.path.join(_seg_dir(out_dir, b), "postings.parquet")
             for b in range(num_buckets) if counts.get(b, 0)
-        ],
-        "metrics": {
-            "build_sec": round(build_sec, 3),
-            "analyze_sec": round(t_analyze, 3),
-            "count_sec": round(t_count, 3),
-            "segment_sec": round(build_sec - t_analyze - t_count, 3),
-            "stats_sec": round(stats_sec, 3),
-            "docs_per_sec": round(n_docs / build_sec, 1) if build_sec > 0 else None,
-            "skipped_segments": int(sum(1 for s in summaries if s.get("skipped"))),
-            "shuffle_payload": payload,
-        },
-    }
-    os.makedirs(out_dir, exist_ok=True)  # may not exist yet for 0 segments
-    tmp = index_json + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, index_json)  # atomic publish = the "commit"
-    # push-based sort is a BUILD-local choice: restore the caller's
-    # strategy so later small groupbys in the same process don't pay the
-    # push-based partitioning tax (measured: a 100k-row hourly-bucket
-    # aggregate was 34s of task CPU under push-based vs subsecond default)
-    _ctx.shuffle_strategy = _prev_shuffle
-    _ctx.op_resource_reservation_enabled = _prev_reserve
-    return manifest
+        ], preread=parts)
+        stats_sec = time.time() - t1
+
+        n_tokens = int(sum(s["n_tokens"] for s in summaries))
+        manifest = {
+            "version": 1,
+            "analyzer": analyzer,
+            "num_buckets": num_buckets,
+            "text_source": text_source,
+            "store_positions": store_positions,
+            "payload_delimiter": payload_delimiter,
+            "stored_cols": list(stored_cols),
+            "n_docs": n_docs,
+            "n_tokens": n_tokens,
+            "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+            "k1": 1.2,
+            "b": 0.75,
+            "segments": [
+                {"dir": f"segments/seg={b:05d}", "bucket": b,
+                 "doc_id_offset": offsets[b], "n_docs": counts.get(b, 0)}
+                for b in range(num_buckets) if counts.get(b, 0)
+            ],
+            "metrics": {
+                "build_sec": round(build_sec, 3),
+                "analyze_sec": round(t_analyze, 3),
+                "count_sec": round(t_count, 3),
+                "segment_sec": round(build_sec - t_analyze - t_count, 3),
+                "stats_sec": round(stats_sec, 3),
+                "docs_per_sec": round(n_docs / build_sec, 1) if build_sec > 0 else None,
+                "skipped_segments": int(sum(1 for s in summaries if s.get("skipped"))),
+                "shuffle_payload": payload,
+            },
+        }
+        os.makedirs(out_dir, exist_ok=True)  # may not exist yet for 0 segments
+        tmp = index_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, index_json)  # atomic publish = the "commit"
+        return manifest
+    finally:
+        # push-based sort is a BUILD-local choice: restore the caller's
+        # strategy so later small groupbys in the same process don't pay
+        # the push-based partitioning tax (measured: a 100k-row
+        # hourly-bucket aggregate was 34s of task CPU under push-based
+        # vs subsecond default). try/finally so a mid-build exception
+        # can't leak the strategy into the rest of the process.
+        _ctx.shuffle_strategy = _prev_shuffle
+        _ctx.op_resource_reservation_enabled = _prev_reserve
 
 
 def append_to_index(
@@ -641,97 +654,101 @@ def append_to_index(
     # task-only pipeline: operator resource reservation (deadlock guard for
     # actor-pool stages) just idles CPUs here (~26/32 busy during analyze)
     _ctx.op_resource_reservation_enabled = False
+    try:
 
-    t0 = time.time()
-    ds = pages
-    if text_source == "html":
-        ds = ds.map_batches(
-            extract_batch, batch_format="pyarrow", zero_copy_batch=True,
+        t0 = time.time()
+        ds = pages
+        if text_source == "html":
+            ds = ds.map_batches(
+                extract_batch, batch_format="pyarrow", zero_copy_batch=True,
+            )
+        az_name = analyzer
+        store_positions = bool(manifest.get("store_positions"))
+        enc_mode = True if store_positions else "tf"
+        keep = ["url", "tokens", "tfs", *stored_cols]
+
+        def _analyze_and_bucket(t: pa.Table) -> pa.Table:
+            tune_worker_gc()
+            t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
+            t = t.select([c for c in keep if c in t.column_names])
+            return add_bucket(t, "url", nb)
+
+        tokenized = ds.map_batches(
+            _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        def _count_existing(t: pa.Table) -> pa.Table:
+            b = t["bucket"].to_numpy(zero_copy_only=False)
+            binc = np.bincount(b, minlength=nb)
+            nz = np.flatnonzero(binc)
+            return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                             "cnt": pa.array(binc[nz].astype(np.int64))})
+
+        counts: dict[int, int] = {}
+        for row in tokenized.select_columns(["bucket"]).map_batches(
+                _count_existing, batch_format="pyarrow").take_all():
+            counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["cnt"])
+        offsets: dict[int, int] = {}
+        acc = base
+        for b in range(nb):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        n_new = acc - base
+        sc_tag = ",".join(stored_cols)
+        lineages = {
+            b: f"v1|{prefix}|az={analyzer}|nb={nb}|src={text_source}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}"
+            for b in range(nb)
+        }
+        writer = _SegmentWriter(index_dir, offsets, lineages, stored_cols,
+                                dir_prefix=prefix,
+                                store_positions=store_positions)
+
+        def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
+            return _w(group)
+
+        summaries = (
+            tokenized.groupby("bucket")
+            .map_groups(write_segment_group, batch_format="pyarrow")
+            .take_all()
         )
-    az_name = analyzer
-    store_positions = bool(manifest.get("store_positions"))
-    enc_mode = True if store_positions else "tf"
-    keep = ["url", "tokens", "tfs", *stored_cols]
+        build_sec = time.time() - t0
 
-    def _analyze_and_bucket(t: pa.Table) -> pa.Table:
-        tune_worker_gc()
-        t = analyze_batch(t, "text", az_name, dict_encode=enc_mode)
-        t = t.select([c for c in keep if c in t.column_names])
-        return add_bucket(t, "url", nb)
+        new_segments = [
+            {"dir": f"segments/{prefix}={b:05d}", "bucket": b,
+             "doc_id_offset": offsets[b], "n_docs": counts.get(b, 0)}
+            for b in range(nb) if counts.get(b, 0)
+        ]
+        manifest["segments"] = manifest["segments"] + new_segments
+        all_postings = [
+            os.path.join(index_dir, s["dir"], "postings.parquet")
+            for s in manifest["segments"]
+        ]
+        t1 = time.time()
+        _write_global_stats(index_dir, all_postings)
+        stats_sec = time.time() - t1
 
-    tokenized = ds.map_batches(
-        _analyze_and_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def _count_existing(t: pa.Table) -> pa.Table:
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        binc = np.bincount(b, minlength=nb)
-        nz = np.flatnonzero(binc)
-        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
-                         "cnt": pa.array(binc[nz].astype(np.int64))})
-
-    counts: dict[int, int] = {}
-    for row in tokenized.select_columns(["bucket"]).map_batches(
-            _count_existing, batch_format="pyarrow").take_all():
-        counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["cnt"])
-    offsets: dict[int, int] = {}
-    acc = base
-    for b in range(nb):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    n_new = acc - base
-    sc_tag = ",".join(stored_cols)
-    lineages = {
-        b: f"v1|{prefix}|az={analyzer}|nb={nb}|src={text_source}|sc={sc_tag}|cnt={counts.get(b, 0)}|off={offsets[b]}"
-        for b in range(nb)
-    }
-    writer = _SegmentWriter(index_dir, offsets, lineages, stored_cols,
-                            dir_prefix=prefix,
-                            store_positions=store_positions)
-
-    def write_segment_group(group: pa.Table, _w=writer) -> pa.Table:
-        return _w(group)
-
-    summaries = (
-        tokenized.groupby("bucket")
-        .map_groups(write_segment_group, batch_format="pyarrow")
-        .take_all()
-    )
-    build_sec = time.time() - t0
-
-    new_segments = [
-        {"dir": f"segments/{prefix}={b:05d}", "bucket": b,
-         "doc_id_offset": offsets[b], "n_docs": counts.get(b, 0)}
-        for b in range(nb) if counts.get(b, 0)
-    ]
-    manifest["segments"] = manifest["segments"] + new_segments
-    all_postings = [
-        os.path.join(index_dir, s["dir"], "postings.parquet")
-        for s in manifest["segments"]
-    ]
-    t1 = time.time()
-    _write_global_stats(index_dir, all_postings)
-    stats_sec = time.time() - t1
-
-    n_tokens_new = int(sum(s["n_tokens"] for s in summaries))
-    manifest["n_docs"] = base + n_new
-    manifest["n_tokens"] = int(manifest["n_tokens"]) + n_tokens_new
-    manifest["avgdl"] = (manifest["n_tokens"] / manifest["n_docs"]
-                         if manifest["n_docs"] else 0.0)
-    manifest["append_gen"] = gen
-    manifest.setdefault("metrics", {})[f"append_{gen}"] = {
-        "n_new_docs": n_new,
-        "build_sec": round(build_sec, 3),
-        "stats_sec": round(stats_sec, 3),
-    }
-    tmp = index_json + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, index_json)
-    # push-based sort is a BUILD-local choice: restore the caller's
-    # strategy so later small groupbys in the same process don't pay the
-    # push-based partitioning tax (measured: a 100k-row hourly-bucket
-    # aggregate was 34s of task CPU under push-based vs subsecond default)
-    _ctx.shuffle_strategy = _prev_shuffle
-    _ctx.op_resource_reservation_enabled = _prev_reserve
-    return manifest
+        n_tokens_new = int(sum(s["n_tokens"] for s in summaries))
+        manifest["n_docs"] = base + n_new
+        manifest["n_tokens"] = int(manifest["n_tokens"]) + n_tokens_new
+        manifest["avgdl"] = (manifest["n_tokens"] / manifest["n_docs"]
+                             if manifest["n_docs"] else 0.0)
+        manifest["append_gen"] = gen
+        manifest.setdefault("metrics", {})[f"append_{gen}"] = {
+            "n_new_docs": n_new,
+            "build_sec": round(build_sec, 3),
+            "stats_sec": round(stats_sec, 3),
+        }
+        tmp = index_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, index_json)
+        return manifest
+    finally:
+        # push-based sort is a BUILD-local choice: restore the caller's
+        # strategy so later small groupbys in the same process don't pay
+        # the push-based partitioning tax (measured: a 100k-row
+        # hourly-bucket aggregate was 34s of task CPU under push-based
+        # vs subsecond default). try/finally so a mid-build exception
+        # can't leak the strategy into the rest of the process.
+        _ctx.shuffle_strategy = _prev_shuffle
+        _ctx.op_resource_reservation_enabled = _prev_reserve

@@ -500,6 +500,27 @@ def _project(ds, keep: list, renames: dict):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _cast_int_sums(ds, fn_of_alias: dict):
+    """ANSI/DuckDB SUM over an integer column widens (DuckDB: HUGEINT,
+    which lands as float64 in a result frame); Ray's Sum keeps int64.
+    Cast integer-typed SUM outputs to float64 so result schemas match the
+    oracle. An explicit CAST(SUM(..) AS BIGINT) in the query still applies
+    AFTERWARD (expression step), restoring int64 when the user asked."""
+    sums = tuple(n for n, f in fn_of_alias.items() if f == "SUM")
+    if not sums:
+        return ds
+
+    def f(t: pa.Table, _s=sums) -> pa.Table:
+        for c in _s:
+            if c in t.column_names and pa.types.is_integer(
+                    t.schema.field(c).type):
+                t = t.set_column(t.column_names.index(c), c,
+                                 pc.cast(t[c], pa.float64()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _resolve_name(name: str, qualified: set, bare: dict) -> str:
     if name in qualified:
         return name
@@ -732,7 +753,9 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
             if set(cols) - set(plan["group"]):
                 raise ValueError("non-grouped bare column in SELECT")
             if ray_aggs:
-                ds = ds.groupby(plan["group"]).aggregate(*ray_aggs)
+                ds = _cast_int_sums(
+                    ds.groupby(plan["group"]).aggregate(*ray_aggs),
+                    fn_of_alias)
             else:
                 # distinct-count-only query: the main frame is the
                 # distinct group keys
@@ -759,6 +782,12 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
                     # still return ONE row — 0 for COUNT, NULL otherwise
                     row = {n: (0 if fn == "COUNT" else None)
                            for n, fn in fn_of_alias.items()}
+                # same SUM(int) -> float64 widening as the grouped path
+                for n, fn in fn_of_alias.items():
+                    import numpy as _np
+                    if fn == "SUM" and isinstance(
+                            row.get(n), (int, _np.integer)):
+                        row[n] = float(row[n])
                 ds = _one_row(row, list(fn_of_alias))
             else:
                 import ray.data
