@@ -168,108 +168,275 @@ def _hash_bucket(t: pa.Table, key_col: str, num_buckets: int,
 def tumbling_window(ds, key_col: str, ts_col: str, width_us: int,
                     value_col: str, agg: str = "sum"):
     """Per-key tumbling windows of fixed width (event-time, no watermark —
-    batch log semantics). Returns (key, window_start, agg value)."""
+    batch log semantics). Returns (key, window_start, agg value).
 
-    num_buckets = 64
+    Pure combiner shape — every (key, window) is independent, so each
+    batch pre-aggregates to one partial row per (key, window) and a
+    grouped Ray aggregate merges the partials. No bucket ever
+    materializes more than a block of (key, window) partials, so there
+    is no per-group size ceiling at any corpus size (the old fixed
+    64-bucket map_groups held ~1/64 of the log per UDF call)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
 
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        # all keys of the bucket in ONE vectorized pandas groupby
-        ts_us = g[ts_col].astype("datetime64[us]").astype("int64")
+    if agg not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    out_name = f"{agg}_{value_col}"
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        ts_us = t[ts_col].astype("datetime64[us]").astype("int64")
         w = (ts_us // width_us) * width_us
-        out = (g.assign(__w=w)
-               .groupby([key_col, "__w"], sort=True)[value_col].agg(agg))
-        idx = out.index
-        return pd.DataFrame({
-            key_col: idx.get_level_values(0),
-            "window_start": pd.to_datetime(idx.get_level_values(1),
-                                           unit="us"),
-            f"{agg}_{value_col}": out.to_numpy(),
+        g = t.assign(__w=w).groupby([key_col, "__w"], sort=False)
+        cols = {}
+        if agg == "count":
+            cols["__p"] = g[value_col].count()
+        elif agg == "mean":
+            cols["__s"] = g[value_col].sum()
+            cols["__c"] = g[value_col].count()
+        else:
+            cols["__p"] = getattr(g[value_col], agg)()
+        out = pd.DataFrame(cols)
+        out.insert(0, key_col, out.index.get_level_values(0))
+        out.insert(1, "__w", out.index.get_level_values(1))
+        return out.reset_index(drop=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    if agg == "mean":
+        specs = [Sum("__s", alias_name="__s"), Sum("__c", alias_name="__c")]
+    elif agg in ("sum", "count"):
+        specs = [Sum("__p", alias_name="__p")]
+    else:
+        specs = [(Min if agg == "min" else Max)("__p", alias_name="__p")]
+    merged = parts.groupby([key_col, "__w"]).aggregate(*specs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if agg == "mean":
+            val = pc.divide(pc.cast(t["__s"], pa.float64()),
+                            pc.cast(t["__c"], pa.float64()))
+        else:
+            val = t["__p"]
+        return pa.table({
+            key_col: t[key_col],
+            "window_start": pc.cast(
+                pc.multiply(t["__w"], pa.scalar(1000)), pa.timestamp("ns")),
+            out_name: val,
         })
 
-    return (ds.map_batches(
-                lambda t: _hash_bucket(t, key_col, num_buckets),
-                batch_format="pyarrow")
-            .groupby("__wbucket")
-            .map_groups(windows, batch_format="pandas"))
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
-                   agg: str = "mean", tie_col: str | None = None):
+                   agg: str = "mean", tie_col: str | None = None,
+                   num_buckets: int = 64, slice_us: int | None = None):
     """Per-key rolling agg (mean|sum|min|max) over the last n events
     (ts-ordered; tie_col pins the order of equal timestamps — without it,
     ties keep stable input order, which no SQL window can reproduce).
     agg="sum" over integer values is exact (no float accumulation), which
-    makes it SQL-oracle-able bit-for-bit."""
+    makes it SQL-oracle-able bit-for-bit.
 
-    keys = [ts_col] if tie_col is None else [ts_col, tie_col]
+    Scale shape: shuffle key is COMPOSITE (key-hash bucket, coarse time
+    slice), so no group ever holds more than one bucket x one slice of
+    the log. Exactness across slice edges via a head/tail fix-up pass:
+    within a slice, rows at per-key position >= n-1 have their full
+    window in-slice ("settled"); the first n-1 rows per key ("heads")
+    lack history, and the last n-1 per key ("tails") are the history the
+    NEXT slice's heads need. One extra groupby over heads+tails only —
+    O(n * keys * slices) rows, independent of slice size — recomputes the
+    heads over the tail suffixes of earlier slices. Walking back from any
+    head consumes at most n-1 predecessors, and each earlier slice
+    contributes its full suffix (min(len, n-1) rows) before any interior
+    gap can be reached, so the recomputed windows see exactly the true
+    preceding events. Integer sums are therefore bit-identical to an
+    unsliced run; float rolling aggregates match to accumulation order.
 
-    num_buckets = 64
+    slice_us defaults to one day."""
+    order = [ts_col] if tie_col is None else [ts_col, tie_col]
+    if slice_us is None:
+        slice_us = 86_400_000_000
+    out_col = f"rolling_{value_col}"
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key_col, *keys], kind="stable")
-             .drop(columns=["__wbucket"]).copy())
-        r = (g.groupby(key_col, sort=False)[value_col]
-             .rolling(n, min_periods=1))
-        vals = getattr(r, agg)().reset_index(level=0, drop=True)
-        g[f"rolling_{value_col}"] = vals
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _hash_bucket(t, key_col, num_buckets)
+        ts_us = pc.cast(t[ts_col], pa.int64())
+        return t.append_column(
+            "__slice", pc.cast(
+                pc.floor(pc.divide(pc.cast(ts_us, pa.float64()),
+                                   pa.scalar(float(slice_us)))), pa.int64()))
+
+    def roll_slice(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, *order], kind="stable")
+             .drop(columns=["__slice"]).copy())
+        grp = g.groupby(key_col, sort=False)
+        r = grp[value_col].rolling(n, min_periods=1)
+        g[out_col] = getattr(r, agg)().reset_index(level=0, drop=True)
+        pos = grp.cumcount().to_numpy()
+        size = grp[key_col].transform("size").to_numpy()
+        g["__head"] = pos < (n - 1)
+        g["__tail"] = pos >= (size - (n - 1))
         return g
 
-    return (ds.map_batches(
-                lambda t: _hash_bucket(t, key_col, num_buckets),
-                batch_format="pyarrow")
-            .groupby("__wbucket")
-            .map_groups(roll, batch_format="pandas"))
+    def fixup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order], kind="stable").copy()
+        grp = g.groupby(key_col, sort=False)
+        r = grp[value_col].rolling(n, min_periods=1)
+        g[out_col] = getattr(r, agg)().reset_index(level=0, drop=True)
+        return (g[g["__head"]]
+                .drop(columns=["__head", "__tail", "__wbucket"]))
+
+    per_slice = (ds.map_batches(bucketize, batch_format="pyarrow")
+                 .groupby(["__wbucket", "__slice"])
+                 .map_groups(roll_slice, batch_format="pandas")
+                 .materialize())  # two consumers: settled + fix-up
+    keep = tuple(ds.schema().names) + (out_col,)
+
+    def take_settled(t: pa.Table, _k=keep) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(t["__head"])).select(list(_k))
+
+    def take_boundary(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.or_(t["__head"], t["__tail"]))
+
+    settled = per_slice.map_batches(take_settled, batch_format="pyarrow")
+    fixed = (per_slice.map_batches(take_boundary, batch_format="pyarrow")
+             .groupby("__wbucket")
+             .map_groups(fixup, batch_format="pandas")
+             .map_batches(lambda t, _k=keep: t.select(list(_k)),
+                          batch_format="pyarrow"))
+    return settled.union(fixed)
 
 
 def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
-                    num_buckets: int = 64):
+                    num_buckets: int = 64, slice_us: int | None = None):
     """Per-key session windows: a new session starts when the gap to the
-    previous event exceeds gap_us. Returns per-session rows.
+    previous event exceeds gap_us. Returns per-session rows
+    (key, session_start, session_end, n_events).
 
-    Keys are hash-bucketed so the shuffle produces num_buckets groups
-    (not one python UDF call per key); inside a bucket the sessionize is
-    ONE vectorized pass over (key, ts)-sorted rows — new-session = key
-    change OR gap exceeded — so per-key work never touches the
-    interpreter. Same co-location guarantee (a key lives in exactly one
-    bucket), ~25x fewer UDF invocations on a 1.5k-key log."""
+    Scale shape: the shuffle key is COMPOSITE (key-hash bucket, coarse
+    time slice), so a group holds one bucket of keys over ONE slice of
+    the log — per-group peak rows stay bounded as the log grows in time
+    (grow num_buckets for key-dimension growth). Inside a group the
+    sessionize is one vectorized pass over (key, ts)-sorted rows.
+
+    Slicing is EXACT via boundary stitching: per slice, each key's first
+    and last sessions are the only ones that can merge across a slice
+    edge (interior sessions are already > gap from their slice-mates, and
+    everything in later slices is farther). Those boundary sessions go
+    through one extra tiny groupby — session rows, not event rows — that
+    chain-merges runs whose gap <= gap_us; interior sessions pass through
+    untouched. Result is bit-identical to an unsliced run.
+
+    slice_us defaults to 4096 * gap_us (a slice must exceed the gap;
+    enforced)."""
+    if slice_us is None:
+        slice_us = gap_us * 4096
+    if slice_us <= gap_us:
+        raise ValueError("slice_us must exceed gap_us")
 
     def bucketize(t: pa.Table) -> pa.Table:
-        col = t[key_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_integer(col.type):
-            b = (col.to_numpy(zero_copy_only=False).astype(np.uint64)
-                 % num_buckets).astype(np.int64)
-        else:
-            from solr_ray.stages.docids import stable_hash64
+        import pyarrow.compute as pc
 
-            b = (np.asarray(stable_hash64(col), dtype=np.uint64)
-                 % num_buckets).astype(np.int64)
-        return t.append_column("__sbucket", pa.array(b))
+        t = _hash_bucket(t, key_col, num_buckets, out_col="__sbucket")
+        ts_us = pc.cast(t[ts_col], pa.int64())
+        return t.append_column(
+            "__slice", pc.cast(
+                pc.floor(pc.divide(pc.cast(ts_us, pa.float64()),
+                                   pa.scalar(float(slice_us)))), pa.int64()))
+
+    def _merge_runs(keys, mn, mx, n, bucket):
+        """Vectorized chain-merge of (key, start)-sorted session rows:
+        sessions of one key merge while start - prev_end <= gap_us."""
+        new = np.ones(len(mn), dtype=bool)
+        if len(mn) > 1:
+            new[1:] = (keys[1:] != keys[:-1]) | (
+                (mn[1:] - mx[:-1]) > gap_us)
+        sid = np.cumsum(new) - 1
+        df = pd.DataFrame({"k": keys, "sid": sid, "mn": mn, "mx": mx,
+                           "n": n, "b": bucket})
+        agg = df.groupby("sid", sort=True).agg(
+            k=("k", "first"), mn=("mn", "min"), mx=("mx", "max"),
+            n=("n", "sum"), b=("b", "first"))
+        return agg
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        """Sessionize one (bucket, slice) group; flag each key's first and
+        last sessions as boundary candidates for the stitch pass."""
         g = g.sort_values([key_col, ts_col], kind="stable")
         ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key_col].to_numpy()
+        bucket = g["__sbucket"].to_numpy()
         new = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
             new[1:] = (keys[1:] != keys[:-1]) | (
                 (ts[1:] - ts[:-1]) > gap_us)
         sid = np.cumsum(new) - 1
-        df = pd.DataFrame({"k": keys, "sid": sid, "ts": ts})
+        df = pd.DataFrame({"k": keys, "sid": sid, "ts": ts, "b": bucket})
         agg = df.groupby("sid", sort=True).agg(
             k=("k", "first"), mn=("ts", "min"), mx=("ts", "max"),
-            n=("ts", "count"))
+            n=("ts", "count"), b=("b", "first"))
+        kk = agg["k"].to_numpy()
+        first = np.ones(len(kk), dtype=bool)
+        if len(kk) > 1:
+            first[1:] = kk[1:] != kk[:-1]
+        last = np.ones(len(kk), dtype=bool)
+        if len(kk) > 1:
+            last[:-1] = kk[1:] != kk[:-1]
         return pd.DataFrame({
-            key_col: agg["k"].to_numpy(),
-            "session_start": pd.to_datetime(agg["mn"], unit="us"),
-            "session_end": pd.to_datetime(agg["mx"], unit="us"),
-            "n_events": agg["n"].to_numpy(),
+            key_col: kk,
+            "__mn": agg["mn"].to_numpy(),
+            "__mx": agg["mx"].to_numpy(),
+            "n_events": agg["n"].to_numpy().astype(np.int64),
+            "__sbucket": agg["b"].to_numpy(),
+            "__bnd": first | last,
         })
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby("__sbucket")
-            .map_groups(sessions, batch_format="pandas"))
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__mn"], kind="stable")
+        agg = _merge_runs(g[key_col].to_numpy(), g["__mn"].to_numpy(),
+                          g["__mx"].to_numpy(), g["n_events"].to_numpy(),
+                          g["__sbucket"].to_numpy())
+        return pd.DataFrame({
+            key_col: agg["k"].to_numpy(),
+            "__mn": agg["mn"].to_numpy(),
+            "__mx": agg["mx"].to_numpy(),
+            "n_events": agg["n"].to_numpy().astype(np.int64),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            key_col: t[key_col],
+            "session_start": pc.cast(
+                pc.multiply(t["__mn"], pa.scalar(1000)), pa.timestamp("ns")),
+            "session_end": pc.cast(
+                pc.multiply(t["__mx"], pa.scalar(1000)), pa.timestamp("ns")),
+            "n_events": t["n_events"],
+        })
+
+    def take_interior(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(t["__bnd"])).select(
+            [key_col, "__mn", "__mx", "n_events"])
+
+    def take_boundary(t: pa.Table) -> pa.Table:
+        return t.filter(t["__bnd"])
+
+    per_slice = (ds.map_batches(bucketize, batch_format="pyarrow")
+                 .groupby(["__sbucket", "__slice"])
+                 .map_groups(sessions, batch_format="pandas")
+                 .materialize())  # two consumers: interior + boundary
+    interior = per_slice.map_batches(take_interior, batch_format="pyarrow")
+    stitched = (per_slice.map_batches(take_boundary, batch_format="pyarrow")
+                .groupby("__sbucket")
+                .map_groups(stitch, batch_format="pandas"))
+    return interior.union(stitched).map_batches(
+        finish, batch_format="pyarrow")
 
 
 class TopicCheckpoint:

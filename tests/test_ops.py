@@ -522,6 +522,83 @@ def test_tumbling_and_session_windows():
     assert (sw["session_end"] >= sw["session_start"]).all()
 
 
+def _synth_log(n, span_us, n_keys, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, span_us, n))
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_keys, n),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "v": rng.integers(-50, 50, n),
+        "eid": np.arange(n),
+    })
+
+
+def test_session_windows_sliced_exact_and_bounded():
+    """Composite (key-bucket, time-slice) sessionization: boundary
+    stitching is EXACT vs a brute-force pandas run, and the per-group
+    peak row count stays bounded as the log grows in time (the shuffle
+    key gains slices instead of growing groups)."""
+    from solr_ray.ops.windows import session_windows
+
+    GAP = 3_600_000_000
+    SLICE = 2 * 86_400_000_000
+    day_us = 86_400_000_000
+    peaks = []
+    for mult in (1, 4):
+        df = _synth_log(4000 * mult, 10 * day_us * mult, 23)
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = session_windows(ds, "user_id", "ts", GAP, num_buckets=4,
+                              slice_us=SLICE).to_pandas()
+        got = got.sort_values(["user_id", "session_start"]
+                              ).reset_index(drop=True)
+        rows = []
+        for k, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+            t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            new = np.ones(len(t), bool)
+            new[1:] = (t[1:] - t[:-1]) > GAP
+            sid = np.cumsum(new) - 1
+            for s in np.unique(sid):
+                m = t[sid == s]
+                rows.append((k, m.min(), m.max(), len(m)))
+        want = pd.DataFrame(
+            rows, columns=["user_id", "mn", "mx", "n"]).sort_values(
+            ["user_id", "mn"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["session_start"].astype("datetime64[us]")
+                .astype("int64").to_numpy() == want["mn"].to_numpy()).all()
+        assert (got["session_end"].astype("datetime64[us]")
+                .astype("int64").to_numpy() == want["mx"].to_numpy()).all()
+        assert (got["n_events"].to_numpy() == want["n"].to_numpy()).all()
+        # partitioning math: peak (bucket, slice) group size
+        sl = (df["ts"].astype("datetime64[us]").astype("int64") // SLICE)
+        b = df["user_id"].to_numpy().astype(np.uint64) % 4
+        peaks.append(int(pd.DataFrame({"b": b, "s": sl})
+                         .groupby(["b", "s"]).size().max()))
+    # 4x the events over 4x the time span: peak group stays ~flat
+    assert peaks[1] < peaks[0] * 2, peaks
+
+
+def test_sliding_window_sliced_exact():
+    """Head/tail fix-up across time slices reproduces the unsliced rolling
+    sum bit-exactly (integer values)."""
+    from solr_ray.ops.windows import sliding_window
+
+    day_us = 86_400_000_000
+    df = _synth_log(6000, 12 * day_us, 17, seed=11)
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = sliding_window(ds, "user_id", "ts", "v", n=5, agg="sum",
+                         tie_col="eid", num_buckets=4,
+                         slice_us=2 * day_us).to_pandas()
+    got = got.sort_values("eid").reset_index(drop=True)
+    w = df.sort_values(["user_id", "ts", "eid"]).copy()
+    w["roll"] = (w.groupby("user_id")["v"]
+                 .rolling(5, min_periods=1).sum()
+                 .reset_index(level=0, drop=True))
+    w = w.sort_values("eid").reset_index(drop=True)
+    assert len(got) == len(w)
+    assert (got["rolling_v"].to_numpy() == w["roll"].to_numpy()).all()
+
+
 def test_topic_checkpoint(tmp_path):
     from solr_ray.ops.windows import TopicCheckpoint
 
