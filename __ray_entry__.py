@@ -1744,6 +1744,22 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # IN (SELECT ...) semi-join: subquery runs distributed, distinct keys
+    # broadcast into the filter (ops/joins.py:58 shape)
+    "sql_in_subquery": ("SELECT o_orderkey, o_totalprice FROM orders "
+                        "WHERE o_custkey IN "
+                        "(SELECT c_custkey FROM customer "
+                        "WHERE c_acctbal > 9000) "
+                        "ORDER BY o_orderkey LIMIT 200"),
+    # SELECT DISTINCT list (grouped-count shuffle over distinct rows)
+    "sql_distinct": ("SELECT DISTINCT lang, source FROM documents "
+                     "ORDER BY lang, source"),
+    # scalar functions in the SELECT list (arrow utf8/math kernels)
+    "sql_scalar_fns": ("SELECT o_orderkey, UPPER(o_orderpriority) AS pri, "
+                       "LENGTH(o_orderpriority) AS ln, "
+                       "SUBSTR(o_orderpriority, 1, 3) AS pre, "
+                       "ABS(o_totalprice - 100000.0) AS dist "
+                       "FROM orders ORDER BY o_orderkey LIMIT 150"),
 }
 
 

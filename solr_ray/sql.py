@@ -13,7 +13,7 @@ aggregates, hash-partitioned Dataset.join, sort, limit).
 
 Grammar (case-insensitive keywords):
 
-    SELECT <*| item[, item...]> FROM <table> [[AS] alias]
+    SELECT [DISTINCT] <*| item[, item...]> FROM <table> [[AS] alias]
       [[INNER|LEFT [OUTER]] JOIN <table> [[AS] alias] ON a.x = b.y]...
       [WHERE <cond>] [GROUP BY col[, col...]] [HAVING <cond>]
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
@@ -28,14 +28,17 @@ Grammar (case-insensitive keywords):
                                      column or a simple aggregate)
     expr  := full arithmetic over columns/literals with + - * / and unary
              minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
-             and aggregates COUNT(*) | COUNT(DISTINCT col) |
+             scalar functions UPPER|LOWER|LENGTH|SUBSTR|SUBSTRING|TRIM|
+             FLOOR|CEIL|ABS, and aggregates COUNT(*) | COUNT(DISTINCT col) |
              COUNT|SUM|AVG|MIN|MAX(expr) as leaves
              (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
              `/` is ANSI float division, matching DuckDB)
     cond  := disjunctions/conjunctions of: col <op> literal, col IN (...),
-             col BETWEEN a AND b, col LIKE 'pat' (general %/_ patterns via
-             arrow match_like; bare prefixes take the starts_with fast
-             path), NOT, parentheses
+             col IN (SELECT single-col ...)  (uncorrelated; runs as its own
+             distributed plan, distinct keys broadcast — semi-join shape),
+             col [NOT] BETWEEN a AND b, col [NOT] LIKE 'pat' (general %/_
+             patterns via arrow match_like; bare prefixes take the
+             starts_with fast path), col NOT IN (...), NOT, parentheses
 
 Everything unsupported raises ValueError up front — no silent wrong
 answers. Because the accepted dialect is ANSI, the very same query string
@@ -61,6 +64,8 @@ _TOKEN = re.compile(r"""
 """, re.VERBOSE)
 
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_SCALAR_FNS = {"UPPER", "LOWER", "LENGTH", "SUBSTR", "SUBSTRING", "TRIM",
+               "FLOOR", "CEIL", "ABS"}
 _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
@@ -179,6 +184,14 @@ class _Parser:
                 raise ValueError(f"unsupported CAST type {ty!r}")
             self.eat("punct", ")")
             return {"kind": "cast", "inner": inner, "type": ty}
+        if up in _SCALAR_FNS and self.peek() == ("punct", "("):
+            self.eat()
+            args = [self.expr()]
+            while self.peek() == ("punct", ","):
+                self.eat()
+                args.append(self.expr())
+            self.eat("punct", ")")
+            return {"kind": "fn", "fn": up, "args": args}
         if up in _AGGS and self.peek() == ("punct", "("):
             self.eat()
             distinct = False
@@ -252,6 +265,13 @@ class _Parser:
 
     def predicate(self):
         col = self.eat("name")
+        if self.at_kw("NOT"):
+            # col NOT IN (...) / NOT LIKE / NOT BETWEEN
+            self.eat()
+            if not self.at_kw("IN", "LIKE", "BETWEEN"):
+                raise ValueError("expected IN/LIKE/BETWEEN after NOT")
+            self.toks.insert(self.i, ("name", col))  # re-parse positively
+            return {"op": "not", "clauses": [self.predicate()]}
         k, v = self.peek()
         if k == "cmp":
             self.eat()
@@ -276,6 +296,10 @@ class _Parser:
         if self.at_kw("IN"):
             self.eat()
             self.eat("punct", "(")
+            if self.at_kw("SELECT"):
+                sub = self.statement(stop_at_paren=True)
+                self.eat("punct", ")")
+                return {"op": "in_subquery", "field": col, "plan": sub}
             vals = [self.literal()]
             while self.peek() == ("punct", ","):
                 self.eat()
@@ -302,8 +326,12 @@ class _Parser:
         raise ValueError(f"unsupported predicate after {col!r}: {v!r}")
 
     # ---- full statement ----
-    def statement(self):
+    def statement(self, stop_at_paren: bool = False):
         self.eat("kw", "SELECT")
+        select_distinct = False
+        if self.at_kw("DISTINCT"):
+            self.eat()
+            select_distinct = True
         items = self.select_list()
         self.eat("kw", "FROM")
         table, alias = self.table_ref()
@@ -356,12 +384,16 @@ class _Parser:
         if self.at_kw("LIMIT"):
             self.eat()
             limit = int(self.eat("num"))
-        if self.peek()[0] != "eof":
+        if stop_at_paren:
+            if self.peek() != ("punct", ")"):
+                raise ValueError(
+                    f"unterminated subquery at {self.peek()[1]!r}")
+        elif self.peek()[0] != "eof":
             raise ValueError(f"trailing SQL at {self.peek()[1]!r}")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where,
                 "group": group, "having": having, "order": order,
-                "limit": limit}
+                "limit": limit, "select_distinct": select_distinct}
 
     def table_ref(self):
         """table [AS] [alias] — alias defaults to the table name."""
@@ -408,6 +440,8 @@ def _walk_aggs(node, out: list) -> None:
     for key in ("l", "r", "inner"):
         if key in node:
             _walk_aggs(node[key], out)
+    for a in node.get("args", ()):
+        _walk_aggs(a, out)
 
 
 def compile_expr(node: dict):
@@ -435,7 +469,48 @@ def compile_expr(node: dict):
                                        pc.cast(rf(t), "float64"))
         fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[node["op"]]
         return lambda t: fn(lf(t), rf(t))
+    if kind == "fn":
+        return _compile_scalar_fn(node)
     raise ValueError(f"cannot evaluate {kind!r} here")
+
+
+def _compile_scalar_fn(node: dict):
+    """ANSI scalar functions onto pyarrow.compute kernels, DuckDB-matching
+    semantics: LENGTH returns BIGINT; SUBSTR is 1-based (start/len must be
+    integer literals — Arrow slices take plain ints). ROUND is deliberately
+    absent (half-even vs half-away divergence would silently break
+    oracles); FLOOR/CEIL/ABS are exact."""
+    fn = node["fn"]
+    args = node["args"]
+    n_want = {"UPPER": (1,), "LOWER": (1,), "LENGTH": (1,), "TRIM": (1,),
+              "FLOOR": (1,), "CEIL": (1,), "ABS": (1,),
+              "SUBSTR": (2, 3), "SUBSTRING": (2, 3)}[fn]
+    if len(args) not in n_want:
+        raise ValueError(f"{fn} takes {n_want} args, got {len(args)}")
+    a = compile_expr(args[0])
+    if fn == "UPPER":
+        return lambda t: pc.utf8_upper(a(t))
+    if fn == "LOWER":
+        return lambda t: pc.utf8_lower(a(t))
+    if fn == "TRIM":
+        return lambda t: pc.utf8_trim_whitespace(a(t))
+    if fn == "LENGTH":
+        return lambda t: pc.cast(pc.utf8_length(a(t)), pa.int64())
+    if fn == "FLOOR":
+        return lambda t: pc.floor(pc.cast(a(t), pa.float64()))
+    if fn == "CEIL":
+        return lambda t: pc.ceil(pc.cast(a(t), pa.float64()))
+    if fn == "ABS":
+        return lambda t: pc.abs(a(t))
+    # SUBSTR / SUBSTRING
+    for arg in args[1:]:
+        if arg.get("kind") != "lit" or not isinstance(arg["value"], int):
+            raise ValueError(f"{fn} start/length must be integer literals")
+    start = args[1]["value"]
+    if start < 1:
+        raise ValueError(f"{fn} start is 1-based (got {start})")
+    stop = (start - 1 + args[2]["value"]) if len(args) == 3 else None
+    return lambda t: pc.utf8_slice_codeunits(a(t), start - 1, stop)
 
 
 def _as_column(val, num_rows: int) -> pa.Array:
@@ -455,6 +530,8 @@ def _subst_aggs(node: dict) -> dict:
     for key in ("l", "r", "inner"):
         if key in node:
             out[key] = _subst_aggs(node[key])
+    if "args" in node:
+        out["args"] = [_subst_aggs(a) for a in node["args"]]
     return out
 
 
@@ -556,6 +633,9 @@ def _resolve_expr(node, qualified, bare):
     for k in ("l", "r", "inner"):
         if k in out:
             out[k] = _resolve_expr(out[k], qualified, bare)
+    if "args" in out:
+        out["args"] = [_resolve_expr(a, qualified, bare)
+                       for a in out["args"]]
     return out
 
 
@@ -659,9 +739,67 @@ def _attach_distinct_counts(ds, src, group, items):
     return ds
 
 
+_SUBQUERY_MAX_KEYS = 2_000_000
+
+
+def _resolve_in_subqueries(cond, tables, negated: bool = False):
+    """col IN (SELECT ...) -> a terms (is_in) spec over the subquery's
+    DISTINCT values: the subquery runs as its own distributed plan, its
+    single output column is deduped by a grouped count (combiner shuffle,
+    so only distinct keys ever leave the cluster), and the key set
+    broadcasts into every filter task — the semi-join shape of
+    ops/joins.py:58. Gated at _SUBQUERY_MAX_KEYS distinct keys (a clear
+    error beats a silent driver OOM; a distributed semi-join via
+    Dataset.join is the escape hatch for bigger key sets).
+
+    NULL semantics: NULL keys are dropped — identical to ANSI for IN
+    under WHERE (NULL never matches), but `NOT IN` over a null-producing
+    subquery is ANSI-empty, so that case raises instead of silently
+    diverging. No correlated subqueries (the inner plan sees only the
+    base tables)."""
+    if not isinstance(cond, dict):
+        return cond
+    if cond.get("op") == "in_subquery":
+        sub = _execute_plan(cond["plan"], tables)
+        cols = sub.schema().names
+        if len(cols) != 1:
+            raise ValueError("IN (SELECT ...) needs exactly one output "
+                             f"column, got {cols}")
+        key = cols[0]
+        dd = _project(sub, [key], {}).groupby(key).count()
+        vals, saw_null, total = [], False, 0
+        for b in dd.iter_batches(batch_size=None, batch_format="pyarrow"):
+            col = b[key]
+            saw_null = saw_null or col.null_count > 0
+            col = col.drop_null()
+            total += len(col)
+            if total > _SUBQUERY_MAX_KEYS:
+                raise ValueError(
+                    f"IN-subquery key set exceeds {_SUBQUERY_MAX_KEYS} "
+                    "distinct values; rewrite as an explicit JOIN")
+            vals.extend(col.to_pylist())
+        if saw_null and negated:
+            raise ValueError(
+                "NOT IN over a subquery producing NULLs is ANSI-empty; "
+                "filter the NULLs in the subquery")
+        return {"op": "terms", "field": cond["field"], "values": vals}
+    out = dict(cond)
+    if "clauses" in out:
+        flip = negated != (out.get("op") == "not")
+        out["clauses"] = [_resolve_in_subqueries(c, tables, flip)
+                          for c in out["clauses"]]
+    return out
+
+
 def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     """Run the SQL subset against a dict of table-name -> Dataset."""
-    plan = parse_sql(sql)
+    return _execute_plan(parse_sql(sql), tables)
+
+
+def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
+    if plan["where"] is not None:
+        plan = dict(plan)
+        plan["where"] = _resolve_in_subqueries(plan["where"], tables)
     if plan["joins"]:
         ds, qualified = _plan_joins(plan, tables)
         bare: dict = {}
@@ -839,6 +977,12 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
                        if it["kind"] == "col" and "alias" in it}
             ds = _project(ds, keep, renames)
 
+    if plan.get("select_distinct"):
+        # DISTINCT over the projected output: a grouped count (combiner
+        # shuffle over distinct rows only) then drop the count — the same
+        # shape the COUNT(DISTINCT) path uses.
+        names = list(ds.schema().names)
+        ds = _project(ds.groupby(names).count(), names, {})
     if plan["having"] is not None:
         ds = filter_query(ds, plan["having"])
     if plan["order"]:

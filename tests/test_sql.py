@@ -299,3 +299,52 @@ def test_where_semantics_property(ray_session, rows, cond):
     if len(got) == 0:
         return  # Ray loses the schema of fully-empty results (known)
     assert got["id"].tolist() == want["id"].tolist(), cond
+
+
+# ------------------------------------------------- round-4 dialect additions
+
+def test_select_distinct(ray_session, table):
+    _assert_same(*_both("SELECT DISTINCT kind FROM t ORDER BY kind", table))
+    _assert_same(*_both(
+        "SELECT DISTINCT grp, kind FROM t ORDER BY grp, kind", table))
+
+
+def test_in_subquery(ray_session, table):
+    sql = ("SELECT grp, COUNT(*) AS n FROM t "
+           "WHERE id IN (SELECT id FROM t WHERE val > 500) "
+           "GROUP BY grp ORDER BY grp")
+    _assert_same(*_both(sql, table))
+
+
+def test_not_in_subquery_and_not_predicates(ray_session, table):
+    sql = ("SELECT COUNT(*) AS n FROM t WHERE kind NOT IN ('click') "
+           "AND val NOT BETWEEN 100 AND 900 AND name NOT LIKE 'item00%'")
+    _assert_same(*_both(sql, table))
+    sql2 = ("SELECT id FROM t WHERE id NOT IN "
+            "(SELECT id FROM t WHERE val >= 100) ORDER BY id")
+    _assert_same(*_both(sql2, table))
+
+
+def test_scalar_functions(ray_session, table):
+    sql = ("SELECT id, UPPER(kind) AS k, LOWER(name) AS lo, "
+           "LENGTH(name) AS ln, SUBSTR(name, 1, 4) AS pre, "
+           "ABS(val - 500) AS a, FLOOR(val / 7) AS f, CEIL(val / 9) AS c "
+           "FROM t ORDER BY id LIMIT 40")
+    _assert_same(*_both(sql, table))
+
+
+def test_scalar_fn_inside_aggregate(ray_session, table):
+    sql = ("SELECT grp, SUM(LENGTH(name)) AS s FROM t "
+           "GROUP BY grp ORDER BY grp")
+    _assert_same(*_both(sql, table))
+
+
+def test_subquery_errors(ray_session, table):
+    import ray.data
+
+    tables = {"t": ray.data.from_arrow(table)}
+    with pytest.raises(ValueError):  # two output columns
+        execute_sql("SELECT id FROM t WHERE id IN "
+                    "(SELECT id, val FROM t)", tables).to_pandas()
+    with pytest.raises(ValueError):  # SUBSTR start must be literal
+        execute_sql("SELECT SUBSTR(name, val) AS x FROM t", tables)
