@@ -113,8 +113,73 @@ def text_profile_signature(text: str, analyzer: str = "simple",
 
 
 def add_text_profile_sig(batch: pa.Table, text_col: str = "text",
-                         out_col: str = "sig", analyzer: str = "simple") -> pa.Table:
-    sigs = [text_profile_signature(t, analyzer) for t in batch[text_col].to_pylist()]
+                         out_col: str = "sig", analyzer: str = "simple",
+                         min_token_len: int = 2) -> pa.Table:
+    """Batch TextProfileSignature, value-identical to the per-row
+    text_profile_signature reference: tokenize/count/quantize/sort run as
+    arrow+numpy over the whole batch (ONE tokenize_array, ONE lexsort for
+    per-doc (token, count) runs, ONE lexsort for the (-freq, token)
+    profile order, arrow binary_join for the profile strings); only the
+    final md5 of each ≤profile-sized string stays a per-row call."""
+    import pyarrow.compute as pc
+
+    az = process_analyzer(analyzer)
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = az.tokenize_array(col)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    n = len(batch)
+    if len(flat) == 0:
+        empty_sig = hashlib.md5(b"").hexdigest()
+        sigs = [empty_sig] * n
+    else:
+        doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        # length filter (reference: len(token) >= min_token_len)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = ln >= min_token_len
+        doc = doc[keep]
+        dflat = flat.filter(pa.array(keep))
+        # per-(doc, token) counts: dict-encode, sort the dictionary so the
+        # code order IS byte order (profile tie-break), run-length count
+        denc = pc.dictionary_encode(dflat)
+        vocab = denc.dictionary
+        rank_of = pc.sort_indices(pc.sort_indices(vocab)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = rank_of[denc.indices.to_numpy(zero_copy_only=False)]
+        sorted_vocab = vocab.take(pc.sort_indices(vocab))
+        order = np.lexsort((codes, doc))
+        d_s, c_s = doc[order], codes[order]
+        new = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new)
+        g_doc, g_code = d_s[starts], c_s[starts]
+        g_cnt = np.diff(np.append(starts, len(d_s)))
+        # per-doc max freq -> quantum (floor 2 if max > 1)
+        max_freq = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_freq, g_doc, g_cnt)
+        quant = np.where(max_freq > 1,
+                         np.maximum(2, np.round(max_freq * QUANT_RATE)
+                                    .astype(np.int64)), 1)
+        q = (g_cnt // quant[g_doc]) * quant[g_doc]
+        keep2 = q >= quant[g_doc]
+        g_doc, g_code, q = g_doc[keep2], g_code[keep2], q[keep2]
+        # profile order: (doc, -freq, token byte order)
+        order2 = np.lexsort((g_code, -q, g_doc))
+        g_doc, g_code, q = g_doc[order2], g_code[order2], q[order2]
+        terms = sorted_vocab.take(pa.array(g_code))
+        entries = pc.binary_join_element_wise(
+            terms, pa.array(q.astype(str), pa.string()), " ")
+        ecnt = np.bincount(g_doc, minlength=n)
+        eoffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ecnt, out=eoffs[1:])
+        profiles = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(eoffs, pa.int32()), entries),
+            pa.scalar(" ")).to_pylist()
+        sigs = [hashlib.md5((p or "").encode()).hexdigest()
+                for p in profiles]
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, pa.array(sigs, pa.string()))
@@ -520,8 +585,36 @@ def simhash64(text: str, analyzer: str = "simple") -> np.uint64:
 
 def add_simhash(batch: pa.Table, text_col: str = "text",
                 out_col: str = "simhash", analyzer: str = "simple") -> pa.Table:
-    vals = np.array([simhash64(t, analyzer) for t in batch[text_col].to_pylist()],
-                    dtype=np.uint64)
+    """Batch SimHash, value-identical to per-row simhash64 (which stays as
+    the scalar reference): ONE tokenize_array + ONE hash_array over the
+    batch's flattened tokens, then per-bit majority votes as 64 segment
+    sums (cumsum + offset-diff — no per-doc python, no tokens x 64
+    matrix in memory)."""
+    az = process_analyzer(analyzer)
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = az.tokenize_array(col)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    n = len(batch)
+    if len(flat) == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    else:
+        hashes = pd.util.hash_array(
+            np.asarray(flat.to_pandas(), dtype=object),
+            hash_key="solr_ray_simhash")
+        ntok = np.diff(offs)
+        vals = np.zeros(n, dtype=np.uint64)
+        cs = np.empty(len(hashes) + 1, dtype=np.int64)
+        for j in range(64):
+            bit = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            cs[0] = 0
+            np.cumsum(bit, out=cs[1:])
+            ones = cs[offs[1:]] - cs[offs[:-1]]
+            v = 2 * ones - ntok  # sum of (2*bit - 1) per doc
+            vals |= (v > 0).astype(np.uint64) << np.uint64(j)
+        vals[ntok == 0] = 0
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, pa.array(vals))

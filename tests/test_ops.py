@@ -791,3 +791,27 @@ def test_null_and_empty_text_edges(ray_session):
     out = timeseries(ev_empty, "ts", "day", {"n": ("ts", "count")})
     assert out.count() == 0
     assert out.schema().names == ["bucket", "n"]
+
+
+def test_batch_simhash_and_profile_match_scalar_reference():
+    """The vectorized batch paths must stay value-identical to the per-row
+    reference implementations (which mirror the reference Java)."""
+    from solr_ray.ops.dedup import (add_simhash, add_text_profile_sig,
+                                    simhash64, text_profile_signature)
+
+    rng = np.random.default_rng(5)
+    words = ["apple", "banana", "cat", "éclair", "ñu", "a", "the", "42",
+             "go", "zz"]
+    texts = [" ".join(rng.choice(words, int(k))) if k else ""
+             for k in rng.integers(0, 40, 200)]
+    texts += ["", None, "a", "  ", "apple apple apple banana",
+              " ".join(rng.choice(words, 3000))]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got_sh = add_simhash(t, "text")["simhash"].to_numpy(
+        zero_copy_only=False)
+    want_sh = np.array([simhash64(x or "", "simple") for x in texts],
+                       dtype=np.uint64)
+    assert (got_sh == want_sh).all()
+    got_pr = add_text_profile_sig(t, "text")["sig"].to_pylist()
+    want_pr = [text_profile_signature(x or "", "simple") for x in texts]
+    assert got_pr == want_pr
