@@ -11,6 +11,10 @@ edge Dataset through a membership filter, collect the distinct destination
 nodes. Level count is small (BFS depth); per-level work is fully
 distributed; the frontier is the only driver-side state (bounded by the
 reachable-set size, same as the reference's in-memory visited set).
+
+For hub-heavy web graphs where the reachable set itself might not fit the
+driver, gather_nodes_distributed keeps frontier AND visited as Datasets
+(per-level hash joins; the driver sees only row counts).
 """
 
 from __future__ import annotations
@@ -50,6 +54,80 @@ def gather_nodes(edges, from_col: str, to_col: str, seeds, depth: int = 1):
         "node": pa.array(nodes),
         "level": pa.array([visited[n] for n in nodes], pa.int64()),
     })
+
+
+def gather_nodes_distributed(edges, from_col: str, to_col: str, seeds,
+                             depth: int = 1, num_partitions: int = 16):
+    """gather_nodes for hub-heavy graphs: the frontier and visited sets
+    stay DATASETS end-to-end — each level is a distributed hash join
+    (edges ⋈ frontier) + distinct + anti-join against visited, so a web
+    graph whose frontier explodes through a hub can never overflow the
+    driver (the only driver-side state is one row count per level).
+    Returns a Dataset(node, level); same result as gather_nodes.
+
+    Trade-off: 2 join shuffles per level vs the broadcast path's single
+    streaming filter — use gather_nodes when the reachable set comfortably
+    fits one machine, this when it might not."""
+    import ray.data
+
+    def _dedup_nodes(ds):
+        def drop_cnt(t: pa.Table) -> pa.Table:
+            return t.select(["node"])
+
+        return ds.groupby("node").count().map_batches(
+            drop_cnt, batch_format="pyarrow")
+
+    seed_nodes = sorted(set(seeds))
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array(seed_nodes),
+        "level": pa.array([0] * len(seed_nodes), pa.int64()),
+    })).materialize()
+    frontier = visited.map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow").materialize()
+
+    for level in range(1, depth + 1):
+        if frontier.count() == 0:
+            break
+        # hop: edges whose source is in the frontier (hash-partitioned
+        # join — Ray drops the right key, so join on a copy)
+        fr = frontier.map_batches(
+            lambda t: pa.table({"__f": t["node"]}),
+            batch_format="pyarrow").repartition(4)
+        hop = edges.join(fr, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=(from_col,), right_on=("__f",))
+        # repartition coalesces the aggregate's empty zero-schema blocks,
+        # which otherwise break the join's key resolution (same workaround
+        # as sql._attach_distinct_counts)
+        reached = _dedup_nodes(hop.map_batches(
+            lambda t, _c=to_col: pa.table({"node": t[_c]}),
+            batch_format="pyarrow")).repartition(num_partitions).materialize()
+        if reached.count() == 0:
+            break
+        # anti-join visited: keep only first-time nodes
+        seen = visited.map_batches(
+            lambda t: pa.table({
+                "__v": t["node"],
+                "__seen": pa.array(np.ones(len(t), np.int8))}),
+            batch_format="pyarrow").repartition(4)
+        nxt = reached.join(seen, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=("node",), right_on=("__v",))
+
+        def fresh(t: pa.Table, _lv=level) -> pa.Table:
+            t = t.filter(pc.is_null(t["__seen"]))
+            return pa.table({
+                "node": t["node"],
+                "level": pa.array(
+                    np.full(t.num_rows, _lv, np.int64))})
+
+        nxt = nxt.map_batches(fresh, batch_format="pyarrow").materialize()
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).materialize()
+        frontier = nxt.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow")
+    return visited
 
 
 def shortest_path(edges, from_col: str, to_col: str, src, dst,

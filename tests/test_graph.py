@@ -56,3 +56,29 @@ def test_graph_terms_filter(ray_session):
     assert sorted(out["u"]) == ["b", "b", "c"]  # hub 'a' (df 3) skipped
     out2 = graph_terms_filter(t, "u", ["a", "d"]).to_pandas()
     assert sorted(out2["u"]) == ["a", "a", "a", "d"]  # no df cap
+
+
+def test_gather_nodes_distributed_hub_graph(ray_session):
+    """Dataset-frontier BFS == broadcast BFS on a hub-heavy graph (one
+    node fanning out to 2000 leaves) — the shape where a driver-side
+    frontier set would balloon. No node set ever reaches the driver in
+    the distributed variant (only per-level row counts)."""
+    import pandas as pd
+
+    from solr_ray.ops.graph import gather_nodes, gather_nodes_distributed
+
+    e_from, e_to = ["s0"], ["hub"]
+    for i in range(2000):
+        e_from.append("hub")
+        e_to.append(f"leaf{i:05d}")
+    for i in range(5):
+        e_from.append(f"leaf{i:05d}")
+        e_to.append(f"deep{i}")
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"src": e_from, "dst": e_to})).repartition(8)
+    want = gather_nodes(edges, "src", "dst", ["s0"], depth=3).to_pandas()
+    got = (gather_nodes_distributed(edges, "src", "dst", ["s0"], depth=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = want.sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["level"].tolist() == want["level"].tolist()
