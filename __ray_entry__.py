@@ -702,6 +702,36 @@ def _q_train_logit(sf_dir: str):
     })
 
 
+def _q_model_actor_score(sf_dir: str):
+    """Real-model actor stage (rows-only: iterative training upstream):
+    train_logit's weights persist as an on-disk npz ARTIFACT; a
+    ModelScoreActor pool loads it ONCE PER ACTOR (__init__: artifact read
+    + vocab index + compiled analyzer) and scores batches vectorized —
+    the model-in-__init__ pattern at entry-contract level. Scores are
+    deterministic (fixed iters, zero init)."""
+    from solr_ray.ops.ml import save_model_artifact, score_with_model, train_logit
+
+    art = _idx_dir(sf_dir, "tlogit_model") + ".npz"
+    if not os.path.exists(art):
+        docs = _read(sf_dir, "documents", columns=["text", "lang"])
+        terms = ["hash", "join", "scan", "table", "merge"]
+        w, b, _ = train_logit(docs, "text", "lang", "en", terms,
+                              iters=10, lr=0.2, analyzer="whitespace")
+        os.makedirs(os.path.dirname(art), exist_ok=True)
+        save_model_artifact(art, terms, w, b, analyzer="whitespace")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = score_with_model(docs, art, concurrency=2, batch_size=128)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score_q": pc.cast(pc.floor(pc.multiply(
+                t["score"], pa.scalar(1e6))), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_hash_range_split(sf_dir: str):
     """{!hash_range} shard-split: docs in hash buckets [0, 7] of 16 over
     doc_id (HashRangeQParserPlugin). siphash isn't SQL-expressible —
@@ -2219,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "igain_features_en": _q_igain_features,
         "tlogit_score": _q_tlogit_score,
         "train_logit_en": _q_train_logit,
+        "model_actor_score": _q_model_actor_score,
         "hash_range_split": _q_hash_range_split,
         "significant_terms_en": _q_significant_terms,
         # grouping / collapse / top-k

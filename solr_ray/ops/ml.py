@@ -205,5 +205,77 @@ def classify_logit(ds, text_col: str, terms: list[str],
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def save_model_artifact(path: str, terms: list[str], weights, bias: float,
+                        analyzer: str = "whitespace") -> None:
+    """Persist a trained text-logit model as a real on-disk artifact
+    (npz: vocab + weight vector + bias + analyzer name) — the thing a
+    model registry would hand a serving fleet. Written atomically."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp.removesuffix(".npz"),
+             terms=np.asarray(terms, dtype=object).astype(str),
+             weights=np.asarray(weights, dtype=np.float64),
+             bias=np.float64(bias),
+             analyzer=np.str_(analyzer))
+    import os
+    os.replace(tmp, path)
+
+
+class ModelScoreActor:
+    """Model-in-__init__ actor stage (the pattern every model-scoring
+    map_batches stage on this engine should follow): the ARTIFACT loads
+    from disk ONCE PER ACTOR — vocab index, weight vector, compiled
+    analyzer — never per batch; __call__ is pure vectorized inference
+    (one index_in against the vocab + one scatter-add per batch, no
+    per-term scan). Use as
+    ds.map_batches(ModelScoreActor, fn_constructor_args=(path,),
+    concurrency=N, batch_size=B). With tag_actor=True each output row
+    carries the actor's uuid so tests can assert the pool is REUSED
+    (distinct tags == pool size, not batch count)."""
+
+    def __init__(self, artifact_path: str, text_col: str = "text",
+                 out_col: str = "score", tag_actor: bool = False):
+        import uuid
+
+        z = np.load(artifact_path, allow_pickle=False)
+        self.terms = [str(x) for x in z["terms"]]
+        self.weights = z["weights"].astype(np.float64)
+        self.bias = float(z["bias"])
+        self.az = process_analyzer(str(z["analyzer"]))
+        self.vocab = pa.array(self.terms, pa.string())
+        self.text_col = text_col
+        self.out_col = out_col
+        self.tag = uuid.uuid4().hex if tag_actor else None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = self.az.tokenize_array(t[self.text_col])
+        flat = toks.flatten()
+        n = len(t)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(n), counts)
+        idx = pc.index_in(flat, value_set=self.vocab)
+        iv = idx.to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(iv) if iv.dtype.kind == "f" else \
+            ~idx.is_null().to_numpy(zero_copy_only=False)
+        z = np.full(n, self.bias)
+        np.add.at(z, parent[hit], self.weights[iv[hit].astype(np.int64)])
+        t = t.append_column(self.out_col, pa.array(_sigmoid(z), pa.float64()))
+        if self.tag is not None:
+            t = t.append_column("__actor", pa.array([self.tag] * n))
+        return t
+
+
+def score_with_model(ds, artifact_path: str, text_col: str = "text",
+                     out_col: str = "score", concurrency: int = 4,
+                     batch_size: int = 1024, tag_actor: bool = False):
+    """Actor-pool model inference over a Dataset (artifact loaded once per
+    actor, vectorized per batch)."""
+    return ds.map_batches(
+        ModelScoreActor,
+        fn_constructor_args=(artifact_path, text_col, out_col, tag_actor),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
 __all__ = ["igain_features", "term_features", "train_logit",
-           "classify_logit"]
+           "classify_logit", "save_model_artifact", "ModelScoreActor",
+           "score_with_model"]

@@ -154,3 +154,29 @@ def test_add_fingerprint_batch_matches_scalar():
     t = pa.table({"text": pa.array(texts)})
     got = add_fingerprint(t)["fingerprint"].to_pylist()
     assert got == [rolling_fingerprint(x) for x in texts]
+
+
+def test_model_artifact_actor_pool_reuse(ray_session, tmp_path):
+    """The model-in-__init__ pattern: artifact loads once per ACTOR, not
+    per batch — with concurrency=2 over many blocks, the per-row actor
+    tags collapse to <=2 distinct uuids, and scores match classify_logit
+    (token-order float-sum tolerance only)."""
+    import ray.data
+
+    from solr_ray.ops.ml import (classify_logit, save_model_artifact,
+                                 score_with_model, train_logit)
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["the", "data", "table", "query"]
+    w, b, _ = train_logit(ds, "text", "lang", "en", terms, iters=3)
+    art = str(tmp_path / "model.npz")
+    save_model_artifact(art, terms, w, b)
+    out = score_with_model(ds.repartition(10), art, concurrency=2,
+                           batch_size=16, tag_actor=True).to_pandas()
+    ref = classify_logit(ds, "text", terms, list(w), b).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(out["score"].to_numpy(), ref["score"].to_numpy(),
+                       atol=1e-12)
+    n_batches = max(1, len(out) // 16)
+    assert len(set(out["__actor"])) <= 2 < n_batches
