@@ -141,6 +141,24 @@ def _sort_spec(by: str):
     return cols, desc
 
 
+# hashJoin's `hashed` side / fetch's lookup table read fully into driver
+# memory — exactly HashJoinStream.java:35-56 / FetchStream semantics — so
+# cap them: a clear error beats a silent driver OOM at corpus scale.
+_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _guarded_small_side(ds, what: str, max_rows: int = _BROADCAST_MAX_ROWS):
+    """Materialize a deliberately-small side to pandas, refusing past
+    max_rows with a pointer to the distributed alternative."""
+    head = ds.limit(max_rows + 1).to_pandas()
+    if len(head) > max_rows:
+        raise ValueError(
+            f"{what} exceeds {max_rows} rows; it is broadcast to the "
+            "driver by design (HashJoinStream semantics) — use "
+            "innerJoin/leftOuterJoin (distributed shuffle join) instead")
+    return head
+
+
 def eval_expr(text: str, tables: dict):
     """Evaluate an expression string; tables maps source names to Datasets."""
     return _eval(parse_expr(text), tables)
@@ -244,7 +262,8 @@ def _eval(node, tables: dict):
         left = _eval(args[0], tables)
         right = _eval(kw["hashed"], tables) if isinstance(kw["hashed"], _Call) \
             else tables[kw["hashed"]]
-        return broadcast_hash_join(left, right.to_pandas(), kw["on"])
+        return broadcast_hash_join(
+            left, _guarded_small_side(right, "hashJoin 'hashed'"), kw["on"])
 
     if name in ("innerJoin", "leftOuterJoin"):
         from solr_ray.ops.joins import shuffle_join
@@ -285,7 +304,7 @@ def _eval(node, tables: dict):
     if name == "fetch":
         from solr_ray.ops.joins import fetch_fields
 
-        lookup = tables[args[0]].to_pandas()
+        lookup = _guarded_small_side(tables[args[0]], "fetch lookup")
         ds = _eval(args[1], tables)
         fields = [c.strip() for c in kw["fl"].split(",")]
         return fetch_fields(ds, lookup, kw["on"], fields)

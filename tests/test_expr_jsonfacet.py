@@ -179,3 +179,15 @@ def test_select_evaluator_calls(ray_session):
     assert out.a2.tolist() == [2.0, 4.0, 6.0]
     assert out.slen.tolist() == [1, 2, 3]
     assert out.keep_a.tolist() == [1.0, 2.0, 3.0]
+
+
+def test_broadcast_side_guard(ray_session):
+    import ray.data
+
+    from solr_ray.expr import _guarded_small_side
+
+    big = ray.data.range(100)
+    with pytest.raises(ValueError, match="broadcast to the driver"):
+        _guarded_small_side(big, "hashJoin 'hashed'", max_rows=50)
+    ok = _guarded_small_side(big, "fetch lookup", max_rows=100)
+    assert len(ok) == 100
