@@ -1774,6 +1774,19 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # RIGHT/FULL OUTER joins (Ray right_outer/full_outer; both real key
+    # columns survive with ANSI nulls via the two-sided key-copy trick)
+    "sql_right_join": ("SELECT c.c_name, COUNT(o.o_orderkey) AS cnt "
+                       "FROM orders o "
+                       "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey "
+                       "GROUP BY c.c_name ORDER BY cnt DESC, c_name "
+                       "LIMIT 100"),
+    "sql_full_join": ("SELECT COUNT(*) AS n_rows, "
+                      "COUNT(o.o_orderkey) AS n_ord, "
+                      "COUNT(c.c_custkey) AS n_cust "
+                      "FROM customer c "
+                      "FULL OUTER JOIN orders o "
+                      "ON c.c_custkey = o.o_custkey"),
     # IN (SELECT ...) semi-join: subquery runs distributed, distinct keys
     # broadcast into the filter (ops/joins.py:58 shape)
     "sql_in_subquery": ("SELECT o_orderkey, o_totalprice FROM orders "

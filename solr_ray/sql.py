@@ -70,8 +70,8 @@ _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
-             "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "OUTER",
-             "DISTINCT"}
+             "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
+             "OUTER", "DISTINCT"}
 
 
 def _tokenize(sql: str):
@@ -336,13 +336,13 @@ class _Parser:
         self.eat("kw", "FROM")
         table, alias = self.table_ref()
         joins = []
-        while self.at_kw("JOIN", "INNER", "LEFT"):
+        while self.at_kw("JOIN", "INNER", "LEFT", "RIGHT", "FULL"):
             how = "inner"
             if self.at_kw("INNER"):
                 self.eat()
-            elif self.at_kw("LEFT"):
-                self.eat()
-                how = "left_outer"
+            elif self.at_kw("LEFT", "RIGHT", "FULL"):
+                how = {"LEFT": "left_outer", "RIGHT": "right_outer",
+                       "FULL": "full_outer"}[self.eat()]
                 if self.at_kw("OUTER"):
                     self.eat()
             self.eat("kw", "JOIN")
@@ -677,18 +677,29 @@ def _plan_joins(plan, tables, num_partitions: int = 16):
             # ON b.y = a.x order: swap sides
             lk_q = _resolve_name(rk, qualified, side_bare(qualified))
             rk_q = _resolve_name(lk, rqual, side_bare(rqual))
-        # Ray's join DROPS the right key column; join on a throwaway copy
-        # so the real right key survives (and is correctly NULL for
-        # unmatched left_outer rows)
-        jk = f"__jk{ji}"
+        # Ray's join consumes key columns asymmetrically (drops the right
+        # key on inner/left_outer, the LEFT key on right_outer, coalesces
+        # both into the left on full_outer) — join on throwaway copies on
+        # BOTH sides so the real key columns always survive with ANSI
+        # nulls for unmatched rows, then drop whichever copies remain.
+        lcopy, rcopy = f"__lk{ji}", f"__jk{ji}"
 
-        def add_key(t: pa.Table, _rk=rk_q, _jk=jk) -> pa.Table:
-            return t.append_column(_jk, t[_rk])
+        def add_lkey(t: pa.Table, _k=lk_q, _c=lcopy) -> pa.Table:
+            return t.append_column(_c, t[_k])
 
-        rds = rds.map_batches(add_key, batch_format="pyarrow")
+        def add_rkey(t: pa.Table, _k=rk_q, _c=rcopy) -> pa.Table:
+            return t.append_column(_c, t[_k])
+
+        ds = ds.map_batches(add_lkey, batch_format="pyarrow")
+        rds = rds.map_batches(add_rkey, batch_format="pyarrow")
         ds = ds.join(rds, join_type=j["how"],
                      num_partitions=num_partitions,
-                     on=(lk_q,), right_on=(jk,))
+                     on=(lcopy,), right_on=(rcopy,))
+
+        def drop_copies(t: pa.Table, _c=(lcopy, rcopy)) -> pa.Table:
+            return t.drop_columns([c for c in _c if c in t.column_names])
+
+        ds = ds.map_batches(drop_copies, batch_format="pyarrow")
         if ji < len(plan["joins"]) - 1:
             # barrier between chained joins: each join's aggregator-actor
             # pool releases before the next one spins up (two concurrent

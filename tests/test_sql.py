@@ -348,3 +348,37 @@ def test_subquery_errors(ray_session, table):
                     "(SELECT id, val FROM t)", tables).to_pandas()
     with pytest.raises(ValueError):  # SUBSTR start must be literal
         execute_sql("SELECT SUBSTR(name, val) AS x FROM t", tables)
+
+
+def test_right_and_full_outer_join(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": pa.array(rng.integers(0, 30, 200)),
+                     "a": pa.array(np.arange(200))})
+    right = pa.table({"rk": pa.array(rng.integers(10, 40, 100)),
+                      "b": pa.array(np.arange(100) + 1000)})
+    tables = {"l": ray.data.from_arrow(left), "r": ray.data.from_arrow(right)}
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for sql, sort_cols in [
+        ("SELECT l.k, l.a, r.b FROM l RIGHT JOIN r ON l.k = r.rk",
+         ["b", "a"]),
+        ("SELECT l.k, r.rk, l.a, r.b FROM l FULL OUTER JOIN r "
+         "ON l.k = r.rk", ["a", "b"]),
+        ("SELECT r.rk, COUNT(l.a) AS n FROM l RIGHT OUTER JOIN r "
+         "ON l.k = r.rk GROUP BY r.rk ORDER BY rk", ["rk"]),
+    ]:
+        got = execute_sql(sql, tables).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
+        want = con.execute(sql).df().sort_values(
+            sort_cols).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want), sql
+        for c in got.columns:
+            gn = got[c].isna().to_numpy()
+            assert (gn == want[c].isna().to_numpy()).all(), (sql, c)
+            assert np.allclose(got[c][~gn].to_numpy().astype(float),
+                               want[c][~gn].to_numpy().astype(float)), (sql, c)
+    con.close()
