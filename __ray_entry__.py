@@ -1774,6 +1774,13 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # window functions: 64-bucket partition shuffle + vectorized rank pass
+    "sql_window_rank": ("SELECT o_orderkey, o_custkey, "
+                        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+                        "ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
+                        "RANK() OVER (PARTITION BY o_custkey "
+                        "ORDER BY o_orderpriority) AS pr "
+                        "FROM orders ORDER BY o_orderkey LIMIT 500"),
     # RIGHT/FULL OUTER joins (Ray right_outer/full_outer; both real key
     # columns survive with ANSI nulls via the two-sided key-copy trick)
     "sql_right_join": ("SELECT c.c_name, COUNT(o.o_orderkey) AS cnt "

@@ -29,7 +29,10 @@ Grammar (case-insensitive keywords):
     expr  := full arithmetic over columns/literals with + - * / and unary
              minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
              scalar functions UPPER|LOWER|LENGTH|SUBSTR|SUBSTRING|TRIM|
-             FLOOR|CEIL|ABS, and aggregates COUNT(*) | COUNT(DISTINCT col) |
+             FLOOR|CEIL|ABS, window functions ROW_NUMBER|RANK|DENSE_RANK
+             () OVER (PARTITION BY cols ORDER BY col [DESC][, ...])
+             (ranking only; frame aggregates live in ops/windows.py's
+             sliding_window), and aggregates COUNT(*) | COUNT(DISTINCT col) |
              COUNT|SUM|AVG|MIN|MAX(expr) as leaves
              (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
              `/` is ANSI float division, matching DuckDB)
@@ -66,12 +69,13 @@ _TOKEN = re.compile(r"""
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _SCALAR_FNS = {"UPPER", "LOWER", "LENGTH", "SUBSTR", "SUBSTRING", "TRIM",
                "FLOOR", "CEIL", "ABS"}
+_WINDOW_FNS = {"ROW_NUMBER", "RANK", "DENSE_RANK"}
 _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
-             "OUTER", "DISTINCT"}
+             "OUTER", "DISTINCT", "OVER", "PARTITION"}
 
 
 def _tokenize(sql: str):
@@ -133,9 +137,10 @@ class _Parser:
         if self.at_kw("AS"):
             self.eat()
             item["alias"] = self.eat("name")
-        elif item["kind"] == "expr":
-            raise ValueError("expression select items require AS <alias> "
-                             "(keeps Ray and oracle column names identical)")
+        elif item["kind"] in ("expr", "win"):
+            raise ValueError("expression/window select items require "
+                             "AS <alias> (keeps Ray and oracle column "
+                             "names identical)")
         return item
 
     # ---- expressions (select list): + - * / with unary minus,
@@ -184,6 +189,34 @@ class _Parser:
                 raise ValueError(f"unsupported CAST type {ty!r}")
             self.eat("punct", ")")
             return {"kind": "cast", "inner": inner, "type": ty}
+        if up in _WINDOW_FNS and self.peek() == ("punct", "("):
+            self.eat()
+            self.eat("punct", ")")
+            self.eat("kw", "OVER")
+            self.eat("punct", "(")
+            partition: list[str] = []
+            if self.at_kw("PARTITION"):
+                self.eat()
+                self.eat("kw", "BY")
+                partition = [self.eat("name")]
+                while self.peek() == ("punct", ","):
+                    self.eat()
+                    partition.append(self.eat("name"))
+            self.eat("kw", "ORDER")
+            self.eat("kw", "BY")
+            worder: list[tuple[str, bool]] = []
+            while True:
+                c = self.eat("name")
+                d = False
+                if self.at_kw("ASC", "DESC"):
+                    d = self.eat() == "DESC"
+                worder.append((c, d))
+                if self.peek() != ("punct", ","):
+                    break
+                self.eat()
+            self.eat("punct", ")")
+            return {"kind": "win", "fn": up, "partition": partition,
+                    "order": worder}
         if up in _SCALAR_FNS and self.peek() == ("punct", "("):
             self.eat()
             args = [self.expr()]
@@ -417,6 +450,8 @@ def _normalize_item(node: dict) -> dict:
     else is an `expr` item that must be aliased."""
     if node["kind"] == "col":
         return {"kind": "col", "col": node["col"]}
+    if node["kind"] == "win":
+        return dict(node)  # alias enforced by select_item
     if node["kind"] == "agg" and (
             node["arg"] == "*" or node["arg"]["kind"] == "col"):
         col = "*" if node["arg"] == "*" else node["arg"]["col"]
@@ -750,6 +785,78 @@ def _attach_distinct_counts(ds, src, group, items):
     return ds
 
 
+def _attach_window_columns(ds, win_items: list[dict]):
+    """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY p ORDER BY s):
+    rows shuffle into 64 hash buckets of whole partitions (each partition
+    lives in exactly one bucket — co-location without one UDF call per
+    partition), then ONE vectorized pandas pass per bucket sorts by
+    (partition, order keys) and computes every requested window column
+    from cumcounts + new-rank boundaries. Window frames (SUM(...) OVER
+    ROWS BETWEEN ...) are deliberately out of scope — ops/windows.py's
+    sliding_window is that operator. ROW_NUMBER over duplicate order
+    keys is nondeterministic in ANSI too; use a unique tie-break key."""
+    import pandas as pd
+
+    num_buckets = 64
+    # one shuffle can serve every item sharing the same PARTITION BY
+    part_key = tuple(win_items[0]["partition"])
+    if any(tuple(it["partition"]) != part_key for it in win_items[1:]):
+        raise ValueError("window functions in one SELECT must share the "
+                         "same PARTITION BY")
+    if not part_key:
+        raise ValueError("window functions need PARTITION BY (a global "
+                         "window is a driver bottleneck by construction)")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        key = pd.util.hash_pandas_object(
+            t.select(list(part_key)).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__wb", pa.array((key % num_buckets).astype(np.int64)))
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.drop(columns=["__wb"])
+        out = g
+        for it in win_items:
+            ocols = [c for c, _ in it["order"]]
+            asc = [not d for _, d in it["order"]]
+            s = out.sort_values([*part_key, *ocols],
+                                ascending=[True] * len(part_key) + asc,
+                                kind="stable")
+            grp = s.groupby(list(part_key), sort=False)
+            rn = (grp.cumcount() + 1).to_numpy()
+            if it["fn"] == "ROW_NUMBER":
+                vals = rn
+            else:
+                first = rn == 1
+                same_ord = np.ones(len(s), dtype=bool)
+                if len(s) > 1:
+                    eq = np.ones(len(s) - 1, dtype=bool)
+                    for c in ocols:
+                        v = s[c].to_numpy()
+                        eq &= v[1:] == v[:-1]
+                    same_ord[1:] = eq
+                is_new = first | ~same_ord
+                if it["fn"] == "RANK":
+                    vals = pd.Series(np.where(is_new, rn, np.nan)
+                                     ).ffill().to_numpy().astype(np.int64)
+                else:  # DENSE_RANK
+                    cum = np.cumsum(is_new)
+                    start = np.where(first, cum - 1, np.nan)
+                    base = pd.Series(start).ffill().to_numpy()
+                    vals = (cum - base).astype(np.int64)
+            s[it["alias"]] = vals
+            out = s
+        return out
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__wb").map_groups(windows, batch_format="pandas"))
+
+
 _SUBQUERY_MAX_KEYS = 2_000_000
 
 
@@ -834,6 +941,11 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
                     it["col"] = _resolve_name(it["col"], qualified, bare)
             elif it["kind"] == "expr":
                 it["node"] = _resolve_expr(it["node"], qualified, bare)
+            elif it["kind"] == "win":
+                it["partition"] = [_resolve_name(c, qualified, bare)
+                                   for c in it["partition"]]
+                it["order"] = [(_resolve_name(c, qualified, bare), d)
+                               for c, d in it["order"]]
             items.append(it)
         plan["items"] = items
         out_names = [it.get("alias") or (it["col"] if it["kind"] == "col"
@@ -851,6 +963,15 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
 
     src_ds = ds  # post-WHERE input (COUNT(DISTINCT) re-reads this)
     items = plan["items"]
+    win_items = [it for it in items if it["kind"] == "win"]
+    if win_items:
+        if plan["group"] or any(it["kind"] == "agg" for it in items):
+            raise ValueError("window functions cannot mix with GROUP BY "
+                             "or aggregates")
+        ds = _attach_window_columns(ds, win_items)
+        # downstream, a computed window column behaves like a bare column
+        items = [({"kind": "col", "col": it["alias"], "alias": it["alias"]}
+                  if it["kind"] == "win" else it) for it in items]
     expr_items = [it for it in items if it["kind"] == "expr"]
     simple_aggs = [it for it in items
                    if it["kind"] == "agg" and not it.get("distinct")]

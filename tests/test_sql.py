@@ -382,3 +382,27 @@ def test_right_and_full_outer_join(ray_session):
             assert np.allclose(got[c][~gn].to_numpy().astype(float),
                                want[c][~gn].to_numpy().astype(float)), (sql, c)
     con.close()
+
+
+def test_window_functions(ray_session, table):
+    import ray.data
+
+    for sql in [
+        "SELECT id, grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id)"
+        " AS rn FROM t ORDER BY id LIMIT 300",
+        "SELECT id, RANK() OVER (PARTITION BY grp ORDER BY val) AS r, "
+        "DENSE_RANK() OVER (PARTITION BY grp ORDER BY val) AS dr "
+        "FROM t ORDER BY id LIMIT 300",
+        "SELECT id, ROW_NUMBER() OVER (PARTITION BY kind "
+        "ORDER BY val DESC, id) AS rn FROM t WHERE val < 500 "
+        "ORDER BY id LIMIT 200",
+    ]:
+        _assert_same(*_both(sql, table))
+    tables = {"t": ray.data.from_arrow(table)}
+    with pytest.raises(ValueError):  # no mixing with aggregates
+        execute_sql("SELECT grp, COUNT(*) AS n, ROW_NUMBER() OVER "
+                    "(PARTITION BY grp ORDER BY grp) AS rn FROM t "
+                    "GROUP BY grp", tables)
+    with pytest.raises(ValueError):  # alias required
+        parse_sql("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY i) "
+                  "FROM t")
