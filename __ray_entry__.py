@@ -780,6 +780,54 @@ def _q_let_moving_avg(sf_dir: str):
         {"events": ev})
 
 
+def _q_let_fft_daily(sf_dir: str):
+    """Lang fft()/ifft() in the DSL over the daily event-count series
+    (rows-only: no SQL DFT). The ifft roundtrip column doubles as an
+    internal exactness check."""
+    from solr_ray.expr import eval_expr
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+    out = eval_expr(
+        'let(d=timeseries(events, ts="ts", gap="day", count(*)), '
+        'c=col(d, "count(*)"), f=fft(c), back=ifft(f), '
+        'zip(re=valueRow(f, 0), im=valueRow(f, 1), back=back))',
+        {"events": ev})
+    return out
+
+
+def _q_dbscan_embeddings(sf_dir: str):
+    """Lang dbscan() over the embeddings matrix (deterministic labels in
+    row order; rows-only — no SQL density clustering)."""
+    from solr_ray.functions.mathx import dbscan
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    labels = dbscan(m, eps=0.9, min_pts=3)
+    return pa.table({
+        "vec_id": pa.array(emb["vec_id"].to_numpy()),
+        "cluster": pa.array(labels, pa.int64()),
+    })
+
+
+def _q_markov_sample(sf_dir: str):
+    """markovChain() + seeded sample(): deterministic 3-state walk with
+    the visited-state histogram (rows-only: seeded RNG, no SQL form)."""
+    from solr_ray.functions.mathx import markov_chain, sample
+
+    chain = markov_chain([[0.7, 0.2, 0.1],
+                          [0.3, 0.4, 0.3],
+                          [0.2, 0.3, 0.5]], state=0)
+    walk = sample(chain, 10_000, seed=42)
+    states, counts = np.unique(walk.astype(np.int64), return_counts=True)
+    return pa.table({
+        "state": pa.array(states, pa.int64()),
+        "visits": pa.array(counts, pa.int64()),
+    })
+
+
 def _q_regress_lineitem(sf_dir: str):
     """Lang regress()/corr()/cov() as ONE distributed pass: exact integer
     moment sums (quantity grid 1, price grid cents) -> closed-form OLS.
@@ -2258,6 +2306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regress_lineitem": _q_regress_lineitem,
         "let_corr_predict": _q_let_corr_predict,
         "let_moving_avg": _q_let_moving_avg,
+        "let_fft_daily": _q_let_fft_daily,
+        "dbscan_embeddings": _q_dbscan_embeddings,
+        "markov_sample": _q_markov_sample,
         "hist_quantity": _q_hist_quantity,
         "moving_avg_events": _q_moving_avg_events,
         "relatedness_source": _q_relatedness_source,

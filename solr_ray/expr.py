@@ -377,8 +377,16 @@ def _let_fns():
         "mannWhitney": mx.mann_whitney, "anova": mx.anova,
         "chiSquare": mx.chi_square,
         "knn": mx.knn_rows, "knnRegress": mx.knn_regress,
+        "fft": mx.fft, "ifft": mx.ifft, "convolve": mx.convolve,
+        "dbscan": mx.dbscan, "sample": mx.sample,
+        "normalDistribution": mx.normal_distribution,
+        "uniformDistribution": mx.uniform_distribution,
+        "empiricalDistribution": mx.empirical_distribution,
+        "markovChain": mx.markov_chain,
+        "mean": lambda a: float(np.mean(np.asarray(a, dtype=np.float64))),
         "quantize": quantize,
         "copyOfRange": lambda a, lo, hi: np.asarray(a)[int(lo):int(hi)],
+        "valueRow": lambda m, i: np.asarray(m)[int(i)],
         "length": lambda a: len(a),
         "valueAt": lambda a, i: np.asarray(a)[int(i)].item(),
         "array": lambda *xs: np.asarray(xs, dtype=np.float64),

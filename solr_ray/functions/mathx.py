@@ -620,6 +620,126 @@ def dataset_hist(ds, col: str, bins: int, lo: int, hi: int,
     })
 
 
+# ------------------------------------------------- signal / simulation tier
+# Lang.java's remaining evaluator families (fft, convolution, dbscan, the
+# distribution/sampling block, markovChain). Sampling is SEEDED numpy
+# Generator draws, so every "random" evaluator is deterministic and
+# testable — the reference's unseeded Commons-Math RNG is the one
+# deliberate divergence (an unseeded evaluator can't be oracled).
+
+def fft(a):
+    """FFTEvaluator: returns a 2-row matrix [real, imag] of the DFT."""
+    z = np.fft.fft(np.asarray(a, dtype=np.float64))
+    return np.vstack([z.real, z.imag])
+
+
+def ifft(m):
+    """IFFTEvaluator: inverse DFT of a [real, imag] 2-row matrix ->
+    real array."""
+    m = np.asarray(m, dtype=np.float64)
+    return np.fft.ifft(m[0] + 1j * m[1]).real
+
+
+def convolve(a, b):
+    """ConvolutionEvaluator: full discrete convolution."""
+    return np.convolve(np.asarray(a, dtype=np.float64),
+                       np.asarray(b, dtype=np.float64))
+
+
+def dbscan(m, eps: float, min_pts: int, distance: str = "euclidean"):
+    """DBSCANEvaluator: density clustering over matrix rows. Returns one
+    cluster label per row (-1 = noise), clusters numbered in discovery
+    order — deterministic for a given row order. O(n^2) pairwise
+    distances: the let()-tier contract is a small in-memory matrix (use
+    ops/similarity for corpus-scale neighbor search)."""
+    x = np.asarray(m, dtype=np.float64)
+    n = len(x)
+    if distance == "euclidean":
+        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+        neigh = d2 <= eps * eps
+    elif distance == "manhattan":
+        d = np.abs(x[:, None, :] - x[None, :, :]).sum(axis=2)
+        neigh = d <= eps
+    else:
+        raise ValueError(f"unsupported distance {distance!r}")
+    counts = neigh.sum(axis=1)
+    core = counts >= min_pts
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        seeds = [i]
+        labels[i] = cluster
+        while seeds:
+            j = seeds.pop()
+            if not core[j]:
+                continue
+            for k in np.flatnonzero(neigh[j]):
+                if labels[k] == -1:
+                    labels[k] = cluster
+                    if core[k]:
+                        seeds.append(int(k))
+        cluster += 1
+    return labels
+
+
+def normal_distribution(mu: float, sigma: float) -> dict:
+    return {"dist": "normal", "mu": float(mu), "sigma": float(sigma)}
+
+
+def uniform_distribution(lo: float, hi: float) -> dict:
+    return {"dist": "uniform", "lo": float(lo), "hi": float(hi)}
+
+
+def empirical_distribution(a) -> dict:
+    return {"dist": "empirical",
+            "values": np.asarray(a, dtype=np.float64)}
+
+
+def sample(dist: dict, n: int, seed: int = 0):
+    """SampleEvaluator with a SEED (determinism > fidelity to the
+    reference's unseeded RNG; Monte-Carlo estimates compose from this +
+    the vector algebra, e.g. mean(ebeMultiply(sample(...), ...)))."""
+    rng = np.random.default_rng(int(seed))
+    n = int(n)
+    if dist["dist"] == "normal":
+        return rng.normal(dist["mu"], dist["sigma"], n)
+    if dist["dist"] == "uniform":
+        return rng.uniform(dist["lo"], dist["hi"], n)
+    if dist["dist"] == "empirical":
+        return rng.choice(dist["values"], size=n, replace=True)
+    if dist["dist"] == "markov":
+        return _markov_walk(dist, n, rng).astype(np.float64)
+    raise ValueError(f"unknown distribution {dist['dist']!r}")
+
+
+def markov_chain(transitions, state: int = 0) -> dict:
+    """MarkovChainEvaluator: a transition-matrix walk; sample(chain, n,
+    seed) yields the visited state sequence (as floats, per the Lang
+    number contract)."""
+    t = np.asarray(transitions, dtype=np.float64)
+    if t.ndim != 2 or t.shape[0] != t.shape[1]:
+        raise ValueError("markovChain needs a square transition matrix")
+    rows = t.sum(axis=1, keepdims=True)
+    if np.any(rows <= 0):
+        raise ValueError("every state needs an outgoing probability")
+    return {"dist": "markov", "t": t / rows, "state": int(state)}
+
+
+def _markov_walk(dist: dict, n: int, rng) -> np.ndarray:
+    t, s = dist["t"], dist["state"]
+    k = t.shape[0]
+    cum = np.cumsum(t, axis=1)
+    draws = rng.random(n)
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        s = int(np.searchsorted(cum[s], draws[i]))
+        s = min(s, k - 1)
+        out[i] = s
+    return out
+
+
 def register_evaluators():
     """Expose the array tier to streaming select() for list<double>
     columns (per-row application, the Lang evaluator contract)."""

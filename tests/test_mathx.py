@@ -265,3 +265,74 @@ def test_ttest_identical_groups_high_p():
     a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     r = mx.ttest(a, list(a))
     assert abs(r["t"]) < 1e-12 and r["p"] > 0.999
+
+
+# ------------------------------------------- signal / simulation tier (r4)
+
+def test_fft_ifft_roundtrip_and_values():
+    from solr_ray.functions.mathx import fft, ifft
+
+    a = np.array([1.0, 2.0, 0.5, -1.0, 3.0, 0.0, -2.0, 1.5])
+    m = fft(a)
+    assert m.shape == (2, 8)
+    z = np.fft.fft(a)
+    assert np.allclose(m[0], z.real) and np.allclose(m[1], z.imag)
+    assert np.allclose(ifft(m), a)
+
+
+def test_convolve_matches_numpy():
+    from solr_ray.functions.mathx import convolve
+
+    a, b = [1, 2, 3], [0.5, 1]
+    assert np.allclose(convolve(a, b), np.convolve(a, b))
+
+
+def test_dbscan_planted_clusters():
+    from solr_ray.functions.mathx import dbscan
+
+    rng = np.random.default_rng(0)
+    c1 = rng.normal(0, 0.1, (20, 2))
+    c2 = rng.normal(5, 0.1, (20, 2))
+    noise = np.array([[2.5, 2.5]])
+    m = np.vstack([c1, c2, noise])
+    labels = dbscan(m, eps=0.5, min_pts=4)
+    assert len(set(labels[:20])) == 1 and labels[0] != -1
+    assert len(set(labels[20:40])) == 1 and labels[20] != labels[0]
+    assert labels[40] == -1  # isolated point is noise
+
+
+def test_sample_seeded_deterministic():
+    from solr_ray.functions.mathx import (normal_distribution, sample,
+                                          uniform_distribution)
+
+    d = normal_distribution(10, 2)
+    a, b = sample(d, 1000, seed=7), sample(d, 1000, seed=7)
+    assert np.array_equal(a, b)
+    assert abs(a.mean() - 10) < 0.3 and abs(a.std() - 2) < 0.3
+    u = sample(uniform_distribution(0, 1), 500, seed=3)
+    assert ((u >= 0) & (u < 1)).all()
+
+
+def test_markov_chain_stationary():
+    from solr_ray.functions.mathx import markov_chain, sample
+
+    # 2-state chain with stationary distribution (2/3, 1/3)
+    chain = markov_chain([[0.8, 0.2], [0.4, 0.6]], state=0)
+    walk = sample(chain, 30_000, seed=11)
+    frac1 = float(np.mean(walk == 1.0))
+    assert abs(frac1 - 1.0 / 3.0) < 0.02
+    assert np.array_equal(walk, sample(chain, 30_000, seed=11))
+
+
+def test_let_exposes_signal_evaluators(ray_session):
+    import ray.data
+
+    from solr_ray.expr import eval_expr
+
+    t = pa.table({"v": pa.array(np.arange(8, dtype=np.float64))})
+    out = eval_expr(
+        'let(d=search(t), a=col(d, v), f=fft(a), back=ifft(f), '
+        'tuple(orig=a, back=back))',
+        {"t": ray.data.from_arrow(t)})
+    row = out.to_pandas().iloc[0]
+    assert np.allclose(row["orig"], row["back"])
