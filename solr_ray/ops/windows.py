@@ -432,11 +432,43 @@ def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
                  .map_groups(sessions, batch_format="pandas")
                  .materialize())  # two consumers: interior + boundary
     interior = per_slice.map_batches(take_interior, batch_format="pyarrow")
-    stitched = (per_slice.map_batches(take_boundary, batch_format="pyarrow")
-                .groupby("__sbucket")
-                .map_groups(stitch, batch_format="pandas"))
-    return interior.union(stitched).map_batches(
-        finish, batch_format="pyarrow")
+    boundary = per_slice.map_batches(take_boundary, batch_format="pyarrow")
+
+    # Stitch path is gated like combiner_groupby's merge: boundary rows
+    # are SESSION rows (<= 2 x keys x slices, independent of event
+    # count) — under the gate, one driver numpy chain-merge replaces a
+    # whole Ray sort-shuffle (~2-4 s fixed cost on tiny inputs);
+    # above it, the distributed groupby(__sbucket) stitch runs.
+    import ray
+    import ray.data
+
+    gate = 5_000_000
+    parts, total = [], 0
+    for ref in boundary.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        parts.append(t)
+        total += t.num_rows
+        if total > gate:
+            parts = None
+            break
+    if parts is None:
+        stitched = (boundary.groupby("__sbucket")
+                    .map_groups(stitch, batch_format="pandas"))
+    else:
+        if parts:
+            b = pa.concat_tables(parts)
+            df = stitch(b.to_pandas())
+            stitched = ray.data.from_arrow(pa.Table.from_pandas(
+                df, preserve_index=False))
+        else:
+            stitched = None
+    if stitched is None:
+        out = interior
+    else:
+        out = interior.union(stitched)
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 class TopicCheckpoint:
