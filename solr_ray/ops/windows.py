@@ -302,12 +302,37 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
         return t.filter(pc.or_(t["__head"], t["__tail"]))
 
     settled = per_slice.map_batches(take_settled, batch_format="pyarrow")
-    fixed = (per_slice.map_batches(take_boundary, batch_format="pyarrow")
-             .groupby("__wbucket")
-             .map_groups(fixup, batch_format="pandas")
-             .map_batches(lambda t, _k=keep: t.select(list(_k)),
-                          batch_format="pyarrow"))
-    return settled.union(fixed)
+    boundary = per_slice.map_batches(take_boundary, batch_format="pyarrow")
+
+    # fix-up rows are O(n x keys x slices), independent of slice size —
+    # under the gate one driver pandas pass replaces the Ray sort-shuffle's
+    # multi-second fixed cost (same gating as session_windows' stitch)
+    import ray
+    import ray.data
+
+    gate = 5_000_000
+    parts, total = [], 0
+    for ref in boundary.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        parts.append(t)
+        total += t.num_rows
+        if total > gate:
+            parts = None
+            break
+    if parts is None:
+        fixed = (boundary.groupby("__wbucket")
+                 .map_groups(fixup, batch_format="pandas")
+                 .map_batches(lambda t, _k=keep: t.select(list(_k)),
+                              batch_format="pyarrow"))
+    elif parts:
+        df = fixup(pa.concat_tables(parts).to_pandas())
+        fixed = ray.data.from_arrow(pa.Table.from_pandas(
+            df[list(keep)], preserve_index=False))
+    else:
+        fixed = None
+    return settled.union(fixed) if fixed is not None else settled
 
 
 def session_windows(ds, key_col: str, ts_col: str, gap_us: int,

@@ -6,7 +6,8 @@ ComplexPhraseQParserPlugin.java, SurroundQParserPlugin.java): each clause
 is a term or a prefix wildcard (``pre*``); the query matches docs where one
 occurrence of every clause appears within ``slop`` extra positions,
 ordered (in_order=True, complexphrase "a* b"~n) or unordered (surround
-``n``/``w`` operators, up to 5 clauses).
+``n``/``w`` operators; beyond 5 clauses the match routes through the
+exact minimal-interval sweep of search/intervals.py).
 
 Matching is fully vectorized on flat (doc, position) keys, the same
 encoding the phrase matcher uses (searcher._segment_phrase_match):
@@ -18,7 +19,10 @@ encoding the phrase matcher uses (searcher._segment_phrase_match):
 - unordered (up to 5 clauses): anchor on clause 0, enumerate per-clause
   nearest-left/right combos (exact — an optimal window always uses a
   nearest occurrence); match iff min window span - (k-1) <= slop; tf
-  counts the qualifying anchor positions.
+  counts the qualifying anchor positions. Beyond 5 clauses the 2^(k-1)
+  enumeration gives way to I.maxgaps(I.unordered(...), slop) — same
+  match set (gaps = window width - k on both sides); tf becomes the
+  minimal-interval count.
 
 Scoring is PhraseQuery-style BM25: tf = span frequency, idf = sum over
 clauses of idf(union doc freq). Union dfs are exact across segments
@@ -172,8 +176,16 @@ def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
     """
     if len(clauses) < 2:
         raise ValueError("span_near_search needs >= 2 clauses")
-    if not in_order and len(clauses) > 5:
-        raise ValueError("unordered span supports at most 5 clauses")
+    use_intervals = not in_order and len(clauses) > 5
+    if use_intervals:
+        # anchor-combo enumeration is 2^(k-1); beyond 5 clauses route
+        # through the exact O(n·k) minimal-interval edge sweep
+        # (search/intervals.py — Lucene's modern replacement for spans).
+        # Match SET is identical; tf = minimal-interval count (the
+        # intervals contract) instead of anchor-span count.
+        from solr_ray.search.intervals import I, segment_intervals
+
+        iexpr = I.maxgaps(I.unordered(*clauses), slop)
 
     # pass 1 (one decode per segment): matches + exact union dfs. Only the
     # tiny per-segment MATCH arrays are retained — the decoded position
@@ -191,7 +203,13 @@ def span_near_search(reader, clauses: list[str], slop: int, k: int = 10,
                 union_df[ci] += np.unique(kk // mult).size
         if any(kk.size == 0 for kk in keys):
             continue
-        if in_order:
+        if use_intervals:
+            s, _e, _w = segment_intervals(seg, iexpr)
+            imult = np.int64(int(seg.dl.max(initial=0)) + 2)
+            ids, tfs = (np.unique(s // imult, return_counts=True)
+                        if s.size else (np.empty(0, np.int64),
+                                        np.empty(0, np.int64)))
+        elif in_order:
             ids, tfs = _ordered_matches(keys, slop, mult)
         elif len(keys) == 2:
             ids, tfs = _unordered_matches_2(keys[0], keys[1], slop, mult)

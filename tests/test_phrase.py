@@ -197,10 +197,12 @@ def test_span_errors(span_idx):
     r = IndexReader(span_idx)
     with pytest.raises(ValueError):
         span_near_search(r, ["one"], slop=1)
-    with pytest.raises(ValueError):
-        span_near_search(r, list("abcdef"), slop=1, in_order=False)
     ids, sc = span_near_search(r, ["zz*", "cherry"], slop=1)
     assert ids.size == 0
+    # >5 unordered clauses no longer raise: they route through the exact
+    # minimal-interval sweep (absent terms -> empty, no crash)
+    ids6, _ = span_near_search(r, list("abcdef"), slop=1, in_order=False)
+    assert ids6.size == 0
 
 
 def test_span_unordered_three_clauses(span_idx):
@@ -248,3 +250,31 @@ def test_span_unordered_three_clauses(span_idx):
                                   in_order=False)
         got = {int(r.url_of(int(d)).rsplit("/", 1)[1]) for d in ids}
         assert got == brute(clauses, slop), (clauses, slop, got)
+
+
+def test_span_unordered_six_clauses(tmp_path):
+    """>5-clause unordered spans route through the minimal-interval sweep:
+    match set == a brute-force any-order window check."""
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.searcher import IndexReader
+    from solr_ray.search.spans import span_near_search
+
+    texts = [
+        "a b c d e f",            # width 6, gaps 0 -> matches slop 0+
+        "a x b c d e x x f",      # gaps 3 -> matches slop >= 3
+        "f e d c b a",            # reversed, gaps 0
+        "a b c d e",              # missing f
+        "a b c d e x x x x x f",  # gaps 5 -> matches slop >= 5
+    ]
+    out = str(tmp_path / "idx6")
+    build_index(ray.data.from_arrow(_mk_pages(texts)), out,
+                analyzer="whitespace", num_buckets=2, text_source="text",
+                store_positions=True)
+    r = IndexReader(out)
+    clauses = list("abcdef")
+    for slop, expect in [(0, {0, 2}), (3, {0, 1, 2}), (5, {0, 1, 2, 4})]:
+        ids, sc = span_near_search(r, clauses, slop=slop, k=10,
+                                   in_order=False)
+        docs = {int(r.url_of(int(d)).rsplit("/", 1)[1]) for d in ids}
+        assert docs == expect, slop
+        assert (sc > 0).all()
