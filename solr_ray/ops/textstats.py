@@ -166,7 +166,15 @@ def add_token_count(batch: pa.Table, text_col: str = "text",
                     out_col: str = "n_tokens", mode: str = "whitespace") -> pa.Table:
     """whitespace: split on \\s+ (SQL-oracle-matchable). bpe_ish: a
     GPT-2-style pretokenizer regex (contractions / letter runs / digit runs /
-    punctuation runs) — the standard public BPE pre-token pattern."""
+    punctuation runs) — the standard public BPE pre-token pattern.
+
+    bpe_ish stays a compiled-`re` findall per row BY DESIGN: the pattern
+    needs backtracking + negative lookahead (``\\s+(?!\\S)``) that
+    RE2/Arrow kernels cannot express, and a lookahead-free reformulation
+    measurably diverges (e.g. ``" 's"`` tokenizes [" '", "s"], not
+    [" ", "'s"] — alternation order interacts with the leading-space
+    variants). The loop body is C (the regex engine); per-row python is
+    just the len() call."""
     if mode == "whitespace":
         toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
         # empty string -> [''] which still counts 1; match SQL len(regexp_split)
