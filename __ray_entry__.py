@@ -1822,6 +1822,11 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # scalar-expression predicates in WHERE (cmp_expr filter kernel)
+    "sql_where_expr": ("SELECT o_orderkey, o_totalprice FROM orders "
+                       "WHERE FLOOR(o_totalprice / 1000) = 150 "
+                       "AND LENGTH(o_orderpriority) > 8 "
+                       "ORDER BY o_orderkey LIMIT 100"),
     # window functions: 64-bucket partition shuffle + vectorized rank pass
     "sql_window_rank": ("SELECT o_orderkey, o_custkey, "
                         "ROW_NUMBER() OVER (PARTITION BY o_custkey "

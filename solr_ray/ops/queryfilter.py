@@ -94,6 +94,28 @@ def compile_filter(spec: dict):
         return f
     if op == "exists":
         return lambda t: pc.is_valid(t[spec["field"]])
+    if op == "cmp_expr":
+        # scalar-expression predicate from the SQL front-end:
+        # <expr over columns> <cmp> <literal>. The expr tree compiles via
+        # sql.compile_expr lazily (sql imports this module; by the time a
+        # filter compiles, both are loaded). NULL propagates through the
+        # comparison (SQL semantics — matters under NOT/Kleene).
+        from solr_ray.sql import compile_expr
+
+        ef = compile_expr(spec["node"])
+        cmps = {"=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+                "<": pc.less, "<=": pc.less_equal,
+                ">": pc.greater, ">=": pc.greater_equal}
+        fn = cmps[spec["cmp"]]
+        val = pa.scalar(spec["value"])
+
+        def f(t: pa.Table):
+            v = ef(t)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return fn(v, val)
+
+        return f
     if op == "hash_range":
         # {!hash_range f=field l=lo u=hi} (HashRangeQParserPlugin.java:35):
         # shard-split routing — match docs whose stable hash of the field,

@@ -36,7 +36,9 @@ Grammar (case-insensitive keywords):
              COUNT|SUM|AVG|MIN|MAX(expr) as leaves
              (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
              `/` is ANSI float division, matching DuckDB)
-    cond  := disjunctions/conjunctions of: col <op> literal, col IN (...),
+    cond  := disjunctions/conjunctions of: col <op> literal,
+             <scalar expr over columns> <op> literal (fns/arithmetic/CAST;
+             aggregates rejected), col IN (...),
              col IN (SELECT single-col ...)  (uncorrelated; runs as its own
              distributed plan, distinct keys broadcast — semi-join shape),
              col [NOT] BETWEEN a AND b, col [NOT] LIKE 'pat' (general %/_
@@ -297,7 +299,26 @@ class _Parser:
         raise ValueError(f"expected literal, got {v!r}")
 
     def predicate(self):
-        col = self.eat("name")
+        # LHS is a full scalar expression; a bare column keeps the legacy
+        # spec shapes (term/range/terms have optimized filter kernels),
+        # anything else (scalar fn, arithmetic, CAST) compiles to a
+        # cmp_expr spec evaluated per batch. Aggregates are rejected.
+        node = self.expr()
+        is_col = node.get("kind") == "col"
+        col = node["col"] if is_col else None
+        if not is_col:
+            aggs: list = []
+            _walk_aggs(node, aggs)
+            if aggs:
+                raise ValueError("aggregates are not allowed in WHERE")
+            k, v = self.peek()
+            if k != "cmp":
+                raise ValueError(
+                    "expression predicates support only <cmp> literal "
+                    f"(got {v!r})")
+            self.eat()
+            return {"op": "cmp_expr", "node": node, "cmp": v,
+                    "value": self.literal()}
         if self.at_kw("NOT"):
             # col NOT IN (...) / NOT LIKE / NOT BETWEEN
             self.eat()
@@ -651,6 +672,8 @@ def _resolve_cond(spec, qualified, bare):
     out = dict(spec)
     if "field" in out:
         out["field"] = _resolve_name(out["field"], qualified, bare)
+    if "node" in out:
+        out["node"] = _resolve_expr(out["node"], qualified, bare)
     if "clauses" in out:
         out["clauses"] = [_resolve_cond(c, qualified, bare)
                           for c in out["clauses"]]

@@ -406,3 +406,23 @@ def test_window_functions(ray_session, table):
     with pytest.raises(ValueError):  # alias required
         parse_sql("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY i) "
                   "FROM t")
+
+
+def test_where_expression_predicates(ray_session, table):
+    for sql in [
+        "SELECT id FROM t WHERE UPPER(kind) = 'CLICK' ORDER BY id LIMIT 40",
+        "SELECT id FROM t WHERE LENGTH(name) >= 8 AND val * 2 + 1 > 1500 "
+        "ORDER BY id",
+        "SELECT id FROM t WHERE SUBSTR(name, 5, 2) = '00' "
+        "ORDER BY id LIMIT 30",
+        "SELECT id FROM t WHERE NOT (ABS(val - 500) < 450) "
+        "ORDER BY id LIMIT 60",
+        "SELECT grp, COUNT(*) AS n FROM t WHERE FLOOR(val / 100) = 3 "
+        "GROUP BY grp ORDER BY grp",
+    ]:
+        _assert_same(*_both(sql, table))
+    import ray.data
+
+    with pytest.raises(ValueError, match="not allowed in WHERE"):
+        execute_sql("SELECT id FROM t WHERE SUM(val) > 5",
+                    {"t": ray.data.from_arrow(table)})
