@@ -6,10 +6,14 @@ checkpoints on monotone _version_, timeseries/TimeSeriesStream buckets a date
 range). Ray-native equivalents treat the events table as an ordered log:
 
 - timeseries: date-trunc bucketing + grouped aggregates (TimeSeriesStream.java:52)
-- tumbling/sliding/session windows per key: groupby(key).map_groups over the
-  ts-sorted group (ORDERING ASSUMPTION: all rows of one key fit one group and
-  are sorted inside the UDF; at 100 TB, key-partition + time-range-partition
-  the log first)
+- tumbling windows: a pure combiner groupby over (key, window) — no
+  co-location requirement at all.
+- session/sliding windows per key: COMPOSITE (key-hash bucket, coarse
+  time slice) shuffle key, so a group holds one bucket of keys over one
+  slice of the log — per-group peak rows stay bounded as the log grows.
+  Cross-slice exactness via boundary stitching (sessions: each key's
+  first/last sessions per slice; sliding: head/tail rows) — one extra
+  tiny pass over O(keys x slices) rows, gated onto the driver below 5M.
 - topic-style incremental consumption: a checkpointed filter ts > last_seen.
 """
 
@@ -314,6 +318,8 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
     parts, total = [], 0
     for ref in boundary.to_arrow_refs():
         t = ray.get(ref)
+        if not isinstance(t, pa.Table):  # tiny inputs can stay pandas
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows == 0:
             continue
         parts.append(t)
@@ -471,6 +477,8 @@ def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
     parts, total = [], 0
     for ref in boundary.to_arrow_refs():
         t = ray.get(ref)
+        if not isinstance(t, pa.Table):  # tiny inputs can stay pandas
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows == 0:
             continue
         parts.append(t)

@@ -158,3 +158,82 @@ def test_interval_algebra_property(docs, expr):
         if ivs:
             want[di] = ivs
     assert got == want
+
+
+# ------------------------------------------- sliced windows (round 4)
+
+import ray.data
+
+
+@given(st.lists(st.tuples(st.integers(0, 5),            # key
+                          st.integers(0, 10_000)),      # ts (us)
+                min_size=1, max_size=120),
+       st.integers(50, 2_000),                           # gap_us
+       st.integers(3, 40))                               # slice/gap ratio
+@settings(max_examples=25, deadline=None)
+def test_session_windows_sliced_property(ray_session, rows, gap, ratio):
+    """Random logs: composite-key sessionize + boundary stitch must equal
+    the brute-force per-key pass for ANY gap/slice combination (sessions
+    spanning several slices, single-event slices, ties)."""
+    import pandas as pd
+
+    from solr_ray.ops.windows import session_windows
+
+    df = pd.DataFrame({
+        "k": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = session_windows(ds, "k", "ts", gap_us=gap, num_buckets=3,
+                          slice_us=gap * ratio).to_pandas()
+    got = got.sort_values(["k", "session_start"]).reset_index(drop=True)
+    want = []
+    for k, g in df.sort_values(["k", "ts"]).groupby("k"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = np.ones(len(t), bool)
+        new[1:] = (t[1:] - t[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        for s in np.unique(sid):
+            m = t[sid == s]
+            want.append((k, m.min(), m.max(), len(m)))
+    assert len(got) == len(want)
+    for i, (k, mn, mx, n) in enumerate(want):
+        assert got["k"].iloc[i] == k
+        assert int(got["session_start"].astype("datetime64[us]")
+                   .astype("int64").iloc[i]) == mn
+        assert int(got["session_end"].astype("datetime64[us]")
+                   .astype("int64").iloc[i]) == mx
+        assert int(got["n_events"].iloc[i]) == n
+
+
+@given(st.lists(st.tuples(st.integers(0, 4),             # key
+                          st.integers(0, 5_000),         # ts
+                          st.integers(-9, 9)),           # value
+                min_size=1, max_size=100),
+       st.integers(2, 6),                                 # n
+       st.integers(100, 1_500))                           # slice_us
+@settings(max_examples=25, deadline=None)
+def test_sliding_window_sliced_property(ray_session, rows, n, slice_us):
+    """Random logs: head/tail fix-up must reproduce pandas rolling sums
+    exactly for any slice width (slices smaller than n, empty slices,
+    duplicate timestamps broken by eid)."""
+    import pandas as pd
+
+    from solr_ray.ops.windows import sliding_window
+
+    df = pd.DataFrame({
+        "k": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+        "v": [r[2] for r in rows],
+        "eid": np.arange(len(rows)),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = sliding_window(ds, "k", "ts", "v", n=n, agg="sum", tie_col="eid",
+                         num_buckets=3, slice_us=slice_us).to_pandas()
+    got = got.sort_values("eid").reset_index(drop=True)
+    w = df.sort_values(["k", "ts", "eid"]).copy()
+    w["roll"] = (w.groupby("k")["v"].rolling(n, min_periods=1).sum()
+                 .reset_index(level=0, drop=True))
+    w = w.sort_values("eid").reset_index(drop=True)
+    assert len(got) == len(w)
+    assert (got["rolling_v"].to_numpy() == w["roll"].to_numpy()).all()
