@@ -411,6 +411,25 @@ def _eval_value(node, tables, env, fns):
         if not hasattr(ds, "to_pandas"):
             raise ValueError("col() needs a stream")
         return ds.to_pandas()[node.args[1]].to_numpy()
+    if node.name == "monteCarlo":
+        # LAZY special form (MonteCarloEvaluator semantics): re-evaluate
+        # the body expression `trials` times, collecting scalar results.
+        # Each trial binds `_trial` (0-based) in the environment — use it
+        # as the seed of sample()/markovChain draws so trials differ yet
+        # the whole simulation stays deterministic:
+        #   monteCarlo(mean(sample(normalDistribution(0,1), 100, _trial)),
+        #              500)
+        if len(node.args) != 2:
+            raise ValueError("monteCarlo(expr, trials)")
+        trials = int(_eval_value(node.args[1], tables, env, fns))
+        out = []
+        for i in range(trials):
+            e2 = dict(env)
+            e2["_trial"] = i
+            out.append(float(_eval_value(node.args[0], tables, e2, fns)))
+        import numpy as _np
+
+        return _np.asarray(out, dtype=_np.float64)
     if node.name in fns:
         a = [_eval_value(x, tables, env, fns) for x in node.args]
         k = {kk: _eval_value(v, tables, env, fns)

@@ -336,3 +336,21 @@ def test_let_exposes_signal_evaluators(ray_session):
         {"t": ray.data.from_arrow(t)})
     row = out.to_pandas().iloc[0]
     assert np.allclose(row["orig"], row["back"])
+
+
+def test_monte_carlo_special_form(ray_session):
+    """monteCarlo(expr, trials) lazily re-evaluates the body with _trial
+    bound per iteration — deterministic (seeded via _trial) and
+    statistically sound."""
+    import ray.data
+
+    from solr_ray.expr import eval_expr
+
+    t = ray.data.from_arrow(pa.table({"x": [1.0]}))
+    q = ('let(d=search(t), mc=monteCarlo('
+         'mean(sample(normalDistribution(5, 1), 100, _trial)), 200), '
+         'tuple(est=mean(mc)))')
+    a = eval_expr(q, {"t": t}).to_pandas()["est"].iloc[0]
+    b = eval_expr(q, {"t": t}).to_pandas()["est"].iloc[0]
+    assert a == b
+    assert abs(a - 5.0) < 0.1
