@@ -1834,6 +1834,16 @@ _SQL_QUERIES = {
                         "RANK() OVER (PARTITION BY o_custkey "
                         "ORDER BY o_orderpriority) AS pr "
                         "FROM orders ORDER BY o_orderkey LIMIT 500"),
+    # frame aggregates: ROWS BETWEEN windows (integer sums -> rolling
+    # float64 values are exact, so DuckDB's window engine replays them)
+    "sql_window_frame": ("SELECT o_orderkey, "
+                         "SUM(o_custkey) OVER (PARTITION BY o_orderpriority "
+                         "ORDER BY o_orderkey "
+                         "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS rs, "
+                         "COUNT(o_custkey) OVER "
+                         "(PARTITION BY o_orderpriority ORDER BY o_orderkey "
+                         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rc "
+                         "FROM orders ORDER BY o_orderkey LIMIT 400"),
     # RIGHT/FULL OUTER joins (Ray right_outer/full_outer; both real key
     # columns survive with ANSI nulls via the two-sided key-copy trick)
     "sql_right_join": ("SELECT c.c_name, COUNT(o.o_orderkey) AS cnt "

@@ -30,9 +30,13 @@ Grammar (case-insensitive keywords):
              minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
              scalar functions UPPER|LOWER|LENGTH|SUBSTR|SUBSTRING|TRIM|
              FLOOR|CEIL|ABS, window functions ROW_NUMBER|RANK|DENSE_RANK
-             () OVER (PARTITION BY cols ORDER BY col [DESC][, ...])
-             (ranking only; frame aggregates live in ops/windows.py's
-             sliding_window), and aggregates COUNT(*) | COUNT(DISTINCT col) |
+             () OVER (PARTITION BY cols ORDER BY col [DESC][, ...]) and
+             frame aggregates SUM|AVG|MIN|MAX|COUNT(col) OVER (... ROWS
+             BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT ROW) — the
+             frame is REQUIRED (the ANSI default frame is RANGE, whose
+             tie semantics this engine does not model; MIN/MAX window
+             results are float64 — CAST to restore integer typing),
+             and aggregates COUNT(*) | COUNT(DISTINCT col) |
              COUNT|SUM|AVG|MIN|MAX(expr) as leaves
              (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
              `/` is ANSI float division, matching DuckDB)
@@ -77,7 +81,8 @@ _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
-             "OUTER", "DISTINCT", "OVER", "PARTITION"}
+             "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
+             "UNBOUNDED", "CURRENT", "ROW"}
 
 
 def _tokenize(sql: str):
@@ -194,29 +199,9 @@ class _Parser:
         if up in _WINDOW_FNS and self.peek() == ("punct", "("):
             self.eat()
             self.eat("punct", ")")
-            self.eat("kw", "OVER")
-            self.eat("punct", "(")
-            partition: list[str] = []
-            if self.at_kw("PARTITION"):
-                self.eat()
-                self.eat("kw", "BY")
-                partition = [self.eat("name")]
-                while self.peek() == ("punct", ","):
-                    self.eat()
-                    partition.append(self.eat("name"))
-            self.eat("kw", "ORDER")
-            self.eat("kw", "BY")
-            worder: list[tuple[str, bool]] = []
-            while True:
-                c = self.eat("name")
-                d = False
-                if self.at_kw("ASC", "DESC"):
-                    d = self.eat() == "DESC"
-                worder.append((c, d))
-                if self.peek() != ("punct", ","):
-                    break
-                self.eat()
-            self.eat("punct", ")")
+            partition, worder, frame = self.over_clause()
+            if frame is not None:
+                raise ValueError(f"{up}() takes no frame clause")
             return {"kind": "win", "fn": up, "partition": partition,
                     "order": worder}
         if up in _SCALAR_FNS and self.peek() == ("punct", "("):
@@ -252,8 +237,67 @@ class _Parser:
                     raise ValueError(
                         "COUNT(DISTINCT ...) needs a bare column")
                 node["distinct"] = True
+            if self.at_kw("OVER"):
+                # frame aggregate: SUM(col) OVER (... ROWS BETWEEN ...)
+                if distinct:
+                    raise ValueError("DISTINCT window aggregates are not "
+                                     "supported")
+                if arg == "*" or arg["kind"] != "col":
+                    raise ValueError("window aggregates need a bare column")
+                partition, worder, frame = self.over_clause()
+                if frame is None:
+                    raise ValueError(
+                        "window aggregates require an explicit ROWS "
+                        "BETWEEN frame (the ANSI default frame is RANGE, "
+                        "whose tie semantics this engine does not model)")
+                return {"kind": "win", "fn": up, "col": arg["col"],
+                        "partition": partition, "order": worder,
+                        "frame": frame}
             return node
         return {"kind": "col", "col": name}
+
+    def over_clause(self):
+        """OVER (PARTITION BY cols ORDER BY col [DESC][, ...]
+        [ROWS BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT ROW])
+        -> (partition, order, frame) with frame None (absent),
+        "unbounded", or the int n."""
+        self.eat("kw", "OVER")
+        self.eat("punct", "(")
+        partition: list[str] = []
+        if self.at_kw("PARTITION"):
+            self.eat()
+            self.eat("kw", "BY")
+            partition = [self.eat("name")]
+            while self.peek() == ("punct", ","):
+                self.eat()
+                partition.append(self.eat("name"))
+        self.eat("kw", "ORDER")
+        self.eat("kw", "BY")
+        worder: list[tuple[str, bool]] = []
+        while True:
+            c = self.eat("name")
+            d = False
+            if self.at_kw("ASC", "DESC"):
+                d = self.eat() == "DESC"
+            worder.append((c, d))
+            if self.peek() != ("punct", ","):
+                break
+            self.eat()
+        frame = None
+        if self.at_kw("ROWS"):
+            self.eat()
+            self.eat("kw", "BETWEEN")
+            if self.at_kw("UNBOUNDED"):
+                self.eat()
+                frame = "unbounded"
+            else:
+                frame = int(self.eat("num"))
+            self.eat("kw", "PRECEDING")
+            self.eat("kw", "AND")
+            self.eat("kw", "CURRENT")
+            self.eat("kw", "ROW")
+        self.eat("punct", ")")
+        return partition, worder, frame
 
     # ---- conditions -> queryfilter spec ----
     def cond(self):
@@ -851,6 +895,22 @@ def _attach_window_columns(ds, win_items: list[dict]):
                                 ascending=[True] * len(part_key) + asc,
                                 kind="stable")
             grp = s.groupby(list(part_key), sort=False)
+            if it["fn"] in _AGGS:
+                # frame aggregate over ROWS BETWEEN f PRECEDING AND
+                # CURRENT ROW — pandas rolling per partition, exactly the
+                # sliding_window kernel
+                f = it["frame"]
+                win = len(s) if f == "unbounded" else int(f) + 1
+                r = grp[it["col"]].rolling(max(win, 1), min_periods=1)
+                agg_name = {"SUM": "sum", "AVG": "mean", "MIN": "min",
+                            "MAX": "max", "COUNT": "count"}[it["fn"]]
+                vals = getattr(r, agg_name)().reset_index(
+                    level=list(range(len(part_key))), drop=True)
+                vals = (vals.astype(np.int64) if it["fn"] == "COUNT"
+                        else vals.astype(np.float64)).to_numpy()
+                s[it["alias"]] = vals
+                out = s
+                continue
             rn = (grp.cumcount() + 1).to_numpy()
             if it["fn"] == "ROW_NUMBER":
                 vals = rn
@@ -969,6 +1029,8 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
                                    for c in it["partition"]]
                 it["order"] = [(_resolve_name(c, qualified, bare), d)
                                for c, d in it["order"]]
+                if "col" in it:
+                    it["col"] = _resolve_name(it["col"], qualified, bare)
             items.append(it)
         plan["items"] = items
         out_names = [it.get("alias") or (it["col"] if it["kind"] == "col"

@@ -426,3 +426,25 @@ def test_where_expression_predicates(ray_session, table):
     with pytest.raises(ValueError, match="not allowed in WHERE"):
         execute_sql("SELECT id FROM t WHERE SUM(val) > 5",
                     {"t": ray.data.from_arrow(table)})
+
+
+def test_window_frame_aggregates(ray_session, table):
+    for sql in [
+        "SELECT id, SUM(val) OVER (PARTITION BY grp ORDER BY id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rs FROM t "
+        "ORDER BY id LIMIT 300",
+        "SELECT id, SUM(val) OVER (PARTITION BY grp ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run, "
+        "AVG(val) OVER (PARTITION BY grp ORDER BY id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ra, "
+        "COUNT(val) OVER (PARTITION BY grp ORDER BY id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rc FROM t "
+        "ORDER BY id LIMIT 300",
+    ]:
+        _assert_same(*_both(sql, table))
+    import ray.data
+
+    with pytest.raises(ValueError, match="explicit ROWS BETWEEN"):
+        execute_sql("SELECT id, SUM(val) OVER (PARTITION BY grp "
+                    "ORDER BY id) AS rs FROM t",
+                    {"t": ray.data.from_arrow(table)})
