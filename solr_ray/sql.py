@@ -14,7 +14,8 @@ aggregates, hash-partitioned Dataset.join, sort, limit).
 Grammar (case-insensitive keywords):
 
     SELECT [DISTINCT] <*| item[, item...]> FROM <table> [[AS] alias]
-      [[INNER|LEFT [OUTER]] JOIN <table> [[AS] alias] ON a.x = b.y]...
+      [[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <table> [[AS] alias]
+       ON a.x = b.y]...
       [WHERE <cond>] [GROUP BY col[, col...]] [HAVING <cond>]
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
 
