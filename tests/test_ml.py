@@ -135,7 +135,10 @@ def test_minhash_batch_matches_scalar_signatures():
     flat = np.concatenate([p if p.size else np.zeros(1, np.uint64)
                            for p in parts])
     a, b = _perm_params(64)
-    vals = (np.outer(a, flat) + b[:, None]) % _MERSENNE_P
+    # wrapping multiply-add permutation (round 4: the mod-Mersenne
+    # reduction was the minhash hot spot and is gone from BOTH paths)
+    with np.errstate(over="ignore"):
+        vals = np.outer(a, flat) + b[:, None]
     offs = np.zeros(len(texts), np.int64)
     np.cumsum(counts[:-1], out=offs[1:])
     sig = np.minimum.reduceat(vals, offs, axis=1)
