@@ -1822,6 +1822,11 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # derived tables: the inner plan runs as its own distributed pipeline
+    "sql_derived_table": ("SELECT s.lang, s.total FROM "
+                          "(SELECT lang, CAST(SUM(n_chars) AS BIGINT) "
+                          "AS total FROM documents GROUP BY lang) s "
+                          "WHERE s.total > 10000 ORDER BY lang"),
     # scalar-expression predicates in WHERE (cmp_expr filter kernel)
     "sql_where_expr": ("SELECT o_orderkey, o_totalprice FROM orders "
                        "WHERE FLOOR(o_totalprice / 1000) = 150 "

@@ -13,7 +13,8 @@ aggregates, hash-partitioned Dataset.join, sort, limit).
 
 Grammar (case-insensitive keywords):
 
-    SELECT [DISTINCT] <*| item[, item...]> FROM <table> [[AS] alias]
+    SELECT [DISTINCT] <*| item[, item...]>
+      FROM <table | (SELECT ...)> [[AS] alias]
       [[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <table> [[AS] alias]
        ON a.x = b.y]...
       [WHERE <cond>] [GROUP BY col[, col...]] [HAVING <cond>]
@@ -495,7 +496,18 @@ class _Parser:
                 "limit": limit, "select_distinct": select_distinct}
 
     def table_ref(self):
-        """table [AS] [alias] — alias defaults to the table name."""
+        """table [AS] [alias], or a derived table (SELECT ...) [AS] alias
+        — alias defaults to the table name (derived tables require one)."""
+        if self.peek() == ("punct", "("):
+            self.eat()
+            sub = self.statement(stop_at_paren=True)
+            self.eat("punct", ")")
+            if self.at_kw("AS"):
+                self.eat()
+            if self.peek()[0] != "name":
+                raise ValueError("derived tables require an alias")
+            alias = self.eat("name")
+            return {"subquery": sub}, alias
         table = self.eat("name")
         alias = table
         if self.at_kw("AS"):
@@ -755,9 +767,12 @@ def _plan_joins(plan, tables, num_partitions: int = 16):
     guessing."""
 
     def load(tname, alias):
-        if tname not in tables:
+        if isinstance(tname, dict):  # derived table: run its plan
+            ds = _execute_plan(tname["subquery"], tables)
+        elif tname in tables:
+            ds = tables[tname]
+        else:
             raise ValueError(f"unknown table {tname!r}")
-        ds = tables[tname]
         names = ds.schema().names
         return (ds.rename_columns({c: f"{alias}.{c}" for c in names}),
                 {f"{alias}.{c}" for c in names})
@@ -998,11 +1013,58 @@ def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
     return _execute_plan(parse_sql(sql), tables)
 
 
+def _names_in(node) -> list:
+    """Column names referenced by an expression tree / cond spec."""
+    out = []
+    if isinstance(node, dict):
+        if node.get("kind") == "col":
+            out.append(node["col"])
+        if "field" in node:
+            out.append(node["field"])
+        for k in ("l", "r", "inner", "node"):
+            if k in node:
+                out.extend(_names_in(node[k]))
+        if isinstance(node.get("arg"), dict):
+            out.extend(_names_in(node["arg"]))
+        for a in node.get("args", ()):
+            out.extend(_names_in(a))
+        for c in node.get("clauses", ()):
+            out.extend(_names_in(c))
+    return out
+
+
+def _has_qualified_refs(plan: dict) -> bool:
+    names = list(plan.get("group") or [])
+    for it in plan["items"]:
+        if it["kind"] == "col":
+            names.append(it["col"])
+        elif it["kind"] == "agg":
+            if it["col"] != "*":
+                names.append(it["col"])
+        elif it["kind"] == "expr":
+            names.extend(_names_in(it["node"]))
+        elif it["kind"] == "win":
+            names.extend(it["partition"])
+            names.extend(c for c, _ in it["order"])
+            if "col" in it:
+                names.append(it["col"])
+    if plan["where"] is not None:
+        names.extend(_names_in(plan["where"]))
+    return any("." in n for n in names)
+
+
 def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
     if plan["where"] is not None:
         plan = dict(plan)
         plan["where"] = _resolve_in_subqueries(plan["where"], tables)
-    if plan["joins"]:
+    if not plan["joins"] and _has_qualified_refs(plan):
+        # single aliased table with alias-qualified refs (common with
+        # derived tables): the join machinery already qualifies/resolves
+        # names and works with zero JOIN clauses — reuse it
+        plan = dict(plan)
+        plan["joins"] = []
+        plan["_force_qualified"] = True
+    if plan["joins"] or plan.get("_force_qualified"):
         ds, qualified = _plan_joins(plan, tables)
         bare: dict = {}
         for q in qualified:
@@ -1041,9 +1103,12 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
             raise ValueError("duplicate output column names across joined "
                              "tables: add AS aliases")
     else:
-        if plan["table"] not in tables:
+        if isinstance(plan["table"], dict):  # derived table
+            ds = _execute_plan(plan["table"]["subquery"], tables)
+        elif plan["table"] in tables:
+            ds = tables[plan["table"]]
+        else:
             raise ValueError(f"unknown table {plan['table']!r}")
-        ds = tables[plan["table"]]
     if plan["where"] is not None:
         ds = filter_query(ds, plan["where"])
 

@@ -448,3 +448,21 @@ def test_window_frame_aggregates(ray_session, table):
         execute_sql("SELECT id, SUM(val) OVER (PARTITION BY grp "
                     "ORDER BY id) AS rs FROM t",
                     {"t": ray.data.from_arrow(table)})
+
+
+def test_derived_tables(ray_session, table):
+    for sql, sort_cols in [
+        ("SELECT grp, COUNT(*) AS n FROM (SELECT grp, val FROM t "
+         "WHERE val > 500) s GROUP BY grp ORDER BY grp", None),
+        ("SELECT s.grp, s.m FROM (SELECT grp, CAST(MAX(val) AS BIGINT) "
+         "AS m FROM t GROUP BY grp) s WHERE s.m > 990 ORDER BY grp", None),
+        ("SELECT a.grp AS g, a.n FROM (SELECT grp, COUNT(*) AS n FROM t "
+         "GROUP BY grp) a JOIN (SELECT grp, COUNT(*) AS n2 FROM t "
+         "GROUP BY grp) b ON a.grp = b.grp ORDER BY g", None),
+        # alias-qualified refs over a single plain table
+        ("SELECT t.id, t.val FROM t WHERE t.val > 900 ORDER BY id "
+         "LIMIT 50", None),
+    ]:
+        _assert_same(*_both(sql, table), sort_cols)
+    with pytest.raises(ValueError, match="alias"):
+        parse_sql("SELECT * FROM (SELECT grp FROM t)")
