@@ -31,7 +31,7 @@ Grammar (case-insensitive keywords):
     expr  := full arithmetic over columns/literals with + - * / and unary
              minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
              scalar functions UPPER|LOWER|LENGTH|SUBSTR|SUBSTRING|TRIM|
-             FLOOR|CEIL|ABS, window functions ROW_NUMBER|RANK|DENSE_RANK
+             FLOOR|CEIL|ABS|COALESCE|NULLIF, window functions ROW_NUMBER|RANK|DENSE_RANK
              () OVER (PARTITION BY cols ORDER BY col [DESC][, ...]) and
              frame aggregates SUM|AVG|MIN|MAX|COUNT(col) OVER (... ROWS
              BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT ROW) — the
@@ -76,7 +76,7 @@ _TOKEN = re.compile(r"""
 
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _SCALAR_FNS = {"UPPER", "LOWER", "LENGTH", "SUBSTR", "SUBSTRING", "TRIM",
-               "FLOOR", "CEIL", "ABS"}
+               "FLOOR", "CEIL", "ABS", "COALESCE", "NULLIF"}
 _WINDOW_FNS = {"ROW_NUMBER", "RANK", "DENSE_RANK"}
 _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
@@ -597,10 +597,30 @@ def _compile_scalar_fn(node: dict):
     args = node["args"]
     n_want = {"UPPER": (1,), "LOWER": (1,), "LENGTH": (1,), "TRIM": (1,),
               "FLOOR": (1,), "CEIL": (1,), "ABS": (1,),
-              "SUBSTR": (2, 3), "SUBSTRING": (2, 3)}[fn]
+              "SUBSTR": (2, 3), "SUBSTRING": (2, 3),
+              "NULLIF": (2,)}.get(fn)
+    if fn == "COALESCE":
+        if len(args) < 2:
+            raise ValueError("COALESCE takes >= 2 args")
+        fs = [compile_expr(x) for x in args]
+
+        def coalesce(t, _fs=tuple(fs)):
+            return pc.coalesce(*[_as_column(f(t), t.num_rows)
+                                 for f in _fs])
+
+        return coalesce
     if len(args) not in n_want:
         raise ValueError(f"{fn} takes {n_want} args, got {len(args)}")
     a = compile_expr(args[0])
+    if fn == "NULLIF":
+        bf = compile_expr(args[1])
+
+        def nullif(t, _a=a, _b=bf):
+            va = _as_column(_a(t), t.num_rows)
+            return pc.if_else(pc.equal(va, _b(t)),
+                              pa.scalar(None, va.type), va)
+
+        return nullif
     if fn == "UPPER":
         return lambda t: pc.utf8_upper(a(t))
     if fn == "LOWER":

@@ -466,3 +466,39 @@ def test_derived_tables(ray_session, table):
         _assert_same(*_both(sql, table), sort_cols)
     with pytest.raises(ValueError, match="alias"):
         parse_sql("SELECT * FROM (SELECT grp FROM t)")
+
+
+def test_coalesce_nullif(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "id": pa.array(range(10)),
+        "a": pa.array([None if i % 3 == 0 else i for i in range(10)],
+                      pa.int64()),
+        "b": pa.array([i * 10 for i in range(10)], pa.int64()),
+        "s": pa.array([None if i % 4 == 0 else f"x{i}" for i in range(10)]),
+    })
+    tables = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in [
+        "SELECT id, COALESCE(a, b) AS v FROM t ORDER BY id",
+        "SELECT id, COALESCE(s, 'missing') AS v FROM t ORDER BY id",
+        "SELECT id, NULLIF(b, 30) AS v FROM t ORDER BY id",
+        "SELECT id, COALESCE(NULLIF(b, 30), a, 0 - 1) AS v FROM t "
+        "ORDER BY id",
+        "SELECT id FROM t WHERE COALESCE(a, 0) > 4 ORDER BY id",
+    ]:
+        got = execute_sql(sql, tables).to_pandas().reset_index(drop=True)
+        want = con.execute(sql).df().reset_index(drop=True)
+        assert len(got) == len(want), sql
+        for c in got.columns:
+            gn = got[c].isna().to_numpy()
+            assert (gn == want[c].isna().to_numpy()).all(), (sql, c)
+            if (~gn).any():
+                assert np.allclose(
+                    got[c][~gn].to_numpy().astype(float)
+                    if got[c].dtype != object else 0,
+                    want[c][~gn].to_numpy().astype(float)
+                    if want[c].dtype != object else 0), (sql, c)
+    con.close()
