@@ -1822,6 +1822,12 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # CASE WHEN (incl. the pivot-style SUM(CASE WHEN ...) pattern)
+    "sql_case_when": ("SELECT o_orderpriority, "
+                      "CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 "
+                      "ELSE 0 END) AS BIGINT) AS big, "
+                      "COUNT(*) AS n FROM orders "
+                      "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     # derived tables: the inner plan runs as its own distributed pipeline
     "sql_derived_table": ("SELECT s.lang, s.total FROM "
                           "(SELECT lang, CAST(SUM(n_chars) AS BIGINT) "

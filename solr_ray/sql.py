@@ -31,7 +31,10 @@ Grammar (case-insensitive keywords):
     expr  := full arithmetic over columns/literals with + - * / and unary
              minus, parentheses, CAST(expr AS BIGINT|INTEGER|DOUBLE|VARCHAR),
              scalar functions UPPER|LOWER|LENGTH|SUBSTR|SUBSTRING|TRIM|
-             FLOOR|CEIL|ABS|COALESCE|NULLIF, window functions ROW_NUMBER|RANK|DENSE_RANK
+             FLOOR|CEIL|ABS|COALESCE|NULLIF,
+             CASE WHEN <cond> THEN expr [...] [ELSE expr] END (a NULL
+             condition does not match; no ELSE -> typed nulls),
+             window functions ROW_NUMBER|RANK|DENSE_RANK
              () OVER (PARTITION BY cols ORDER BY col [DESC][, ...]) and
              frame aggregates SUM|AVG|MIN|MAX|COUNT(col) OVER (... ROWS
              BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT ROW) — the
@@ -63,7 +66,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from solr_ray.ops.queryfilter import filter_query
+from solr_ray.ops.queryfilter import compile_filter, filter_query
 
 _TOKEN = re.compile(r"""
     (?P<ws>\s+)
@@ -84,7 +87,8 @@ _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
              "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
-             "UNBOUNDED", "CURRENT", "ROW"}
+             "UNBOUNDED", "CURRENT", "ROW", "CASE", "WHEN", "THEN", "ELSE",
+             "END"}
 
 
 def _tokenize(sql: str):
@@ -177,6 +181,22 @@ class _Parser:
 
     def expr_primary(self):
         k, v = self.peek()
+        if k == "kw" and v == "CASE":
+            self.eat()
+            branches = []
+            while self.at_kw("WHEN"):
+                self.eat()
+                cond = self.cond()
+                self.eat("kw", "THEN")
+                branches.append((cond, self.expr()))
+            if not branches:
+                raise ValueError("CASE needs at least one WHEN branch")
+            els = None
+            if self.at_kw("ELSE"):
+                self.eat()
+                els = self.expr()
+            self.eat("kw", "END")
+            return {"kind": "case", "branches": branches, "else": els}
         if k in ("num", "str"):
             self.i += 1
             return {"kind": "lit", "value": v}
@@ -555,6 +575,10 @@ def _walk_aggs(node, out: list) -> None:
             _walk_aggs(node[key], out)
     for a in node.get("args", ()):
         _walk_aggs(a, out)
+    for _c, e in node.get("branches", ()):
+        _walk_aggs(e, out)
+    if node.get("else") is not None:
+        _walk_aggs(node["else"], out)
 
 
 def compile_expr(node: dict):
@@ -584,6 +608,23 @@ def compile_expr(node: dict):
         return lambda t: fn(lf(t), rf(t))
     if kind == "fn":
         return _compile_scalar_fn(node)
+    if kind == "case":
+        # SQL CASE: first matching WHEN wins; a NULL condition does not
+        # match (Kleene mask filled to false); no ELSE -> typed nulls.
+        compiled = [(compile_filter(c), compile_expr(e))
+                    for c, e in node["branches"]]
+        else_f = compile_expr(node["else"]) if node["else"] else None
+
+        def case(t: pa.Table, _br=tuple(compiled), _e=else_f):
+            thens = [_as_column(ef(t), t.num_rows) for _cf, ef in _br]
+            acc = (_as_column(_e(t), t.num_rows) if _e is not None
+                   else pa.nulls(t.num_rows, thens[0].type))
+            for (cf, _ef), tv in zip(reversed(_br), reversed(thens)):
+                mask = pc.fill_null(cf(t), False)
+                acc = pc.if_else(mask, tv, acc)
+            return acc
+
+        return case
     raise ValueError(f"cannot evaluate {kind!r} here")
 
 
@@ -665,6 +706,11 @@ def _subst_aggs(node: dict) -> dict:
             out[key] = _subst_aggs(node[key])
     if "args" in node:
         out["args"] = [_subst_aggs(a) for a in node["args"]]
+    if "branches" in node:
+        out["branches"] = [(c, _subst_aggs(e))
+                           for c, e in node["branches"]]
+        if out.get("else") is not None:
+            out["else"] = _subst_aggs(out["else"])
     return out
 
 
@@ -771,6 +817,12 @@ def _resolve_expr(node, qualified, bare):
     if "args" in out:
         out["args"] = [_resolve_expr(a, qualified, bare)
                        for a in out["args"]]
+    if "branches" in out:
+        out["branches"] = [(_resolve_cond(c, qualified, bare),
+                            _resolve_expr(e, qualified, bare))
+                           for c, e in out["branches"]]
+        if out.get("else") is not None:
+            out["else"] = _resolve_expr(out["else"], qualified, bare)
     return out
 
 
@@ -1050,6 +1102,11 @@ def _names_in(node) -> list:
             out.extend(_names_in(a))
         for c in node.get("clauses", ()):
             out.extend(_names_in(c))
+        for c, e in node.get("branches", ()):
+            out.extend(_names_in(c))
+            out.extend(_names_in(e))
+        if node.get("else") is not None:
+            out.extend(_names_in(node["else"]))
     return out
 
 

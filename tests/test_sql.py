@@ -502,3 +502,20 @@ def test_coalesce_nullif(ray_session):
                     want[c][~gn].to_numpy().astype(float)
                     if want[c].dtype != object else 0), (sql, c)
     con.close()
+
+
+def test_case_when(ray_session, table):
+    for sql in [
+        "SELECT id, CASE WHEN val > 500 THEN 'hi' WHEN val > 200 "
+        "THEN 'mid' ELSE 'lo' END AS band FROM t ORDER BY id LIMIT 200",
+        "SELECT id, CASE WHEN kind = 'click' THEN val ELSE 0 - val END "
+        "AS sv FROM t ORDER BY id LIMIT 100",
+        "SELECT grp, CAST(SUM(CASE WHEN kind = 'click' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS clicks FROM t GROUP BY grp ORDER BY grp",
+    ]:
+        _assert_same(*_both(sql, table))
+    # no ELSE -> nulls; NULL condition does not match
+    got, want = _both("SELECT id, CASE WHEN val > 900 THEN 'big' END "
+                      "AS b FROM t ORDER BY id LIMIT 40", table)
+    assert (got["b"].isna().to_numpy()
+            == want["b"].isna().to_numpy()).all()
