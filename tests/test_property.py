@@ -237,3 +237,44 @@ def test_sliding_window_sliced_property(ray_session, rows, n, slice_us):
     w = w.sort_values("eid").reset_index(drop=True)
     assert len(got) == len(w)
     assert (got["rolling_v"].to_numpy() == w["roll"].to_numpy()).all()
+
+
+# --------------------------------------------- SQL windows (round 4)
+
+@given(st.lists(st.tuples(st.integers(0, 3),           # partition key
+                          st.integers(-20, 20)),        # value
+                min_size=1, max_size=60),
+       st.integers(1, 5),                                # frame n
+       st.booleans())                                    # order desc
+@settings(max_examples=30, deadline=None)
+def test_sql_window_functions_property(ray_session, rows, n, desc):
+    """Random tables: ROW_NUMBER/RANK/DENSE_RANK and SUM OVER ROWS
+    BETWEEN must match DuckDB exactly (ids provide a unique tie-break
+    for ROW_NUMBER; RANK/DENSE_RANK are exercised over tied values)."""
+    import duckdb
+
+    from solr_ray.sql import execute_sql
+
+    t = pa.table({
+        "id": pa.array(range(len(rows)), pa.int64()),
+        "p": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    d = "DESC, id" if desc else ""
+    ordc = f"v {d}" if desc else "v, id"
+    sql = (f"SELECT id, "
+           f"ROW_NUMBER() OVER (PARTITION BY p ORDER BY {ordc}) AS rn, "
+           f"RANK() OVER (PARTITION BY p ORDER BY v) AS r, "
+           f"DENSE_RANK() OVER (PARTITION BY p ORDER BY v) AS dr, "
+           f"SUM(v) OVER (PARTITION BY p ORDER BY {ordc} "
+           f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS rs "
+           f"FROM t ORDER BY id")
+    got = execute_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    con.close()
+    assert len(got) == len(want)
+    for c in ("rn", "r", "dr", "rs"):
+        assert np.allclose(got[c].to_numpy().astype(float),
+                           want[c].to_numpy().astype(float)), c
