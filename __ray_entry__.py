@@ -1822,6 +1822,11 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # GROUP BY expressions (hidden precomputed key column)
+    "sql_group_expr": ("SELECT FLOOR(o_totalprice / 50000) AS bucket, "
+                       "COUNT(*) AS n, MAX(o_totalprice) AS mx "
+                       "FROM orders GROUP BY FLOOR(o_totalprice / 50000) "
+                       "ORDER BY bucket"),
     # CASE WHEN (incl. the pivot-style SUM(CASE WHEN ...) pattern)
     "sql_case_when": ("SELECT o_orderpriority, "
                       "CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 "

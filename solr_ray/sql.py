@@ -17,7 +17,7 @@ Grammar (case-insensitive keywords):
       FROM <table | (SELECT ...)> [[AS] alias]
       [[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <table> [[AS] alias]
        ON a.x = b.y]...
-      [WHERE <cond>] [GROUP BY col[, col...]] [HAVING <cond>]
+      [WHERE <cond>] [GROUP BY <col|expr>[, ...]] [HAVING <cond>]
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
 
     With JOINs, columns may be qualified (alias.col); bare names resolve
@@ -482,10 +482,15 @@ class _Parser:
         if self.at_kw("GROUP"):
             self.eat()
             self.eat("kw", "BY")
-            group = [self.eat("name")]
+            def group_item():
+                node = self.expr()
+                return (node["col"] if node.get("kind") == "col"
+                        else node)  # expression group key
+
+            group = [group_item()]
             while self.peek() == ("punct", ","):
                 self.eat()
-                group.append(self.eat("name"))
+                group.append(group_item())
         if self.at_kw("HAVING"):
             self.eat()
             having = self.cond()
@@ -1111,7 +1116,12 @@ def _names_in(node) -> list:
 
 
 def _has_qualified_refs(plan: dict) -> bool:
-    names = list(plan.get("group") or [])
+    names = []
+    for g in plan.get("group") or []:
+        if isinstance(g, str):
+            names.append(g)
+        else:
+            names.extend(_names_in(g))
     for it in plan["items"]:
         if it["kind"] == "col":
             names.append(it["col"])
@@ -1151,8 +1161,10 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
         if plan["where"] is not None:
             plan["where"] = _resolve_cond(plan["where"], qualified, bare)
         if plan["group"]:
-            plan["group"] = [_resolve_name(g, qualified, bare)
-                             for g in plan["group"]]
+            plan["group"] = [
+                _resolve_name(g, qualified, bare) if isinstance(g, str)
+                else _resolve_expr(g, qualified, bare)
+                for g in plan["group"]]
         items = []
         for it in plan["items"]:
             it = dict(it)
@@ -1188,6 +1200,34 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
             raise ValueError(f"unknown table {plan['table']!r}")
     if plan["where"] is not None:
         ds = filter_query(ds, plan["where"])
+
+    # GROUP BY expressions: precompute each as a hidden column, rewrite
+    # repr-identical SELECT expression items to reference it (ANSI: a
+    # non-aggregate select expression must appear in GROUP BY)
+    if plan["group"] and any(isinstance(g, dict) for g in plan["group"]):
+        plan = dict(plan)
+        pre_g, norm = {}, []
+        plan["items"] = [dict(it) for it in plan["items"]]
+        for gi, g in enumerate(plan["group"]):
+            if not isinstance(g, dict):
+                norm.append(g)
+                continue
+            name = f"__gx{gi}"
+            pre_g[name] = compile_expr(g)
+            norm.append(name)
+            for it in plan["items"]:
+                if it["kind"] == "expr" and repr(it["node"]) == repr(g):
+                    alias = it["alias"]
+                    it.clear()
+                    it.update({"kind": "col", "col": name, "alias": alias})
+        plan["group"] = norm
+
+        def add_gx(t: pa.Table, _p=tuple(pre_g.items())) -> pa.Table:
+            for nm, fn in _p:
+                t = t.append_column(nm, _as_column(fn(t), t.num_rows))
+            return t
+
+        ds = ds.map_batches(add_gx, batch_format="pyarrow")
 
     src_ds = ds  # post-WHERE input (COUNT(DISTINCT) re-reads this)
     items = plan["items"]

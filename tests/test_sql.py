@@ -519,3 +519,17 @@ def test_case_when(ray_session, table):
                       "AS b FROM t ORDER BY id LIMIT 40", table)
     assert (got["b"].isna().to_numpy()
             == want["b"].isna().to_numpy()).all()
+
+
+def test_group_by_expressions(ray_session, table):
+    for sql, sort_cols in [
+        ("SELECT FLOOR(val / 100) AS bucket, COUNT(*) AS n FROM t "
+         "GROUP BY FLOOR(val / 100) ORDER BY bucket", None),
+        ("SELECT UPPER(kind) AS k, grp, COUNT(*) AS n FROM t "
+         "GROUP BY UPPER(kind), grp ORDER BY k, grp", None),
+        ("SELECT CASE WHEN val > 500 THEN 'hi' ELSE 'lo' END AS band, "
+         "CAST(SUM(val) AS BIGINT) AS s FROM t "
+         "GROUP BY CASE WHEN val > 500 THEN 'hi' ELSE 'lo' END "
+         "ORDER BY band", None),
+    ]:
+        _assert_same(*_both(sql, table), sort_cols)
