@@ -52,7 +52,8 @@ Grammar (case-insensitive keywords):
              distributed plan, distinct keys broadcast — semi-join shape),
              col [NOT] BETWEEN a AND b, col [NOT] LIKE 'pat' (general %/_
              patterns via arrow match_like; bare prefixes take the
-             starts_with fast path), col NOT IN (...), NOT, parentheses
+             starts_with fast path), col IS [NOT] NULL, col NOT IN (...),
+             NOT, parentheses
 
 Everything unsupported raises ValueError up front — no silent wrong
 answers. Because the accepted dialect is ANSI, the very same query string
@@ -88,7 +89,7 @@ _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
              "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
              "UNBOUNDED", "CURRENT", "ROW", "CASE", "WHEN", "THEN", "ELSE",
-             "END"}
+             "END", "IS", "NULL"}
 
 
 def _tokenize(sql: str):
@@ -385,6 +386,17 @@ class _Parser:
             self.eat()
             return {"op": "cmp_expr", "node": node, "cmp": v,
                     "value": self.literal()}
+        if self.at_kw("IS"):
+            # col IS [NOT] NULL
+            self.eat()
+            neg = False
+            if self.at_kw("NOT"):
+                self.eat()
+                neg = True
+            self.eat("kw", "NULL")
+            exists = {"op": "exists", "field": col}
+            return (exists if neg
+                    else {"op": "not", "clauses": [exists]})
         if self.at_kw("NOT"):
             # col NOT IN (...) / NOT LIKE / NOT BETWEEN
             self.eat()

@@ -533,3 +533,27 @@ def test_group_by_expressions(ray_session, table):
          "ORDER BY band", None),
     ]:
         _assert_same(*_both(sql, table), sort_cols)
+
+
+def test_is_null_predicates(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "id": pa.array(range(20)),
+        "a": pa.array([None if i % 3 == 0 else i for i in range(20)],
+                      pa.int64()),
+        "s": pa.array([None if i % 4 == 0 else f"x{i}"
+                       for i in range(20)]),
+    })
+    tables = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in [
+        "SELECT id FROM t WHERE a IS NULL ORDER BY id",
+        "SELECT id FROM t WHERE a IS NOT NULL AND s IS NULL ORDER BY id",
+        "SELECT id FROM t WHERE NOT (a IS NULL OR s IS NULL) ORDER BY id",
+    ]:
+        got = execute_sql(sql, tables).to_pandas()
+        want = con.execute(sql).df()
+        assert got["id"].tolist() == want["id"].tolist(), sql
+    con.close()
