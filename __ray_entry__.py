@@ -1822,6 +1822,11 @@ _SQL_QUERIES = {
                       "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
                       "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
                       "GROUP BY n.n_name ORDER BY n_name"),
+    # HAVING over aggregates not in the SELECT list (hidden agg outputs)
+    "sql_having_agg": ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+                       "GROUP BY o_orderpriority "
+                       "HAVING MAX(o_totalprice) > 300000 "
+                       "ORDER BY o_orderpriority"),
     # GROUP BY expressions (hidden precomputed key column)
     "sql_group_expr": ("SELECT FLOOR(o_totalprice / 50000) AS bucket, "
                        "COUNT(*) AS n, MAX(o_totalprice) AS mx "

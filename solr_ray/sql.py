@@ -23,8 +23,10 @@ Grammar (case-insensitive keywords):
     With JOINs, columns may be qualified (alias.col); bare names resolve
     when unambiguous. Each JOIN is one hash-partitioned distributed
     Dataset.join; chained joins are separated by materialize barriers so
-    aggregator pools never deadlock a small CPU budget. HAVING and ORDER
-    BY address OUTPUT column names.
+    aggregator pools never deadlock a small CPU budget. HAVING addresses
+    OUTPUT column names OR aggregates directly (HAVING COUNT(*) > 5
+    computes a hidden agg output, dropped after the filter); ORDER BY
+    addresses OUTPUT column names.
 
     item  := expr [AS alias]        (alias REQUIRED unless expr is a bare
                                      column or a simple aggregate)
@@ -119,6 +121,7 @@ class _Parser:
     def __init__(self, sql: str):
         self.toks = _tokenize(sql)
         self.i = 0
+        self._allow_aggs = False  # True while parsing HAVING
 
     def peek(self):
         return self.toks[self.i]
@@ -376,7 +379,7 @@ class _Parser:
         if not is_col:
             aggs: list = []
             _walk_aggs(node, aggs)
-            if aggs:
+            if aggs and not self._allow_aggs:
                 raise ValueError("aggregates are not allowed in WHERE")
             k, v = self.peek()
             if k != "cmp":
@@ -505,7 +508,9 @@ class _Parser:
                 group.append(group_item())
         if self.at_kw("HAVING"):
             self.eat()
+            self._allow_aggs = True
             having = self.cond()
+            self._allow_aggs = False
         if self.at_kw("ORDER"):
             self.eat()
             self.eat("kw", "BY")
@@ -1260,6 +1265,25 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
     inner_aggs: list[dict] = []
     for it in expr_items:
         _walk_aggs(it["node"], inner_aggs)
+    # HAVING may reference aggregates that are NOT in the SELECT list
+    # (HAVING COUNT(*) > 5): compute them as hidden agg outputs, keep
+    # them through the projection, and drop them after the filter
+    having_aggs: list[dict] = []
+
+    def _walk_cond_aggs(spec):
+        if not isinstance(spec, dict):
+            return
+        if spec.get("op") == "cmp_expr":
+            _walk_aggs(spec["node"], having_aggs)
+        for c in spec.get("clauses", ()):
+            _walk_cond_aggs(c)
+
+    if plan["having"] is not None:
+        _walk_cond_aggs(plan["having"])
+        inner_aggs = inner_aggs + having_aggs
+        if having_aggs and not (plan["group"] or simple_aggs
+                                or distinct_aggs or expr_items):
+            pass  # global-aggregate HAVING still routes the agg path
     if any(a.get("distinct") for a in inner_aggs):
         raise ValueError("COUNT(DISTINCT ...) cannot appear inside an "
                          "expression")
@@ -1366,9 +1390,12 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
         keep = [it["col"] if it["kind"] == "col"
                 else it["alias"] if it["kind"] == "expr"
                 else _agg_alias(it) for it in items]
+        hidden = [a["_alias"] for a in having_aggs
+                  if a.get("_alias") and a["_alias"] not in keep]
+        hidden = list(dict.fromkeys(hidden))
         renames = {it["col"]: it["alias"] for it in items
                    if it["kind"] == "col" and "alias" in it}
-        ds = _project(ds, keep, renames)
+        ds = _project(ds, keep + hidden, renames)
     else:
         # ---- projection path (expressions evaluated per batch) ----
         if items and items[0]["kind"] != "star":
@@ -1396,7 +1423,25 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
         names = list(ds.schema().names)
         ds = _project(ds.groupby(names).count(), names, {})
     if plan["having"] is not None:
-        ds = filter_query(ds, plan["having"])
+        having = plan["having"]
+        if having_aggs:
+            def _subst_cond(spec):
+                if not isinstance(spec, dict):
+                    return spec
+                out2 = dict(spec)
+                if out2.get("op") == "cmp_expr":
+                    out2["node"] = _subst_aggs(out2["node"])
+                if "clauses" in out2:
+                    out2["clauses"] = [_subst_cond(c)
+                                       for c in out2["clauses"]]
+                return out2
+
+            having = _subst_cond(having)
+        ds = filter_query(ds, having)
+        if having_aggs:
+            hid = [a["_alias"] for a in having_aggs if a.get("_alias")]
+            keep_after = [c for c in ds.schema().names if c not in hid]
+            ds = _project(ds, keep_after, {})
     if plan["order"]:
         keys = [c for c, _ in plan["order"]]
         desc = [d for _, d in plan["order"]]

@@ -557,3 +557,17 @@ def test_is_null_predicates(ray_session):
         want = con.execute(sql).df()
         assert got["id"].tolist() == want["id"].tolist(), sql
     con.close()
+
+
+def test_having_hidden_aggregates(ray_session, table):
+    """HAVING over aggregates that are NOT in the SELECT list (hidden agg
+    outputs computed and dropped after the filter)."""
+    for sql in [
+        "SELECT grp FROM t GROUP BY grp HAVING COUNT(*) > 280 "
+        "ORDER BY grp",
+        "SELECT kind, COUNT(*) AS n FROM t GROUP BY kind "
+        "HAVING SUM(val) > 300000 ORDER BY kind",
+        "SELECT grp, CAST(SUM(val) AS BIGINT) AS s FROM t GROUP BY grp "
+        "HAVING AVG(val) > 490 AND COUNT(*) > 100 ORDER BY grp",
+    ]:
+        _assert_same(*_both(sql, table))
