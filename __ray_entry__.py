@@ -31,7 +31,9 @@ import pyarrow.compute as pc
 
 SF_SMOKE = "/root/testdata/sf0.001"
 _CACHE_ROOT = "/tmp/solr_ray_entry"
-_VER = "v5"  # bump to invalidate cached /tmp indexes after engine changes
+_VER = "v6"  # bump to invalidate cached /tmp indexes after engine changes
+# (v6: r4 payload empty-token alignment fix — pre-fix payload caches are
+# misaligned and must rebuild)
 
 K1, B = 1.2, 0.75
 

@@ -341,9 +341,13 @@ def minhash_lsh_candidates(
     from solr_ray.ops.grouping import distinct
 
     # single-file sources arrive as one block; spread so signature
-    # computation (the CPU-heavy stage) parallelizes
+    # computation (the CPU-heavy stage) parallelizes. Materialize BEFORE
+    # the gate probe: otherwise an above-gate corpus would re-execute the
+    # whole plan — including this dominant signature stage — when the
+    # distributed fallback consumes bucket_rows a second time.
     bucket_rows = (ds.repartition(target_num_rows_per_block=512)
-                   .map_batches(sigs, batch_format="pyarrow"))
+                   .map_batches(sigs, batch_format="pyarrow")
+                   .materialize())
 
     # bucket rows are n_docs x bands: tiny at test scale, huge at corpus
     # scale. Under the gate, pair generation + cross-band dedupe run as

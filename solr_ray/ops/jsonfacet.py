@@ -226,9 +226,12 @@ def _terms_distributed(ds, key: str, stats, limit: int, mincount: int,
     uniq_stats = [(n, f) for n, fn, f in stats if fn == "unique"]
     uniq_maps: dict[str, dict] = {}
     if uniq_stats and len(head):
-        winners = set(head[key].tolist())
-        sub = ds.filter(
-            lambda r, _k=key, _w=winners: r[_k] in _w)
+        # broadcast semi-join (joins.semi_join shape): the winner set is
+        # tiny (<= limit buckets) — ray.put once, one pc.is_in kernel per
+        # batch, never a per-row python membership loop
+        from solr_ray.ops.joins import semi_join
+
+        sub = semi_join(ds, head[key].tolist(), key)
         for name, field in uniq_stats:
             pairs = (sub.select_columns([key, field])
                      .groupby([key, field]).count()

@@ -34,8 +34,32 @@ _l2_normalize = l2_normalize  # internal alias, existing call sites
 
 
 def _vec_matrix(col) -> np.ndarray:
-    lists = col.to_pylist()
-    return np.array(lists, dtype=np.float32)
+    """(n, dim) float32 matrix from an Arrow list/fixed_size_list column.
+
+    Zero-copy path: for FixedSizeList — or a List whose offsets are
+    uniform — `values.to_numpy()` + reshape touches no Python objects.
+    Ragged lists (invalid embeddings) fall back to the object path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                vals.reshape(len(col), dim), dtype=np.float32)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if len(widths) and (widths == widths[0]).all():
+                dim = int(widths[0])
+                vals = col.values.to_numpy(zero_copy_only=False)
+                # offsets need not start at 0 on a sliced array
+                vals = vals[offs[0]:offs[-1]]
+                return np.ascontiguousarray(
+                    vals.reshape(len(col), dim), dtype=np.float32)
+    except (pa.ArrowInvalid, ValueError):
+        pass
+    return np.array(col.to_pylist(), dtype=np.float32)
 
 
 def knn_brute(

@@ -32,6 +32,20 @@ _TRUNC = {
 }
 
 
+def _ts_int_us(col):
+    """int64 MICROSECOND view of a column. Timestamp columns carry their
+    storage unit into a bare int64 cast (ns for pandas-sourced blocks),
+    which would make slice_us/gap_us math 1000x off — normalize to
+    timestamp('us') first. Integer columns pass through (already epoch-us
+    by contract)."""
+    import pyarrow.compute as pc
+
+    typ = col.type
+    if pa.types.is_timestamp(typ):
+        col = pc.cast(col, pa.timestamp("us", tz=typ.tz))
+    return pc.cast(col, pa.int64())
+
+
 def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]],
                driver_merge_max_rows: int = 5_000_000):
     """Date-bucketed metrics. gap: hour|minute|day|week|month.
@@ -263,7 +277,7 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
         import pyarrow.compute as pc
 
         t = _hash_bucket(t, key_col, num_buckets)
-        ts_us = pc.cast(t[ts_col], pa.int64())
+        ts_us = _ts_int_us(t[ts_col])
         return t.append_column(
             "__slice", pc.cast(
                 pc.floor(pc.divide(pc.cast(ts_us, pa.float64()),
@@ -372,7 +386,7 @@ def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
         import pyarrow.compute as pc
 
         t = _hash_bucket(t, key_col, num_buckets, out_col="__sbucket")
-        ts_us = pc.cast(t[ts_col], pa.int64())
+        ts_us = _ts_int_us(t[ts_col])
         return t.append_column(
             "__slice", pc.cast(
                 pc.floor(pc.divide(pc.cast(ts_us, pa.float64()),

@@ -1161,6 +1161,13 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
     if plan["where"] is not None:
         plan = dict(plan)
         plan["where"] = _resolve_in_subqueries(plan["where"], tables)
+    if plan["having"] is not None:
+        # HAVING filters the aggregated output through the same
+        # filter_query compiler as WHERE, so IN (SELECT ...) resolves to
+        # the identical broadcast-terms spec (the subquery only references
+        # base tables).
+        plan = dict(plan)
+        plan["having"] = _resolve_in_subqueries(plan["having"], tables)
     if not plan["joins"] and _has_qualified_refs(plan):
         # single aliased table with alias-qualified refs (common with
         # derived tables): the join machinery already qualifies/resolves
