@@ -168,7 +168,13 @@ def run_bench() -> None:
 
     # 2. tiered merge: 256 build buckets -> 16 serving segments (Lucene's
     #    TieredMergePolicy at the file level; queries over many tiny segments
-    #    pay per-segment overhead per term)
+    #    pay per-segment overhead per term).
+    #    The build leg just wrote multi-GB; without a flush barrier its
+    #    writeback lands INSIDE the merge timing (measured +4-5 s on the r4
+    #    regression investigation — same effect r2 saw on the serving legs,
+    #    same fix).
+    os.sync()
+    time.sleep(5)
     from solr_ray.stages.merge import merge_index
 
     man2 = timed("tiered_merge",

@@ -39,6 +39,8 @@ def decode_segment_flat(seg_dir: str, with_positions: bool = False,
     flat tfs[, per-posting positions ListArray][, per-posting payloads]).
     One varint_decode over the whole column (rows were sliced from one
     stream at build time; concatenation restores a valid stream)."""
+    from solr_ray.stages.segment import _binary_col_bytes
+
     cols = ["term", "df", "doc_ids_delta_varint", "tfs_varint"]
     if with_positions:
         cols.append("positions")
@@ -47,10 +49,15 @@ def decode_segment_flat(seg_dir: str, with_positions: bool = False,
     t = pq.read_table(os.path.join(seg_dir, "postings.parquet"), columns=cols)
     df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = int(df.sum())
-    enc_d = b"".join(t["doc_ids_delta_varint"].to_pylist())
-    enc_t = b"".join(t["tfs_varint"].to_pylist())
-    deltas = varint_decode(enc_d, n).astype(np.int64)
-    tfs = varint_decode(enc_t, n).astype(np.int64)
+    # rows were sliced from ONE varint stream at build time, so the binary
+    # column's value buffer IS the stream — zero-copy view, no per-row
+    # to_pylist + b"".join (measured ~0.6 s/task at 16-way merge)
+    enc_d = _binary_col_bytes(t["doc_ids_delta_varint"])
+    enc_t = _binary_col_bytes(t["tfs_varint"])
+    # .view, not .astype: uint64->int64 is a reinterpret (values < 2^63 by
+    # construction) — saves two full-array copies per segment
+    deltas = varint_decode(enc_d, n).view(np.int64)
+    tfs = varint_decode(enc_t, n).view(np.int64)
     starts = np.zeros(df.size, dtype=np.int64)
     np.cumsum(df[:-1], out=starts[1:])
     # segmented cumsum: delta at each term start is absolute
@@ -114,18 +121,28 @@ def merge_segment_group(seg_dirs: list[str], out_seg_dir: str, lineage: str) -> 
     doc_base = int(doc_ids_all[0]) if doc_ids_all.size else 0
     dl_all = docs["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    # merged vocabulary + per-posting sort key (term_rank, seg_ord).
-    # np.unique sorts by codepoint == UTF-8 byte order == arrow's term sort.
-    vocab_np = np.unique(
-        np.concatenate([t.to_numpy(zero_copy_only=False) for t in terms_l])
-    ) if terms_l else np.empty(0, dtype=object)
-    vocab = pa.array(vocab_np, type=pa.string())
+    # merged vocabulary + per-posting sort key (term_rank, seg_ord), all in
+    # Arrow kernels — np.unique/searchsorted over object-dtype strings were
+    # ~0.7 s/task of Python-level comparisons at 16-way merge. Arrow's
+    # string sort is byte-lexicographic == codepoint order for valid UTF-8,
+    # identical to the old np.unique order.
+    import pyarrow.compute as pc
+
     k = len(seg_dirs)
+    if terms_l:
+        terms_all = pa.chunked_array(terms_l)
+        vocab = pc.unique(terms_all)
+        vocab = vocab.take(pc.sort_indices(vocab))
+        ranks_cat = pc.index_in(terms_all, value_set=vocab).combine_chunks()
+        ranks_np = ranks_cat.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        vocab = pa.array([], pa.string())
+        ranks_np = np.empty(0, np.int64)
     key_parts = []
+    pos0 = 0
     for terms, df, s in zip(terms_l, df_l, segord_l):
-        rank = np.searchsorted(
-            vocab_np, terms.to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
+        rank = ranks_np[pos0:pos0 + len(terms)]
+        pos0 += len(terms)
         key_parts.append(np.repeat(rank * k + s, df))
     keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
     order = np.argsort(keys, kind="stable")

@@ -108,12 +108,13 @@ def encode_doc_blobs(gcodes: np.ndarray, tfs: np.ndarray,
 
 
 def _binary_col_bytes(col) -> np.ndarray:
-    """Concatenated value bytes of a large_binary column in row order
+    """Concatenated value bytes of a binary/large_binary column in row order
     (zero-copy view into the arrow buffer)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint8)
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+    off_t = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_t)[
         arr.offset: arr.offset + len(arr) + 1]
     return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]: offs[-1]]
 
