@@ -1936,6 +1936,84 @@ def _q_minhash_pairs(sf_dir: str):
                                 text_col="text", threshold=0.8)
 
 
+def _q_minhash_pairs_join(sf_dir: str):
+    """The 100-TB verify path (rows-only like minhash_pairs): candidate
+    pairs verified by true shingle Jaccard via TWO distributed hash joins
+    (pairs ⋈ corpus on id_a, then id_b) — nothing lands on the driver, no
+    broadcast object scales with the candidate count. Same output contract
+    as the broadcast path (asserted equal in pytest)."""
+    from solr_ray.ops.dedup import (jaccard_verify_pairs_join,
+                                    minhash_lsh_candidates)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    return jaccard_verify_pairs_join(cand, docs, id_col="doc_id",
+                                     text_col="text", threshold=0.8)
+
+
+def _q_dup_clusters_dist(sf_dir: str):
+    """Distributed connected components (min-label propagation; driver
+    state = one convergence checksum per round) over a deterministic
+    customer—nation star graph, so the clustering is SQL-oracled via a
+    recursive reachability CTE. cluster = min member id (string order)."""
+    from solr_ray.ops.dedup import connected_components_distributed
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        a = pa.array([f"c{v}" for v in t["c_custkey"].to_pylist()])
+        b = pa.array([f"n{v}" for v in t["c_nationkey"].to_pylist()])
+        return pa.table({"id_a": a, "id_b": b})
+
+    pairs = cust.map_batches(edges, batch_format="pyarrow")
+    out = connected_components_distributed(pairs)
+    return out.sort("id")
+
+
+def _q_gather_nodes_dist(sf_dir: str):
+    """gather_nodes over the SAME graph/seed as the broadcast entry, via
+    the Dataset-frontier BFS (per-level hash joins; the frontier never
+    lands on the driver) — the hub-heavy-web-graph variant, sharing the
+    recursive-CTE oracle."""
+    from solr_ray.ops.graph import gather_nodes_distributed
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def o_edges(t: pa.Table) -> pa.Table:
+        src = pa.array([f"c{v}" for v in t["o_custkey"].to_pylist()])
+        dst = pa.array([f"o{v}" for v in t["o_orderkey"].to_pylist()])
+        return pa.table({"src": src, "dst": dst})
+
+    def l_edges(t: pa.Table) -> pa.Table:
+        src = pa.array([f"o{v}" for v in t["l_orderkey"].to_pylist()])
+        dst = pa.array([f"s{v}" for v in t["l_suppkey"].to_pylist()])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = orders.map_batches(o_edges, batch_format="pyarrow").union(
+        li.map_batches(l_edges, batch_format="pyarrow"))
+    return gather_nodes_distributed(edges, "src", "dst", seeds=["c1"],
+                                    depth=2)
+
+
+def _q_percentile_price_by_flag(sf_dir: str):
+    """Bucketed percentile facet (rows-only: t-digest approximation — the
+    reference's PercentileAgg digest-merge semantics): p50/p95 of
+    l_extendedprice per l_returnflag via a mergeable digest INSIDE
+    groupby().aggregate() — one few-KB sketch per group, never the
+    values."""
+    from solr_ray.functions.tdigest import percentile_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag",
+                                            "l_extendedprice"])
+    return (li.groupby("l_returnflag")
+            .aggregate(percentile_agg("l_extendedprice", 0.5,
+                                      alias_name="p50"),
+                       percentile_agg("l_extendedprice", 0.95,
+                                      alias_name="p95"))
+            .sort("l_returnflag"))
+
+
 def _q_simhash_candidates(sf_dir: str):
     from solr_ray.ops.dedup import simhash_candidates
 
@@ -2398,6 +2476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup_docs": _q_exact_dedup_docs,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_join": _q_minhash_pairs_join,
+        "dup_clusters_dist": _q_dup_clusters_dist,
+        "gather_nodes_dist": _q_gather_nodes_dist,
+        "percentile_price_by_flag": _q_percentile_price_by_flag,
         "simhash_candidates": _q_simhash_candidates,
         "text_profile_sigs": _q_text_profile_sigs,
         "pairwise_cosine": _q_pairwise_cosine,
@@ -4023,6 +4105,33 @@ WITH df AS (
   WHERE l_suppkey BETWEEN 1 AND 40 GROUP BY l_suppkey
 )
 SELECT l_suppkey, cnt FROM df WHERE cnt <= 600 ORDER BY l_suppkey
+""",
+        "dup_clusters_dist": """
+WITH RECURSIVE sym AS (
+  SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS id, MIN(label) AS cluster FROM reach GROUP BY node
+""",
+        "gather_nodes_dist": """
+WITH RECURSIVE e AS (
+  SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'o' || l_orderkey, 's' || l_suppkey FROM lineitem
+),
+walk(node, level) AS (
+  SELECT 'c1', 0
+  UNION
+  SELECT e.dst, w.level + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.level < 2
+)
+SELECT node, MIN(level) AS level FROM walk GROUP BY node
 """,
         "gather_nodes": """
 WITH RECURSIVE e AS (

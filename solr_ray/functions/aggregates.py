@@ -81,24 +81,35 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
 
 # ------------------------------------------------------------- quantiles
 
-def exact_quantiles(ds, col: str, qs: list[float]) -> dict[float, float]:
+def exact_quantiles(ds, col: str, qs: list[float],
+                    driver_max_rows: int = 5_000_000) -> dict[float, float]:
     """Exact quantiles via a distributed value-count histogram: per-batch
     value counts (combiner) -> groupby(value).sum -> driver cumsum. Exact and
     SQL-oracle-matchable (quantile_disc): q-th value = first value whose
-    cumulative count >= ceil(q * N) (lower interpolation)."""
+    cumulative count >= ceil(q * N) (lower interpolation).
+
+    Driver gate (repo-standard 5M): for a continuous float column the
+    distinct count approaches the row count, so the histogram is probed
+    AFTER the distributed reduce and, above the gate, falls back to the
+    mergeable t-digest (the reference's own percentile semantics,
+    PercentileAgg.java:19,139-145) instead of materializing it."""
     from ray.data.aggregate import Sum
 
     def counts(t: pa.Table) -> pa.Table:
         c = t.select([col]).group_by(col, use_threads=False).aggregate([([], "count_all")])
         return pa.table({"value": c[col], "cnt": c["count_all"]})
 
-    hist = (
+    hist_ds = (
         ds.map_batches(counts, batch_format="pyarrow")
         .groupby("value")
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("value")
+        .materialize()
     )
+    if hist_ds.count() > driver_max_rows:
+        from solr_ray.functions.tdigest import tdigest_quantiles
+
+        return tdigest_quantiles(ds, col, qs)
+    hist = hist_ds.to_pandas().sort_values("value")
     total = int(hist["cnt"].sum())
     cum = hist["cnt"].cumsum().to_numpy()
     vals = hist["value"].to_numpy()
