@@ -164,22 +164,26 @@ def timeseries(ds, ts_col: str, gap: str, aggs: dict[str, tuple[str, str]],
     return ray.data.from_arrow(out_t.take(order))
 
 
-def _hash_bucket(t: pa.Table, key_col: str, num_buckets: int,
+def _hash_bucket(t: pa.Table, key_col, num_buckets: int,
                  out_col: str = "__wbucket") -> pa.Table:
     """Append a hash-bucket column so per-key window ops shuffle into
     num_buckets groups instead of one python group per key; each key
-    lives in exactly one bucket (co-location preserved)."""
-    col = t[key_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        b = (col.to_numpy(zero_copy_only=False).astype(np.uint64)
-             % num_buckets).astype(np.int64)
-    else:
-        from solr_ray.stages.docids import stable_hash64
+    lives in exactly one bucket (co-location preserved). key_col may be a
+    list (composite partition key — hashes combine multiplicatively)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for kc in keys:
+        col = t[kc]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            ch = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            from solr_ray.stages.docids import stable_hash64
 
-        b = (np.asarray(stable_hash64(col), dtype=np.uint64)
-             % num_buckets).astype(np.int64)
+            ch = np.asarray(stable_hash64(col), dtype=np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15) + ch
+    b = (h % num_buckets).astype(np.int64)
     return t.append_column(out_col, pa.array(b))
 
 
@@ -267,8 +271,15 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
     preceding events. Integer sums are therefore bit-identical to an
     unsliced run; float rolling aggregates match to accumulation order.
 
-    slice_us defaults to one day."""
-    order = [ts_col] if tie_col is None else [ts_col, tie_col]
+    slice_us defaults to one day.
+
+    key_col may be a list (composite partition key); tie_col may be a
+    list of additional order columns; agg also accepts "count" (the SQL
+    frame-aggregate delegation path in sql.py uses all three)."""
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    ties = ([] if tie_col is None
+            else [tie_col] if isinstance(tie_col, str) else list(tie_col))
+    order = [ts_col, *ties]
     if slice_us is None:
         slice_us = 86_400_000_000
     out_col = f"rolling_{value_col}"
@@ -276,7 +287,7 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = _hash_bucket(t, key_col, num_buckets)
+        t = _hash_bucket(t, key_cols, num_buckets)
         ts_us = _ts_int_us(t[ts_col])
         return t.append_column(
             "__slice", pc.cast(
@@ -284,22 +295,24 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
                                    pa.scalar(float(slice_us)))), pa.int64()))
 
     def roll_slice(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key_col, *order], kind="stable")
+        g = (g.sort_values([*key_cols, *order], kind="stable")
              .drop(columns=["__slice"]).copy())
-        grp = g.groupby(key_col, sort=False)
+        grp = g.groupby(key_cols, sort=False)
         r = grp[value_col].rolling(n, min_periods=1)
-        g[out_col] = getattr(r, agg)().reset_index(level=0, drop=True)
+        g[out_col] = getattr(r, agg)().reset_index(
+            level=list(range(len(key_cols))), drop=True)
         pos = grp.cumcount().to_numpy()
-        size = grp[key_col].transform("size").to_numpy()
+        size = grp[value_col].transform("size").to_numpy()
         g["__head"] = pos < (n - 1)
         g["__tail"] = pos >= (size - (n - 1))
         return g
 
     def fixup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, *order], kind="stable").copy()
-        grp = g.groupby(key_col, sort=False)
+        g = g.sort_values([*key_cols, *order], kind="stable").copy()
+        grp = g.groupby(key_cols, sort=False)
         r = grp[value_col].rolling(n, min_periods=1)
-        g[out_col] = getattr(r, agg)().reset_index(level=0, drop=True)
+        g[out_col] = getattr(r, agg)().reset_index(
+            level=list(range(len(key_cols))), drop=True)
         return (g[g["__head"]]
                 .drop(columns=["__head", "__tail", "__wbucket"]))
 

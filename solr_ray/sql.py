@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -962,19 +963,74 @@ def _attach_distinct_counts(ds, src, group, items):
     return ds
 
 
+def _ord_f64(col) -> "np.ndarray":
+    """float64 view of an ORDER BY column (timestamps -> epoch us)."""
+    import numpy as np
+
+    from solr_ray.ops.windows import _ts_int_us
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        return _ts_int_us(col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+    return col.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _col_range(ds, col: str) -> tuple[float, float]:
+    """Distributed min/max of one column (partial per block, driver fold)."""
+    import numpy as np
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = _ord_f64(t[col])
+        v = v[~np.isnan(v)]
+        return pa.table({"lo": pa.array([v.min() if v.size else np.inf]),
+                         "hi": pa.array([v.max() if v.size else -np.inf])})
+
+    p = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    return float(p["lo"].min()), float(p["hi"].max())
+
+
+_WIN_SLICES = 4096  # order-axis slices for composite-key window shuffles
+# below this, whole-partition buckets win: ONE shuffle serves every window
+# item, vs the sliced path's per-item shuffle + fix-up fixed costs (which
+# only pay off once a single partition outgrows a worker)
+_SLICED_MIN_ROWS = 2_000_000
+
+
 def _attach_window_columns(ds, win_items: list[dict]):
-    """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY p ORDER BY s):
-    rows shuffle into 64 hash buckets of whole partitions (each partition
-    lives in exactly one bucket — co-location without one UDF call per
-    partition), then ONE vectorized pandas pass per bucket sorts by
-    (partition, order keys) and computes every requested window column
-    from cumcounts + new-rank boundaries. Window frames (SUM(...) OVER
-    ROWS BETWEEN ...) are deliberately out of scope — ops/windows.py's
-    sliding_window is that operator. ROW_NUMBER over duplicate order
-    keys is nondeterministic in ANSI too; use a unique tie-break key."""
+    """Window functions OVER (PARTITION BY p ORDER BY s [ROWS frame]).
+
+    Scale shape (same composite-key design as ops/windows.py — a fixed
+    bucket count alone caps nothing, since one hot PARTITION BY key lands
+    in a single group):
+
+    - Frame aggregates (SUM/AVG/MIN/MAX/COUNT ... ROWS BETWEEN f PRECEDING
+      AND CURRENT ROW) with an ascending numeric/timestamp first ORDER BY
+      column DELEGATE to ops.windows.sliding_window — composite
+      (partition-hash bucket, order slice) shuffle + exact head/tail
+      fix-up; remaining ORDER BY columns ride as tie keys.
+    - Rank functions (ROW_NUMBER/RANK/DENSE_RANK) under the same
+      sliceability condition shuffle by (partition bucket, order slice)
+      and add per-(partition, slice) OFFSETS afterwards: equal order
+      values always land in the same slice (slice = floor(v/width)), so a
+      peer group never straddles slices and
+        ROW_NUMBER/RANK = in-slice value + rows in earlier slices,
+        DENSE_RANK     = in-slice value + distinct tuples in earlier
+                         slices.
+      The offset table is one row per (partition, slice) — O(keys x
+      slices), independent of log size — merged under the repo-standard
+      5M driver gate with a distributed per-partition fallback.
+    - Anything else (DESC order, non-numeric order column, UNBOUNDED
+      frames) falls back to whole-partition buckets, with the bucket
+      count scaled to the input (~500k rows per group) instead of a
+      fixed 64.
+
+    ROW_NUMBER over duplicate order keys is nondeterministic in ANSI too;
+    use a unique tie-break key."""
+    import numpy as np
     import pandas as pd
 
-    num_buckets = 64
     # one shuffle can serve every item sharing the same PARTITION BY
     part_key = tuple(win_items[0]["partition"])
     if any(tuple(it["partition"]) != part_key for it in win_items[1:]):
@@ -984,18 +1040,220 @@ def _attach_window_columns(ds, win_items: list[dict]):
         raise ValueError("window functions need PARTITION BY (a global "
                          "window is a driver bottleneck by construction)")
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        import numpy as np
-        import pandas as pd
+    order0 = win_items[0]["order"]
+    if any(it["order"] != order0 for it in win_items[1:]):
+        # mixed ORDER BYs: run each item through its own pass
+        out = ds
+        for it in win_items:
+            out = _attach_window_columns(out, [it])
+        return out
 
+    ocols = [c for c, _ in order0]
+    asc = [not d for _, d in order0]
+    ds = ds.materialize()  # two+ consumers: count/range probe + shuffle
+    sliceable = (bool(ocols) and all(asc)
+                 and ds.count() >= _SLICED_MIN_ROWS)
+    if sliceable:
+        s0 = ds.schema()  # ray Schema wrapper: parallel names/types lists
+        f0 = (s0.types[s0.names.index(ocols[0])]
+              if ocols[0] in s0.names else None)
+        sliceable = isinstance(f0, pa.DataType) and (
+            pa.types.is_integer(f0) or pa.types.is_floating(f0)
+            or pa.types.is_timestamp(f0))
+
+    frame_items = [it for it in win_items if it["fn"] in _AGGS]
+    rank_items = [it for it in win_items if it["fn"] not in _AGGS]
+
+    if sliceable and all(it["frame"] != "unbounded" for it in frame_items):
+        lo, hi = _col_range(ds, ocols[0])
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            return _windows_bucketed(ds, win_items, part_key)  # empty/NaN
+        out = ds
+        if frame_items:
+            out = _frame_aggs_sliced(out, frame_items, part_key, ocols,
+                                     lo, hi)
+        if rank_items:
+            out = _ranks_sliced(out, rank_items, part_key, ocols, lo, hi)
+        return out
+    return _windows_bucketed(ds, win_items, part_key)
+
+
+def _slice_width_us(lo: float, hi: float) -> int:
+    return max(1, int(np.ceil((hi - lo + 1) / _WIN_SLICES)))
+
+
+def _frame_aggs_sliced(ds, items, part_key, ocols, lo, hi):
+    """ROWS-frame aggregates via ops.windows.sliding_window (composite-key
+    shuffle + head/tail fix-up), one pass per item."""
+    import numpy as np
+
+    from solr_ray.ops.windows import sliding_window
+
+    width = _slice_width_us(lo, hi)
+    out = ds
+    for it in items:
+        agg_name = {"SUM": "sum", "AVG": "mean", "MIN": "min",
+                    "MAX": "max", "COUNT": "count"}[it["fn"]]
+        rolled = sliding_window(
+            out, key_col=list(part_key), ts_col=ocols[0],
+            value_col=it["col"], n=int(it["frame"]) + 1, agg=agg_name,
+            tie_col=ocols[1:] or None, slice_us=width)
+
+        def finish(t: pa.Table, _it=it) -> pa.Table:
+            v = t[f"rolling_{_it['col']}"]
+            v = pc.cast(v, pa.int64() if _it["fn"] == "COUNT"
+                        else pa.float64())
+            names = [n for n in t.schema.names
+                     if n != f"rolling_{_it['col']}"]
+            cols = {n: t[n] for n in names}
+            cols[_it["alias"]] = v
+            return pa.table(cols)
+
+        out = rolled.map_batches(finish, batch_format="pyarrow")
+    return out
+
+
+def _ranks_sliced(ds, items, part_key, ocols, lo, hi):
+    """ROW_NUMBER/RANK/DENSE_RANK via (partition bucket, order slice)
+    shuffle + per-(partition, slice) offsets. Equal order values share a
+    slice by construction, so peer groups never straddle slices."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Max as AMax
+
+    from solr_ray.ops.windows import _hash_bucket
+
+    width = float(_slice_width_us(lo, hi))
+    num_buckets = 64
+    need_dense = any(it["fn"] == "DENSE_RANK" for it in items)
+    pk = list(part_key)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = _hash_bucket(t, pk, num_buckets, out_col="__wb")
+        v = _ord_f64(t[ocols[0]])
+        return t.append_column(
+            "__ws", pa.array(np.floor((v - lo) / width).astype(np.int64)))
+
+    def per_slice(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([*pk, *ocols], kind="stable")
+             .drop(columns=["__wb"]).copy())
+        grp = g.groupby(pk, sort=False)
+        rn = (grp.cumcount() + 1).to_numpy()
+        first = rn == 1
+        same_ord = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            eq = np.ones(len(g) - 1, dtype=bool)
+            for c in ocols:
+                v = g[c].to_numpy()
+                eq &= v[1:] == v[:-1]
+            same_ord[1:] = eq
+        is_new = first | ~same_ord
+        cum = np.cumsum(is_new)
+        base = pd.Series(np.where(first, cum - 1, np.nan)
+                         ).ffill().to_numpy()
+        dense = (cum - base).astype(np.int64)
+        for it in items:
+            if it["fn"] == "ROW_NUMBER":
+                g[it["alias"]] = rn
+            elif it["fn"] == "RANK":
+                g[it["alias"]] = pd.Series(
+                    np.where(is_new, rn, np.nan)
+                ).ffill().to_numpy().astype(np.int64)
+            else:
+                g[it["alias"]] = dense
+        if need_dense:
+            g["__dense"] = dense
+        return g
+
+    per = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby(["__wb", "__ws"])
+           .map_groups(per_slice, batch_format="pandas")
+           .materialize())  # two consumers: rows + offset summary
+
+    aggs = [Count(alias_name="__n")]
+    if need_dense:
+        aggs.append(AMax("__dense", alias_name="__d"))
+    summ_ds = per.groupby([*pk, "__ws"]).aggregate(*aggs).materialize()
+
+    off_cols = [*pk, "__ws", "__roff"] + (["__doff"] if need_dense else [])
+
+    def prefix(summ: pd.DataFrame) -> pd.DataFrame:
+        # exclusive prefix sums per partition over ascending slices
+        summ = summ.sort_values([*pk, "__ws"], kind="stable").copy()
+        grp = summ.groupby(pk, sort=False)
+        summ["__roff"] = grp["__n"].cumsum() - summ["__n"]
+        if need_dense:
+            summ["__doff"] = grp["__d"].cumsum() - summ["__d"]
+        return summ[off_cols]
+
+    keep = [n for n in per.schema().names
+            if n not in ("__ws", "__dense")]
+
+    def _apply(d: pd.DataFrame, offs: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.MultiIndex.from_frame(d[[*pk, "__ws"]])
+        offs = offs.set_index([*pk, "__ws"])
+        roff = offs["__roff"].reindex(idx).to_numpy()
+        doff = offs["__doff"].reindex(idx).to_numpy() if need_dense else None
+        for it in items:
+            add = doff if it["fn"] == "DENSE_RANK" else roff
+            d[it["alias"]] = (d[it["alias"]].to_numpy() + add
+                              ).astype(np.int64)
+        return d[keep]
+
+    # offset table is one row per (partition, slice) — tiny relative to
+    # the data; repo-standard 5M driver gate with a distributed fallback
+    if summ_ds.count() <= 5_000_000:
+        offs_pd = prefix(summ_ds.to_pandas())
+        ref = ray.put(pa.Table.from_pandas(offs_pd, preserve_index=False))
+
+        def apply_offsets(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                _apply(t.to_pandas(), ray.get(ref).to_pandas()),
+                preserve_index=False)
+
+        return per.map_batches(apply_offsets, batch_format="pyarrow")
+
+    # distributed fallback: per-partition prefix sums (each group =
+    # one partition's <= _WIN_SLICES summary rows), then a hash join
+    from solr_ray.ops.windows import _hash_bucket
+
+    offs_ds = (summ_ds.map_batches(
+        lambda t: _hash_bucket(t, pk, 256, out_col="__ob"),
+        batch_format="pyarrow")
+        .groupby("__ob")
+        .map_groups(lambda g: prefix(g.drop(columns=["__ob"])),
+                    batch_format="pandas")).materialize()
+    joined = per.join(offs_ds, "inner", num_partitions=64,
+                      on=(*pk, "__ws"))
+
+    def apply_joined(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        for it in items:
+            add = d["__doff"] if it["fn"] == "DENSE_RANK" else d["__roff"]
+            d[it["alias"]] = (d[it["alias"]].to_numpy()
+                              + add.to_numpy()).astype(np.int64)
+        return pa.Table.from_pandas(d[keep], preserve_index=False)
+
+    return joined.map_batches(apply_joined, batch_format="pyarrow")
+
+
+def _windows_bucketed(ds, win_items, part_key):
+    """Fallback: whole-partition hash buckets, bucket count scaled to the
+    input (~500k rows per group) rather than a fixed 64."""
+    import numpy as np
+    import pandas as pd
+
+    num_buckets = max(64, int(np.ceil(ds.count() / 500_000)))
+
+    def bucketize(t: pa.Table) -> pa.Table:
         key = pd.util.hash_pandas_object(
             t.select(list(part_key)).to_pandas(), index=False).to_numpy()
         return t.append_column(
             "__wb", pa.array((key % num_buckets).astype(np.int64)))
 
     def windows(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         g = g.drop(columns=["__wb"])
         out = g
         for it in win_items:
@@ -1006,9 +1264,6 @@ def _attach_window_columns(ds, win_items: list[dict]):
                                 kind="stable")
             grp = s.groupby(list(part_key), sort=False)
             if it["fn"] in _AGGS:
-                # frame aggregate over ROWS BETWEEN f PRECEDING AND
-                # CURRENT ROW — pandas rolling per partition, exactly the
-                # sliding_window kernel
                 f = it["frame"]
                 win = len(s) if f == "unbounded" else int(f) + 1
                 r = grp[it["col"]].rolling(max(win, 1), min_periods=1)

@@ -278,3 +278,63 @@ def test_sql_window_functions_property(ray_session, rows, n, desc):
     for c in ("rn", "r", "dr", "rs"):
         assert np.allclose(got[c].to_numpy().astype(float),
                            want[c].to_numpy().astype(float)), c
+
+
+# --------------------------------- SQL windows, sliced path (round 5)
+
+@given(st.lists(st.tuples(st.integers(0, 1),            # partition (hot: 2)
+                          st.integers(0, 500),           # order value
+                          st.integers(-9, 9)),           # agg value
+                min_size=1, max_size=150),
+       st.integers(1, 4),                                # frame n
+       st.integers(2, 16))                               # forced slice count
+@settings(max_examples=25, deadline=None)
+def test_sql_window_sliced_hot_partition_property(ray_session,
+                                                  rows, n, nslices):
+    """The r4 ceiling: a hot PARTITION BY key used to land in ONE group.
+    Force the slice count tiny so every example exercises multi-slice
+    offsets + head/tail fix-up over a near-single-key table, and assert
+    exact DuckDB equality (rank offsets, dense-rank distinct offsets,
+    frame sums across slice edges, duplicate order values within and at
+    slice boundaries)."""
+    import duckdb
+
+    import solr_ray.sql as sqlmod
+    from solr_ray.sql import execute_sql
+
+    saved = sqlmod._WIN_SLICES, sqlmod._SLICED_MIN_ROWS
+    sqlmod._WIN_SLICES = nslices
+    sqlmod._SLICED_MIN_ROWS = 0  # force the composite-key path on tiny input
+    try:
+        _run_sliced_case(rows, n)
+    finally:
+        sqlmod._WIN_SLICES, sqlmod._SLICED_MIN_ROWS = saved
+
+
+def _run_sliced_case(rows, n):
+    import duckdb
+
+    from solr_ray.sql import execute_sql
+
+    t = pa.table({
+        "id": pa.array(range(len(rows)), pa.int64()),
+        "p": pa.array([r[0] for r in rows], pa.int64()),
+        "o": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    sql = (f"SELECT id, "
+           f"ROW_NUMBER() OVER (PARTITION BY p ORDER BY o, id) AS rn, "
+           f"RANK() OVER (PARTITION BY p ORDER BY o) AS r, "
+           f"DENSE_RANK() OVER (PARTITION BY p ORDER BY o) AS dr, "
+           f"SUM(v) OVER (PARTITION BY p ORDER BY o, id "
+           f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS rs "
+           f"FROM t ORDER BY id")
+    got = execute_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    con.close()
+    assert len(got) == len(want)
+    for c in ("rn", "r", "dr", "rs"):
+        assert np.allclose(got[c].to_numpy().astype(float),
+                           want[c].to_numpy().astype(float)), c
