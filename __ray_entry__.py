@@ -1887,6 +1887,24 @@ _SQL_QUERIES = {
                         "(SELECT c_custkey FROM customer "
                         "WHERE c_acctbal > 9000) "
                         "ORDER BY o_orderkey LIMIT 200"),
+    # correlated EXISTS: the single-equality correlation rewrites to the
+    # IN-subquery broadcast semi-join plan (distributed distinct keys)
+    "sql_exists": ("SELECT c_custkey, c_name FROM customer c "
+                   "WHERE EXISTS (SELECT 1 AS one FROM orders o "
+                   "WHERE o.o_custkey = c.c_custkey "
+                   "AND o.o_totalprice > 300000) "
+                   "ORDER BY c_custkey"),
+    # correlated NOT EXISTS (anti-join form of the same rewrite)
+    "sql_not_exists": ("SELECT c_custkey FROM customer c "
+                       "WHERE NOT EXISTS (SELECT 1 AS one FROM orders o "
+                       "WHERE o.o_custkey = c.c_custkey "
+                       "AND o.o_totalprice > 100000) "
+                       "ORDER BY c_custkey"),
+    # scalar subquery folded to a literal before execution
+    "sql_scalar_subquery": ("SELECT c_custkey, c_acctbal FROM customer "
+                            "WHERE c_acctbal > "
+                            "(SELECT AVG(c_acctbal) AS a FROM customer) "
+                            "ORDER BY c_custkey"),
     # SELECT DISTINCT list (grouped-count shuffle over distinct rows)
     "sql_distinct": ("SELECT DISTINCT lang, source FROM documents "
                      "ORDER BY lang, source"),

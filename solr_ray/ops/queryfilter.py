@@ -55,6 +55,11 @@ def compile_filter(spec: dict):
     if op == "not":
         sub = compile_filter(spec["clauses"][0])
         return lambda t: pc.invert(sub(t))
+    if op == "const":
+        # constant predicate (e.g. an uncorrelated EXISTS resolved to its
+        # truth value before execution)
+        val = bool(spec["value"])
+        return lambda t: pa.array([val] * t.num_rows, pa.bool_())
     if op == "term":
         return lambda t: pc.equal(t[spec["field"]], pa.scalar(spec["value"]))
     if op == "terms":

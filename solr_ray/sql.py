@@ -92,7 +92,7 @@ _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
              "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
              "UNBOUNDED", "CURRENT", "ROW", "CASE", "WHEN", "THEN", "ELSE",
-             "END", "IS", "NULL"}
+             "END", "IS", "NULL", "EXISTS"}
 
 
 def _tokenize(sql: str):
@@ -370,6 +370,15 @@ class _Parser:
         raise ValueError(f"expected literal, got {v!r}")
 
     def predicate(self):
+        if self.at_kw("EXISTS"):
+            # [NOT] EXISTS (SELECT ...) — cond_not supplies the NOT wrap.
+            # Correlation via qualified col = col conjuncts inside the
+            # subquery WHERE (resolved to a semi-join terms spec later).
+            self.eat()
+            self.eat("punct", "(")
+            sub = self.statement(stop_at_paren=True)
+            self.eat("punct", ")")
+            return {"op": "exists_subquery", "plan": sub}
         # LHS is a full scalar expression; a bare column keeps the legacy
         # spec shapes (term/range/terms have optimized filter kernels),
         # anything else (scalar fn, arithmetic, CAST) compiles to a
@@ -411,6 +420,24 @@ class _Parser:
         k, v = self.peek()
         if k == "cmp":
             self.eat()
+            if (self.peek() == ("punct", "(")
+                    and self.toks[self.i + 1] == ("kw", "SELECT")):
+                # col <cmp> (SELECT ...) — scalar subquery, resolved to a
+                # literal before execution (must yield exactly one value)
+                self.eat()
+                sub = self.statement(stop_at_paren=True)
+                self.eat("punct", ")")
+                return {"op": "cmp_scalar_subquery", "field": col,
+                        "cmp": v, "plan": sub}
+            if self.peek()[0] == "name":
+                # col = col — only meaningful as an EXISTS correlation
+                # conjunct; _execute_plan rejects any that survive
+                other = self.eat("name")
+                if v != "=":
+                    raise ValueError(
+                        "column-to-column predicates support only = "
+                        "(EXISTS correlation)")
+                return {"op": "col_eq", "left": col, "right": other}
             lit = self.literal()
             if v == "=":
                 return {"op": "term", "field": col, "value": lit}
@@ -1349,12 +1376,138 @@ def _resolve_in_subqueries(cond, tables, negated: bool = False):
                 "NOT IN over a subquery producing NULLs is ANSI-empty; "
                 "filter the NULLs in the subquery")
         return {"op": "terms", "field": cond["field"], "values": vals}
+    if cond.get("op") == "exists_subquery":
+        return _resolve_exists(cond, tables, negated)
+    if cond.get("op") == "cmp_scalar_subquery":
+        return _resolve_scalar_subquery(cond, tables)
     out = dict(cond)
     if "clauses" in out:
         flip = negated != (out.get("op") == "not")
         out["clauses"] = [_resolve_in_subqueries(c, tables, flip)
                           for c in out["clauses"]]
     return out
+
+
+def _inner_names(plan: dict) -> set:
+    names = {plan["table"]}
+    if plan.get("alias"):
+        names.add(plan["alias"])
+    for j in plan.get("joins", ()):
+        names.add(j["table"])
+        if j.get("alias"):
+            names.add(j["alias"])
+    return names
+
+
+def _resolve_exists(cond, tables, negated: bool):
+    """[NOT] EXISTS (SELECT ... [WHERE inner.k = outer.k AND ...]).
+
+    Correlated (exactly one qualified equality whose one side references a
+    table OUTSIDE the subquery's FROM): ANSI-equivalent to
+    `outer.k IN (SELECT inner.k FROM ... WHERE rest)`, so it rewrites to
+    the in_subquery plan and reuses its distributed-distinct + broadcast
+    semi-join machinery. Uncorrelated: the subquery's row existence is one
+    limit(1) probe, folded to a constant predicate."""
+    plan = cond["plan"]
+    inner = _inner_names(plan)
+
+    corr: list[tuple[str, str]] = []  # (outer_ref, inner_ref)
+    rest: list = []
+
+    def walk(c, under_or: bool):
+        if not isinstance(c, dict):
+            return
+        if c.get("op") == "col_eq":
+            sides = [c["left"], c["right"]]
+            quals = [s.split(".", 1)[0] if "." in s else None for s in sides]
+            outer_ix = [i for i, q in enumerate(quals)
+                        if q is not None and q not in inner]
+            if len(outer_ix) == 1:
+                if under_or:
+                    raise ValueError("EXISTS correlation predicates must "
+                                     "be top-level AND conjuncts")
+                o = sides[outer_ix[0]]
+                corr.append((o, sides[1 - outer_ix[0]]))
+                return
+            raise ValueError(
+                "column = column inside EXISTS must correlate exactly one "
+                f"outer reference (qualified), got {c['left']} = "
+                f"{c['right']}")
+        if c.get("op") == "and":
+            for s in c["clauses"]:
+                walk(s, under_or)
+            return
+        # residual predicates stay in the subquery; they must not
+        # reference the outer query (general correlation is out of scope)
+        for name in _names_in(c):
+            q = name.split(".", 1)[0] if "." in name else None
+            if q is not None and q not in inner:
+                raise ValueError(
+                    f"EXISTS subquery references outer column {name!r} "
+                    "outside a top-level equality correlation")
+        rest.append(c)
+
+    if plan.get("where") is not None:
+        walk(plan["where"], False)
+
+    if not corr:
+        # uncorrelated: row existence is one limit(1) probe; the
+        # surrounding NOT (if any) inverts the const spec at compile time
+        sub_plan = dict(plan)
+        sub_plan["limit"] = 1
+        n = _execute_plan(sub_plan, tables).count()
+        return {"op": "const", "value": n > 0}
+    if len(corr) > 1:
+        raise ValueError("EXISTS supports exactly one correlation "
+                         "equality; rewrite multi-key correlation as a "
+                         "JOIN")
+    outer_ref, inner_ref = corr[0]
+    outer_field = outer_ref.split(".", 1)[1] if "." in outer_ref \
+        else outer_ref
+    sub_plan = dict(plan)
+    sub_plan["items"] = [{"kind": "col", "col": inner_ref}]
+    sub_plan["where"] = (None if not rest
+                         else rest[0] if len(rest) == 1
+                         else {"op": "and", "clauses": rest})
+    sub_plan["order"], sub_plan["limit"] = [], None
+    spec = {"op": "in_subquery", "field": outer_field, "plan": sub_plan}
+    return _resolve_in_subqueries(spec, tables, negated)
+
+
+def _resolve_scalar_subquery(cond, tables):
+    """col <cmp> (SELECT one_value ...): the subquery must yield exactly
+    one row and one column; its value folds into a plain term/range
+    spec (0 rows = ANSI NULL comparison = matches nothing)."""
+    sub = _execute_plan(cond["plan"], tables)
+    cols = sub.schema().names
+    if len(cols) != 1:
+        raise ValueError("scalar subquery needs exactly one output "
+                         f"column, got {cols}")
+    rows = sub.limit(2).take_all()
+    if len(rows) > 1:
+        raise ValueError("scalar subquery returned more than one row")
+    if not rows or rows[0][cols[0]] is None:
+        return {"op": "const", "value": False}
+    val = rows[0][cols[0]]
+    import datetime
+
+    if hasattr(val, "item"):
+        val = val.item()
+    if isinstance(val, datetime.datetime):
+        val = pa.scalar(val)
+    f, v = cond["field"], cond["cmp"]
+    if v == "=":
+        return {"op": "term", "field": f, "value": val}
+    if v in ("<>", "!="):
+        return {"op": "not",
+                "clauses": [{"op": "term", "field": f, "value": val}]}
+    if v == "<":
+        return {"op": "range", "field": f, "hi": val, "include_hi": False}
+    if v == "<=":
+        return {"op": "range", "field": f, "hi": val, "include_hi": True}
+    if v == ">":
+        return {"op": "range", "field": f, "lo": val, "include_lo": False}
+    return {"op": "range", "field": f, "lo": val, "include_lo": True}
 
 
 def execute_sql(sql: str, tables: dict) -> "ray.data.Dataset":
@@ -1370,6 +1523,8 @@ def _names_in(node) -> list:
             out.append(node["col"])
         if "field" in node:
             out.append(node["field"])
+        if node.get("op") == "col_eq":
+            out.extend([node["left"], node["right"]])
         for k in ("l", "r", "inner", "node"):
             if k in node:
                 out.extend(_names_in(node[k]))

@@ -571,3 +571,51 @@ def test_having_hidden_aggregates(ray_session, table):
         "HAVING AVG(val) > 490 AND COUNT(*) > 100 ORDER BY grp",
     ]:
         _assert_same(*_both(sql, table))
+
+
+def test_exists_correlated(ray_session, table):
+    sql = ("SELECT id, val FROM t a WHERE EXISTS "
+           "(SELECT 1 AS one FROM t b WHERE b.grp = a.grp "
+           "AND b.val > 900) ORDER BY id")
+    _assert_same(*_both(sql, table))
+
+
+def test_not_exists_correlated(ray_session, table):
+    sql = ("SELECT id FROM t a WHERE NOT EXISTS "
+           "(SELECT 1 AS one FROM t b WHERE b.grp = a.grp "
+           "AND b.val > 990) ORDER BY id")
+    _assert_same(*_both(sql, table))
+
+
+def test_exists_uncorrelated_and_errors(ray_session, table):
+    sql = ("SELECT id FROM t WHERE EXISTS "
+           "(SELECT 1 AS one FROM t WHERE val > 999999) ORDER BY id")
+    got, want = _both(sql, table)
+    assert len(got) == len(want) == 0  # (empty Ray to_pandas drops names)
+    sql2 = ("SELECT id FROM t WHERE EXISTS "
+            "(SELECT 1 AS one FROM t WHERE val >= 0) ORDER BY id LIMIT 20")
+    _assert_same(*_both(sql2, table))
+    import pytest as _pt
+
+    from solr_ray.sql import execute_sql
+    with _pt.raises(ValueError):
+        # two correlation equalities -> clear error, not wrong answer
+        execute_sql(
+            "SELECT id FROM t a WHERE EXISTS (SELECT 1 AS one FROM t b "
+            "WHERE b.grp = a.grp AND b.kind = a.kind)", None)
+
+
+def test_scalar_subquery(ray_session, table):
+    sql = ("SELECT id, val FROM t WHERE val > "
+           "(SELECT AVG(val) AS a FROM t) ORDER BY id")
+    _assert_same(*_both(sql, table))
+    sql2 = ("SELECT id FROM t WHERE val <= "
+            "(SELECT MIN(val) AS m FROM t) ORDER BY id")
+    _assert_same(*_both(sql2, table))
+
+
+def test_in_subquery_in_having(ray_session, table):
+    sql = ("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp "
+           "HAVING grp IN (SELECT grp FROM t WHERE val > 900) "
+           "ORDER BY grp")
+    _assert_same(*_both(sql, table))
