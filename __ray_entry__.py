@@ -1531,6 +1531,16 @@ def _q_geodist_top20(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_heatmap_facet(sf_dir: str):
+    """FacetHeatmap analog: 12x16 grid-cell counts over a lat/lon bbox
+    (pure combiner — per-batch 2-D bincount, tiny grouped merge)."""
+    from solr_ray.ops.spatial import heatmap_facet
+
+    return heatmap_facet(_geo_docs(sf_dir), "lat", "lon",
+                         -60.0, 60.0, -120.0, 120.0,
+                         grid_rows=12, grid_cols=16)
+
+
 def _q_cursor_page2(sf_dir: str):
     """CursorMark keyset paging: page 2 (rows 51-100) of orders by
     (o_totalprice desc, o_orderkey asc)."""
@@ -2431,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geofilt": _q_geofilt,
         "bbox": _q_bbox,
         "geodist_top20": _q_geodist_top20,
+        "heatmap_facet": _q_heatmap_facet,
         "boolean_query": _q_boolean_query,
         "synonym_search": _q_synonym_search,
         "pivot_lang_source": _q_pivot_lang_source,
@@ -3065,6 +3076,21 @@ WHERE ((doc_id * 7919) % 18000) / 100.0 - 90.0 BETWEEN -30.0 AND 45.0
         "geodist_top20": _GEO_CTE + """
 SELECT doc_id, FLOOR(dist * 1e3) / 1e3 AS dist_r FROM d
 ORDER BY dist, doc_id LIMIT 20
+""",
+        "heatmap_facet": """
+WITH g AS (
+  SELECT ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+)
+SELECT CAST(LEAST(FLOOR((lat - (-60.0)) / 10.0), 11) AS BIGINT)
+         AS grid_row,
+       CAST(LEAST(FLOOR((lon - (-120.0)) / 15.0), 15) AS BIGINT)
+         AS grid_col,
+       COUNT(*) AS cnt
+FROM g
+WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -120.0 AND 120.0
+GROUP BY 1, 2 ORDER BY grid_row, grid_col
 """,
         "block_join_parents": """
 SELECT o.o_orderkey,

@@ -118,3 +118,57 @@ def geodist_topk(ds, lat_col: str, lon_col: str, pt: tuple[float, float],
     return (out.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True)
             .sort(keys).limit(k))
+
+
+def heatmap_facet(ds, lat_col: str, lon_col: str,
+                  lat_min: float, lat_max: float,
+                  lon_min: float, lon_max: float,
+                  grid_rows: int = 16, grid_cols: int = 16):
+    """FacetHeatmap analog (solr/core/src/java/org/apache/solr/search/
+    facet/FacetHeatmap.java): per-cell point counts over a lat/lon grid
+    covering the bbox.
+
+    Pure combiner shape (cell count = grid_rows x grid_cols, small by
+    contract, like the reference's gridLevel-bounded heatmap): each batch
+    2-D-bincounts its in-bbox rows to at most rows x cols partial cells;
+    the partials merge in one tiny grouped aggregate. No shuffle ever
+    carries more than O(blocks x cells) rows.
+
+    Cell edges follow the reference's convention: cell i covers
+    [min + i*width, min + (i+1)*width) with the top/right edge inclusive
+    in the last cell (a point at lat_max/lon_max still counts). SQL
+    oracle: LEAST(FLOOR((v - lo) / width), n-1) per axis.
+
+    Returns (grid_row, grid_col, cnt) sorted, grid_row 0 = south edge —
+    only non-empty cells (the reference emits counts_ints2D with nulls
+    for empty rows; sparse rows are the distributed-friendly layout)."""
+    la0, la1 = float(lat_min), float(lat_max)
+    lo0, lo1 = float(lon_min), float(lon_max)
+    rh = (la1 - la0) / grid_rows
+    cw = (lo1 - lo0) / grid_cols
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = t[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
+        lat, lon = lat[m], lon[m]
+        r = np.minimum(np.floor((lat - la0) / rh), grid_rows - 1
+                       ).astype(np.int64)
+        c = np.minimum(np.floor((lon - lo0) / cw), grid_cols - 1
+                       ).astype(np.int64)
+        flat = r * grid_cols + c
+        cnt = np.bincount(flat, minlength=grid_rows * grid_cols)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "grid_row": pa.array(nz // grid_cols, pa.int64()),
+            "grid_col": pa.array(nz % grid_cols, pa.int64()),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["grid_row", "grid_col"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .sort(["grid_row", "grid_col"]))

@@ -69,3 +69,32 @@ def test_geodist_topk_order_and_ties(ray_session):
 
 def test_earth_radius_is_iugg_mean():
     assert math.isclose(EARTH_RADIUS_KM, 6371.0087714)
+
+
+def test_heatmap_facet(ray_session):
+    import ray.data
+
+    from solr_ray.ops.spatial import heatmap_facet
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-90, 90, 20_000)
+    lon = rng.uniform(-180, 180, 20_000)
+    ds = ray.data.from_arrow(pa.table({"lat": lat, "lon": lon})
+                             ).repartition(8)
+    got = heatmap_facet(ds, "lat", "lon", -60, 60, -120, 120,
+                        grid_rows=6, grid_cols=8).to_pandas()
+    # brute force
+    m = (lat >= -60) & (lat <= 60) & (lon >= -120) & (lon <= 120)
+    r = np.minimum(np.floor((lat[m] + 60) / 20), 5).astype(int)
+    c = np.minimum(np.floor((lon[m] + 120) / 30), 7).astype(int)
+    import collections
+    want = collections.Counter(zip(r, c))
+    assert int(got["cnt"].sum()) == int(m.sum())
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[(row["grid_row"], row["grid_col"])] == row["cnt"]
+    # top/right edge inclusivity: a point exactly at the max corner counts
+    one = ray.data.from_arrow(pa.table({"lat": [60.0], "lon": [120.0]}))
+    g1 = heatmap_facet(one, "lat", "lon", -60, 60, -120, 120,
+                       grid_rows=6, grid_cols=8).to_pandas()
+    assert len(g1) == 1 and g1["grid_row"][0] == 5 and g1["grid_col"][0] == 7
