@@ -32,6 +32,24 @@ _TRUNC = {
 }
 
 
+def _push_shuffle(ds):
+    """Scoped SORT_SHUFFLE_PUSH_BASED on THIS dataset's captured context
+    (Ray snapshots DataContext at dataset creation, so mutating the
+    global after read_parquet does nothing — the dataset's own context is
+    the one execution reads; restored by the caller's finally). The
+    composite-key window shuffles move the whole event log once, and
+    push-based sort measured ~1.8x faster than the default pull-based
+    sort on them (1.48 s vs 2.64 s warm, sf0.1 sessions) — same finding
+    as the index build's bucket shuffle. Scoped, never leaked: round 3
+    measured a leaked strategy taxing every later small groupby."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    saved = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    return ctx, saved
+
+
 def _ts_int_us(col):
     """int64 MICROSECOND view of a column. Timestamp columns carry their
     storage unit into a bare int64 cast (ns for pandas-sourced blocks),
@@ -316,10 +334,14 @@ def sliding_window(ds, key_col: str, ts_col: str, value_col: str, n: int,
         return (g[g["__head"]]
                 .drop(columns=["__head", "__tail", "__wbucket"]))
 
-    per_slice = (ds.map_batches(bucketize, batch_format="pyarrow")
-                 .groupby(["__wbucket", "__slice"])
-                 .map_groups(roll_slice, batch_format="pandas")
-                 .materialize())  # two consumers: settled + fix-up
+    ctx, saved = _push_shuffle(ds)
+    try:
+        per_slice = (ds.map_batches(bucketize, batch_format="pyarrow")
+                     .groupby(["__wbucket", "__slice"])
+                     .map_groups(roll_slice, batch_format="pandas")
+                     .materialize())  # two consumers: settled + fix-up
+    finally:
+        ctx.shuffle_strategy = saved
     keep = tuple(ds.schema().names) + (out_col,)
 
     def take_settled(t: pa.Table, _k=keep) -> pa.Table:
@@ -485,10 +507,14 @@ def session_windows(ds, key_col: str, ts_col: str, gap_us: int,
     def take_boundary(t: pa.Table) -> pa.Table:
         return t.filter(t["__bnd"])
 
-    per_slice = (ds.map_batches(bucketize, batch_format="pyarrow")
-                 .groupby(["__sbucket", "__slice"])
-                 .map_groups(sessions, batch_format="pandas")
-                 .materialize())  # two consumers: interior + boundary
+    ctx, saved = _push_shuffle(ds)
+    try:
+        per_slice = (ds.map_batches(bucketize, batch_format="pyarrow")
+                     .groupby(["__sbucket", "__slice"])
+                     .map_groups(sessions, batch_format="pandas")
+                     .materialize())  # two consumers: interior + boundary
+    finally:
+        ctx.shuffle_strategy = saved
     interior = per_slice.map_batches(take_interior, batch_format="pyarrow")
     boundary = per_slice.map_batches(take_boundary, batch_format="pyarrow")
 
