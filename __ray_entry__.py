@@ -174,6 +174,35 @@ def _q_bm25_top10(sf_dir: str):
     return res.map_batches(finish, batch_format="pyarrow")
 
 
+_SYN_ANALYZER = "syn_ws:scan=filter;merge=join"
+
+
+def _q_synonym_index_bm25(sf_dir: str):
+    """Index-time SynonymGraphFilter analog with a full SQL oracle: the
+    syn_ws analyzer expands each token to its mutual group at ANALYZE
+    time (groups ride in the analyzer name, so workers reconstruct it
+    from the manifest); queries pass through the same analyzer (one
+    fieldType, both sides — the Solr default). Expanded tokens count
+    toward tf and dl (discountOverlaps=false analog), which the oracle
+    replays token-for-token."""
+    res = _search_docs(sf_dir, _SYN_ANALYZER, 1, BM25_QUERIES, k=10,
+                       mode="taat")
+
+    def finish(t: pa.Table) -> pa.Table:
+        doc = pc.cast(t["url"], pa.int64())
+        score_r = pc.divide(
+            pc.floor(pc.multiply(t["score"], pa.scalar(1e5))),
+            pa.scalar(1e5))
+        return pa.table({
+            "qid": t["qid"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "doc_id": doc,
+            "score_r": score_r,
+        })
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_dismax(sf_dir: str):
     """edismax core with a full SQL oracle: qf={title^2, body^1}, tie=0.3,
     mm=2 (both clauses must match), pf={body^1.5} phrase boost. title =
@@ -2409,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **{name: _make_sql_query(q) for name, q in _SQL_QUERIES.items()},
         # north-rule fulltext core
         "bm25_top10": _q_bm25_top10,
+        "synonym_index_bm25": _q_synonym_index_bm25,
         "dismax_search": _q_dismax,
         "block_join_parents": _q_block_join_parents,
         "bm25_wand": _q_bm25_wand,
@@ -2596,6 +2626,78 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _synonym_bm25_oracle_sql() -> str:
+    """BM25 over index-time-expanded tokens: each token emits itself plus
+    its mutual-group mates (scan<->filter, merge<->join), on BOTH the doc
+    and the query side — exactly the syn_ws analyzer's semantics
+    (expanded tokens count toward tf and dl)."""
+    qvals = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES)
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+syn(tok, syn_out) AS (VALUES ('scan','filter'), ('filter','scan'),
+                             ('merge','join'), ('join','merge')),
+expanded AS (
+  SELECT doc_id, tok AS term FROM raw
+  UNION ALL
+  SELECT r.doc_id, s.syn_out FROM raw r JOIN syn s ON s.tok = r.tok
+),
+dl0 AS (SELECT doc_id, COUNT(*) AS dl FROM expanded GROUP BY doc_id),
+dl AS (
+  SELECT d.doc_id, COALESCE(dl0.dl, 0) AS dl
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dl0 ON dl0.doc_id = d.doc_id
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM expanded GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, text) AS (VALUES {qvals}),
+qraw AS (
+  SELECT qid, tok
+  FROM (SELECT qid, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM q)
+  WHERE tok <> ''
+),
+qterms AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT qid, tok AS term FROM qraw
+    UNION ALL
+    SELECT r.qid, s.syn_out FROM qraw r JOIN syn s ON s.tok = r.tok)
+),
+scored AS (
+  SELECT qt.qid, tf.doc_id,
+         SUM(
+           LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / c.avgdl)))
+         ) AS score
+  FROM qterms qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY qt.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, FLOOR(score * 1e5) / 1e5 AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _dismax_oracle_sql() -> str:
     """edismax over (title = first 5 whitespace tokens, body = text):
     per-clause DisMax GREATEST(boosted field scores) + tie*(sum-max);
@@ -2772,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_SQL_QUERIES,
         "bm25_top10": _bm25_oracle_sql(),
+        "synonym_index_bm25": _synonym_bm25_oracle_sql(),
         "bm25_wand": _bm25_oracle_sql(),
         "dismax_search": _dismax_oracle_sql(),
         "term_df": """

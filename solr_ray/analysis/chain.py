@@ -424,9 +424,50 @@ def register_analyzer(name: str, factory: Callable[[], Analyzer]) -> None:
     ANALYZERS[name] = factory
 
 
+def _synonym_pre(groups: dict[str, list[str]]):
+    """Index-time SynonymGraphFilter analog (managed-schema.xml registers
+    SynonymGraphFilterFactory; Lucene stacks synonyms at the same
+    position). Expansion: each whitespace token emits itself followed by
+    its group mates. Divergence from Lucene, documented: expanded tokens
+    occupy their own positions and count toward dl (the field-length norm
+    behaves like discountOverlaps=false), which keeps the whole chain
+    SQL-replayable token-for-token."""
+
+    def pre(text: str) -> str:
+        out = []
+        for tok in text.split():
+            out.append(tok)
+            g = groups.get(tok)
+            if g:
+                out.extend(g)
+        return " ".join(out)
+
+    return pre
+
+
+def parse_syn_ws(name: str) -> "Analyzer":
+    """`syn_ws:a=b=c;x=y` -> whitespace analyzer with index-time mutual
+    synonym groups {a,b,c} and {x,y}. The groups live IN the name, so the
+    analyzer reconstructs identically from the index manifest in any
+    worker process (no registry state to ship)."""
+    spec = name.split(":", 1)[1]
+    groups: dict[str, list[str]] = {}
+    for grp in spec.split(";"):
+        members = [m for m in grp.split("=") if m]
+        for m in members:
+            groups.setdefault(m, [])
+            for other in members:
+                if other != m and other not in groups[m]:
+                    groups[m].append(other)
+    return Analyzer(name, _WHITESPACE_RE, _synonym_pre(groups),
+                    split_tbl={})
+
+
 def get_analyzer(name_or_analyzer: str | Analyzer) -> Analyzer:
     if isinstance(name_or_analyzer, Analyzer):
         return name_or_analyzer
+    if name_or_analyzer.startswith("syn_ws:"):
+        return parse_syn_ws(name_or_analyzer)
     return ANALYZERS[name_or_analyzer]()
 
 

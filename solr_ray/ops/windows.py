@@ -580,7 +580,10 @@ class TopicCheckpoint:
         last = self.read_checkpoint()
 
         def newer(t: pa.Table) -> pa.Table:
-            v = pc.cast(t[ts_col], pa.int64())
+            # microsecond watermark on both sides (commit stores us too;
+            # a bare int64 cast would compare storage units — ns for
+            # pandas-sourced blocks — against a us checkpoint)
+            v = _ts_int_us(t[ts_col])
             return t.filter(pc.greater(v, pa.scalar(last)))
 
         out = ds.map_batches(newer, batch_format="pyarrow")
@@ -591,3 +594,56 @@ class TopicCheckpoint:
         with open(tmp, "w") as f:
             json.dump({"max_seen": int(max_seen)}, f)
         os.replace(tmp, self.path)
+
+
+class DaemonRunner:
+    """daemon/DaemonStream analog (DaemonStream.java:48-66 wraps an inner
+    stream and re-runs it on an interval, each run consuming from the
+    topic checkpoint). Batch semantics — no sleeping scheduler, the
+    caller owns the cadence: each run_once() pulls only rows newer than
+    the checkpoint, applies the pipeline to the increment, advances the
+    checkpoint to the max watermark seen (at-least-once: commit happens
+    AFTER the pipeline consumes), and returns the increment's result.
+    run_until_idle() loops until a pull yields no rows.
+
+    The increment is materialized before the pipeline sees it (it is
+    consumed twice: watermark probe + user pipeline), which is the
+    bounded-new-data contract a checkpointed consumer relies on."""
+
+    def __init__(self, checkpoint_path: str, ts_col: str, pipeline):
+        self.topic = TopicCheckpoint(checkpoint_path)
+        self.ts_col = ts_col
+        self.pipeline = pipeline
+
+    def run_once(self, ds):
+        """One daemon iteration. Returns (result, n_new_rows)."""
+        import pyarrow.compute as pc
+
+        new = self.topic.pull(ds, self.ts_col).materialize()
+        n = new.count()
+        if n == 0:
+            return None, 0
+
+        def mx(t: pa.Table) -> pa.Table:
+            v = _ts_int_us(t[self.ts_col])
+            m = pc.max(v).as_py()
+            return pa.table({"m": pa.array(
+                [m if m is not None else -(1 << 62)], pa.int64())})
+
+        hi = max(r["m"] for r in
+                 new.map_batches(mx, batch_format="pyarrow").take_all())
+        out = self.pipeline(new)
+        self.topic.commit(hi)
+        return out, n
+
+    def run_until_idle(self, ds_factory, max_runs: int = 100):
+        """Re-run until a pull returns nothing. ds_factory is called per
+        iteration (a fresh read sees newly landed data, like the daemon's
+        inner stream re-opening). Returns the per-run results."""
+        results = []
+        for _ in range(max_runs):
+            out, n = self.run_once(ds_factory())
+            if n == 0:
+                break
+            results.append(out)
+        return results

@@ -282,3 +282,38 @@ def test_relatedness_facet(ray_session):
             + 0.2 * sig(z, 0, 30) + 0.2 * sig(z, 30, 30)
             + 0.2 * sig(z, 80, 50))
     assert abs(row["relatedness"] - math.floor(want * 1e5 + 0.5) / 1e5) < 1e-12
+
+
+def test_daemon_runner(ray_session, tmp_path):
+    """Incremental daemon runs over a growing log == one batch run."""
+    import pandas as pd
+    import ray.data
+
+    from solr_ray.ops.windows import DaemonRunner
+
+    full = pd.DataFrame({
+        "ts": pd.to_datetime(np.arange(1000) * 1_000_000, unit="us"),
+        "v": np.arange(1000, dtype=np.int64),
+    })
+    landed = {"n": 0}
+
+    def ds_factory():
+        return ray.data.from_pandas(full.iloc[:landed["n"]].copy())
+
+    def pipeline(ds):
+        # per-increment sum of v (a stand-in for any downstream stream)
+        return sum(r["v"] for r in
+                   ds.map_batches(lambda t: t.select(["v"]),
+                                  batch_format="pyarrow").take_all())
+
+    d = DaemonRunner(str(tmp_path / "daemon.json"), "ts", pipeline)
+    totals = []
+    for n in (300, 300, 650, 1000, 1000):  # includes an idle iteration
+        landed["n"] = n
+        out, got = d.run_once(ds_factory())
+        totals.append((out, got))
+    assert [g for _o, g in totals] == [300, 0, 350, 350, 0]
+    assert sum(o for o, g in totals if g) == int(full["v"].sum())
+    # run_until_idle drains whatever is left after a partial restart
+    d2 = DaemonRunner(str(tmp_path / "daemon.json"), "ts", pipeline)
+    assert d2.run_until_idle(ds_factory) == []
