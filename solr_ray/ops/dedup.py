@@ -312,11 +312,17 @@ def minhash_lsh_candidates(
         sig = np.minimum.reduceat(vals, offs, axis=1)  # (num_perm, n)
         sig[:, empty] = 0  # empty text -> zero signature (scalar parity)
         bb = sig.T.reshape(n * bands, rows_per_band)
-        buckets = pd.util.hash_array(
-            np.array([bb[j].tobytes() for j in range(n * bands)],
-                     dtype=object),
-            hash_key="solr_ray_band000",
-        )
+        # band-row bucket = multiply-add fold over the band's signature
+        # values + splitmix64 whitening — rows_per_band vector ops total
+        # (the old per-row tobytes() built n*bands python objects). Equal
+        # band signatures still collide identically; cross-signature
+        # collisions are 2^-64 noise the Jaccard verify stage absorbs.
+        with np.errstate(over="ignore"):
+            h = np.zeros(n * bands, np.uint64)
+            mult = np.uint64(0x100000001B3)
+            for c in range(rows_per_band):
+                h = h * mult + bb[:, c].astype(np.uint64)
+        buckets = _splitmix64(h)
         return pa.table({
             id_col: pa.array(np.repeat(np.asarray(ids), bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
