@@ -1433,6 +1433,30 @@ def _q_json_facet_highcard(sf_dir: str):
     })
 
 
+def _q_json_facet_percentile(sf_dir: str):
+    """JSON Facet percentile stat (rows-only: t-digest approximation —
+    PercentileAgg digest-merge semantics): p50/p95 of o_totalprice per
+    o_orderpriority through the distributed terms combiner, one mergeable
+    digest per bucket inside groupby().aggregate()."""
+    from solr_ray.ops.jsonfacet import json_facet
+
+    resp = json_facet(
+        _read(sf_dir, "orders", columns=["o_orderpriority",
+                                         "o_totalprice"]), {
+            "type": "terms", "field": "o_orderpriority", "limit": 10,
+            "sort": "index asc",
+            "facet": {"p50": "percentile(o_totalprice, 50)",
+                      "p95": "percentile(o_totalprice, 95)"},
+        })
+    b = resp["buckets"]
+    return pa.table({
+        "o_orderpriority": pa.array([x["val"] for x in b], pa.string()),
+        "cnt": pa.array([x["count"] for x in b], pa.int64()),
+        "p50": pa.array([x["p50"] for x in b], pa.float64()),
+        "p95": pa.array([x["p95"] for x in b], pa.float64()),
+    })
+
+
 def _q_facet_on_query(sf_dir: str):
     """Facet over a query's FULL match set (FacetComponent on /select):
     lang counts of documents matching any of {table, scan}."""
@@ -2455,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_facet_lang": _q_json_facet,
         "json_facet_range": _q_json_facet_range,
         "json_facet_highcard": _q_json_facet_highcard,
+        "json_facet_percentile": _q_json_facet_percentile,
         "stream_expr_rollup": _q_stream_expr,
         "stream_expr_join": _q_stream_expr_join,
         "stream_expr_eval": _q_stream_expr_eval,

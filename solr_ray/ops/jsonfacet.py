@@ -36,22 +36,35 @@ import pandas as pd
 import pyarrow as pa
 
 _AGG_RE = re.compile(r"^(count|sum|avg|min|max|unique)\((\w*)\)$")
+_PCT_RE = re.compile(r"^percentile\((\w+),([0-9.]+)\)$")
 
 
 def _parse_aggs(facet: dict | None):
-    """facet sub-dict -> ([(out_name, fn, field)], [nested (name, spec)])"""
+    """facet sub-dict -> ([(out_name, fn, field)], [nested (name, spec)]).
+    percentile(field, p) parses to fn "percentile:<p>" — the reference's
+    PercentileAgg (t-digest, digest merge across shards;
+    PercentileAgg.java:19,139-145), evaluated via functions/tdigest."""
     stats, nested = [], []
     for name, spec in (facet or {}).items():
         if isinstance(spec, str):
-            m = _AGG_RE.match(spec.replace(" ", ""))
-            if not m:
+            compact = spec.replace(" ", "")
+            m = _AGG_RE.match(compact)
+            if m:
+                stats.append((name, m.group(1), m.group(2)))
+                continue
+            mp = _PCT_RE.match(compact)
+            if not mp:
                 raise ValueError(f"unsupported facet function {spec!r}")
-            stats.append((name, m.group(1), m.group(2)))
+            stats.append((name, f"percentile:{mp.group(2)}", mp.group(1)))
         elif isinstance(spec, dict):
             nested.append((name, spec))
         else:
             raise ValueError(f"bad facet spec for {name!r}")
     return stats, nested
+
+
+def _pct_q(fn: str) -> float:
+    return float(fn.split(":", 1)[1]) / 100.0
 
 
 def _agg_group(g: pd.DataFrame, stats) -> dict:
@@ -61,6 +74,11 @@ def _agg_group(g: pd.DataFrame, stats) -> dict:
             out[name] = int(len(g))
         elif fn == "unique":
             out[name] = int(g[field].nunique())
+        elif fn.startswith("percentile:"):
+            from solr_ray.functions.tdigest import TDigest
+
+            out[name] = TDigest().add(
+                g[field].to_numpy(dtype=np.float64)).quantile(_pct_q(fn))
         else:
             v = g[field].to_numpy(dtype=np.float64)
             out[name] = float(getattr(np, fn if fn != "avg" else "mean")(v)) \
@@ -89,8 +107,14 @@ def _agg_dataset(ds, stats) -> dict:
     for name, fn, field in stats:
         if fn in ("count", "unique"):
             continue
-        cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
-        aggs.append(cls(field, alias_name=f"__{name}"))
+        if fn.startswith("percentile:"):
+            from solr_ray.functions.tdigest import percentile_agg
+
+            aggs.append(percentile_agg(field, _pct_q(fn),
+                                       alias_name=f"__{name}"))
+        else:
+            cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
+            aggs.append(cls(field, alias_name=f"__{name}"))
         names.append(name)
     row = ds.aggregate(*aggs) or {}
     n = int(row.get("__n") or 0)
@@ -205,8 +229,14 @@ def _terms_distributed(ds, key: str, stats, limit: int, mincount: int,
     for name, fn, field in stats:
         if fn in ("count", "unique"):
             continue
-        cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
-        aggs.append(cls(field, alias_name=f"__{name}"))
+        if fn.startswith("percentile:"):
+            from solr_ray.functions.tdigest import percentile_agg
+
+            aggs.append(percentile_agg(field, _pct_q(fn),
+                                       alias_name=f"__{name}"))
+        else:
+            cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
+            aggs.append(cls(field, alias_name=f"__{name}"))
         numeric.append(name)
     counts = ds.groupby(key).aggregate(*aggs)
 

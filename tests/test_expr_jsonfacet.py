@@ -191,3 +191,53 @@ def test_broadcast_side_guard(ray_session):
         _guarded_small_side(big, "hashJoin 'hashed'", max_rows=50)
     ok = _guarded_small_side(big, "fetch lookup", max_rows=100)
     assert len(ok) == 100
+
+
+def test_json_facet_percentile(ray_session):
+    """percentile(field, p) = the reference PercentileAgg (t-digest):
+    distributed terms path, query-facet flat path, and the nested pandas
+    path all stay within 1% rank error of the true quantile."""
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.jsonfacet import json_facet
+
+    rng = np.random.default_rng(11)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 30_000)]
+    vals = rng.normal(100, 25, 30_000)
+    t = pa.table({"lang": langs, "v": vals})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def rank_err(sub, q, est):
+        return abs((sub <= est).mean() - q)
+
+    # terms facet (distributed combiner path)
+    out = json_facet(ds, {"type": "terms", "field": "lang", "limit": 10,
+                          "facet": {"p50": "percentile(v, 50)",
+                                    "p90": "percentile(v, 90)"}})
+    assert len(out["buckets"]) == 3
+    for b in out["buckets"]:
+        sub = vals[langs == b["val"]]
+        assert rank_err(sub, 0.5, b["p50"]) < 0.01
+        assert rank_err(sub, 0.9, b["p90"]) < 0.01
+
+    # query facet (flat _agg_dataset path, mixed with other aggs)
+    out2 = json_facet(ds, {"type": "query", "q": {"op": "term",
+                                                  "field": "lang",
+                                                  "value": "en"},
+                           "facet": {"p50": "percentile(v, 50)",
+                                     "mx": "max(v)"}})
+    sub = vals[langs == "en"]
+    assert out2["count"] == len(sub)
+    assert rank_err(sub, 0.5, out2["p50"]) < 0.01
+    assert out2["mx"] == sub.max()
+
+    # nested path (per-bucket pandas evaluator)
+    out3 = json_facet(ds, {"type": "terms", "field": "lang", "limit": 3,
+                           "facet": {"p50": "percentile(v, 50)",
+                                     "sub": {"type": "range", "field": "v",
+                                             "start": 0, "end": 200,
+                                             "gap": 100}}})
+    for b in out3["buckets"]:
+        sub = vals[langs == b["val"]]
+        assert rank_err(sub, 0.5, b["p50"]) < 0.01
