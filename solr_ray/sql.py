@@ -38,11 +38,13 @@ Grammar (case-insensitive keywords):
              condition does not match; no ELSE -> typed nulls),
              window functions ROW_NUMBER|RANK|DENSE_RANK
              () OVER (PARTITION BY cols ORDER BY col [DESC][, ...]) and
-             frame aggregates SUM|AVG|MIN|MAX|COUNT(col) OVER (... ROWS
-             BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT ROW) — the
-             frame is REQUIRED (the ANSI default frame is RANGE, whose
-             tie semantics this engine does not model; MIN/MAX window
-             results are float64 — CAST to restore integer typing),
+             window aggregates SUM|AVG|MIN|MAX|COUNT(col) OVER (...):
+             explicit ROWS BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT
+             ROW frames, the ANSI default frame (ORDER BY with no frame
+             = RANGE UNBOUNDED PRECEDING, cumulative incl. the current
+             row's peers), and whole-partition aggregates (no ORDER BY;
+             MIN/MAX window results are float64 — CAST to restore
+             integer typing),
              and aggregates COUNT(*) | COUNT(DISTINCT col) |
              COUNT|SUM|AVG|MIN|MAX(expr) as leaves
              (SUM(price * (1 - discount)), SUM(x)/COUNT(*), ... all work;
@@ -229,6 +231,8 @@ class _Parser:
             partition, worder, frame = self.over_clause()
             if frame is not None:
                 raise ValueError(f"{up}() takes no frame clause")
+            if not worder:
+                raise ValueError(f"{up}() requires ORDER BY")
             return {"kind": "win", "fn": up, "partition": partition,
                     "order": worder}
         if up in _SCALAR_FNS and self.peek() == ("punct", "("):
@@ -273,10 +277,12 @@ class _Parser:
                     raise ValueError("window aggregates need a bare column")
                 partition, worder, frame = self.over_clause()
                 if frame is None:
-                    raise ValueError(
-                        "window aggregates require an explicit ROWS "
-                        "BETWEEN frame (the ANSI default frame is RANGE, "
-                        "whose tie semantics this engine does not model)")
+                    # ANSI defaults: with ORDER BY, RANGE BETWEEN
+                    # UNBOUNDED PRECEDING AND CURRENT ROW (cumulative
+                    # incl. the current row's PEERS); without, the whole
+                    # partition
+                    frame = "range_unbounded" if worder else \
+                        "whole_partition"
                 return {"kind": "win", "fn": up, "col": arg["col"],
                         "partition": partition, "order": worder,
                         "frame": frame}
@@ -298,18 +304,19 @@ class _Parser:
             while self.peek() == ("punct", ","):
                 self.eat()
                 partition.append(self.eat("name"))
-        self.eat("kw", "ORDER")
-        self.eat("kw", "BY")
         worder: list[tuple[str, bool]] = []
-        while True:
-            c = self.eat("name")
-            d = False
-            if self.at_kw("ASC", "DESC"):
-                d = self.eat() == "DESC"
-            worder.append((c, d))
-            if self.peek() != ("punct", ","):
-                break
+        if self.at_kw("ORDER"):
             self.eat()
+            self.eat("kw", "BY")
+            while True:
+                c = self.eat("name")
+                d = False
+                if self.at_kw("ASC", "DESC"):
+                    d = self.eat() == "DESC"
+                worder.append((c, d))
+                if self.peek() != ("punct", ","):
+                    break
+                self.eat()
         frame = None
         if self.at_kw("ROWS"):
             self.eat()
@@ -1091,7 +1098,8 @@ def _attach_window_columns(ds, win_items: list[dict]):
     frame_items = [it for it in win_items if it["fn"] in _AGGS]
     rank_items = [it for it in win_items if it["fn"] not in _AGGS]
 
-    if sliceable and all(it["frame"] != "unbounded" for it in frame_items):
+    if sliceable and all(isinstance(it["frame"], int)
+                         for it in frame_items):
         lo, hi = _col_range(ds, ocols[0])
         if not (np.isfinite(lo) and np.isfinite(hi)):
             return _windows_bucketed(ds, win_items, part_key)  # empty/NaN
@@ -1292,14 +1300,39 @@ def _windows_bucketed(ds, win_items, part_key):
             grp = s.groupby(list(part_key), sort=False)
             if it["fn"] in _AGGS:
                 f = it["frame"]
-                win = len(s) if f == "unbounded" else int(f) + 1
-                r = grp[it["col"]].rolling(max(win, 1), min_periods=1)
                 agg_name = {"SUM": "sum", "AVG": "mean", "MIN": "min",
                             "MAX": "max", "COUNT": "count"}[it["fn"]]
-                vals = getattr(r, agg_name)().reset_index(
-                    level=list(range(len(part_key))), drop=True)
-                vals = (vals.astype(np.int64) if it["fn"] == "COUNT"
-                        else vals.astype(np.float64)).to_numpy()
+                if f == "whole_partition":
+                    # OVER (PARTITION BY p) with no ORDER BY: the whole
+                    # partition is the frame
+                    vals = grp[it["col"]].transform(agg_name)
+                elif f == "range_unbounded":
+                    # ANSI default frame: cumulative INCLUDING the
+                    # current row's peers -> cumulative agg, then take
+                    # each peer group's last value
+                    c = grp[it["col"]]
+                    if it["fn"] == "SUM":
+                        cum = c.cumsum()
+                    elif it["fn"] == "MIN":
+                        cum = c.cummin()
+                    elif it["fn"] == "MAX":
+                        cum = c.cummax()
+                    elif it["fn"] == "COUNT":
+                        cum = c.cumcount() + 1
+                    else:  # AVG
+                        cum = c.cumsum() / (c.cumcount() + 1)
+                    peers = s.groupby([*part_key, *ocols], sort=False)
+                    s["__cum"] = cum
+                    vals = peers["__cum"].transform("last")
+                    s = s.drop(columns=["__cum"])
+                else:
+                    win = len(s) if f == "unbounded" else int(f) + 1
+                    r = grp[it["col"]].rolling(max(win, 1), min_periods=1)
+                    vals = getattr(r, agg_name)().reset_index(
+                        level=list(range(len(part_key))), drop=True)
+                vals = (pd.Series(vals).astype(np.int64)
+                        if it["fn"] == "COUNT"
+                        else pd.Series(vals).astype(np.float64)).to_numpy()
                 s[it["alias"]] = vals
                 out = s
                 continue

@@ -442,12 +442,8 @@ def test_window_frame_aggregates(ray_session, table):
         "ORDER BY id LIMIT 300",
     ]:
         _assert_same(*_both(sql, table))
-    import ray.data
-
-    with pytest.raises(ValueError, match="explicit ROWS BETWEEN"):
-        execute_sql("SELECT id, SUM(val) OVER (PARTITION BY grp "
-                    "ORDER BY id) AS rs FROM t",
-                    {"t": ray.data.from_arrow(table)})
+    # the ANSI default frame (no ROWS clause) is supported since round 5
+    # — see test_window_default_frames
 
 
 def test_derived_tables(ray_session, table):
@@ -619,3 +615,19 @@ def test_in_subquery_in_having(ray_session, table):
            "HAVING grp IN (SELECT grp FROM t WHERE val > 900) "
            "ORDER BY grp")
     _assert_same(*_both(sql, table))
+
+
+def test_window_default_frames(ray_session, table):
+    """ANSI default frame (RANGE UNBOUNDED PRECEDING — cumulative incl.
+    peers; duplicate order values exercise the peer semantics) and
+    whole-partition aggregates (no ORDER BY)."""
+    sql = ("SELECT id, "
+           "SUM(val) OVER (PARTITION BY grp ORDER BY kind) AS cs, "
+           "AVG(val) OVER (PARTITION BY grp ORDER BY kind) AS ca, "
+           "COUNT(val) OVER (PARTITION BY grp ORDER BY kind) AS cc, "
+           "MIN(val) OVER (PARTITION BY grp ORDER BY kind) AS cm "
+           "FROM t ORDER BY id")
+    _assert_same(*_both(sql, table))
+    sql2 = ("SELECT id, SUM(val) OVER (PARTITION BY grp) AS ws, "
+            "MAX(val) OVER (PARTITION BY grp) AS wm FROM t ORDER BY id")
+    _assert_same(*_both(sql2, table))
