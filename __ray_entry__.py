@@ -1950,6 +1950,16 @@ _SQL_QUERIES = {
                         "(SELECT c_custkey FROM customer "
                         "WHERE c_acctbal > 9000) "
                         "ORDER BY o_orderkey LIMIT 200"),
+    # ANSI default window frame (cumulative incl. peers — duplicate
+    # o_orderdate values per customer exercise the peer semantics) +
+    # whole-partition aggregate
+    "sql_window_default": ("SELECT o_orderkey, "
+                           "SUM(o_custkey) OVER (PARTITION BY "
+                           "o_orderpriority ORDER BY o_orderdate) "
+                           "AS running, "
+                           "COUNT(o_orderkey) OVER (PARTITION BY "
+                           "o_orderpriority) AS n_orders FROM orders "
+                           "ORDER BY o_orderkey LIMIT 500"),
     # correlated EXISTS: the single-equality correlation rewrites to the
     # IN-subquery broadcast semi-join plan (distributed distinct keys)
     "sql_exists": ("SELECT c_custkey, c_name FROM customer c "
