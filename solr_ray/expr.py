@@ -383,6 +383,12 @@ def _let_fns():
         "uniformDistribution": mx.uniform_distribution,
         "empiricalDistribution": mx.empirical_distribution,
         "markovChain": mx.markov_chain,
+        "polyfit": mx.polyfit, "lerp": mx.lerp,
+        "derivative": mx.derivative, "integrate": mx.integrate,
+        "expMovingAvg": mx.exp_moving_avg, "loess": mx.loess,
+        "oscillate": mx.oscillate, "minMaxScale": mx.min_max_scale,
+        "l1norm": mx.l1norm, "l2norm": mx.l2norm,
+        "linfnorm": mx.linfnorm,
         "mean": lambda a: float(np.mean(np.asarray(a, dtype=np.float64))),
         "quantize": quantize,
         "copyOfRange": lambda a, lo, hi: np.asarray(a)[int(lo):int(hi)],

@@ -768,6 +768,133 @@ def register_evaluators():
     register_function("geometricMean", rowwise_scalar(geometric_mean))
     register_function("harmonicMean", rowwise_scalar(harmonic_mean))
     register_function("percentileArray", rowwise_scalar(percentile_array))
+    register_function("expMovingAvg", rowwise(exp_moving_avg, 1))
+    register_function("minMaxScale", rowwise(min_max_scale))
+    register_function("l1norm", rowwise_scalar(l1norm))
+    register_function("l2norm", rowwise_scalar(l2norm))
+
+
+# ---------------------------------------------------------------------
+# curve fitting / interpolation / signal tier (Lang.java registrations:
+# polyfit, derivative, integrate, loess, lerp, expMovingAvg, oscillate,
+# minMaxScale, l1norm/l2norm/linfnorm - public formulas, fresh numpy
+# implementations)
+
+def polyfit(y, x=None, degree: int = 3) -> np.ndarray:
+    """polyfit(y[, x], degree): least-squares polynomial FITTED VALUES at
+    the sample points (Solr returns the fitted curve, not coefficients).
+    Two-arg call polyfit(y, degree) — a scalar second argument is the
+    degree (the Lang calling convention)."""
+    if x is not None and np.ndim(x) == 0:
+        x, degree = None, int(x)
+    y = np.asarray(y, dtype=np.float64)
+    xv = (np.arange(y.size, dtype=np.float64) if x is None
+          else np.asarray(x, dtype=np.float64))
+    coef = np.polynomial.polynomial.polyfit(xv, y, int(degree))
+    return np.polynomial.polynomial.polyval(xv, coef)
+
+
+def lerp(x, y, at=None) -> np.ndarray:
+    """Linear interpolation of (x, y) evaluated at `at` (default: x)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    at = x if at is None else np.asarray(at, dtype=np.float64)
+    return np.interp(at, x, y)
+
+
+def derivative(y, x=None) -> np.ndarray:
+    """derivative(y[, x]): dy/dx at the sample points via central
+    differences (forward/backward at the edges) - the piecewise-linear
+    interpolation derivative the reference's derivative() evaluates."""
+    y = np.asarray(y, dtype=np.float64)
+    xv = (np.arange(y.size, dtype=np.float64) if x is None
+          else np.asarray(x, dtype=np.float64))
+    return np.gradient(y, xv)
+
+
+def integrate(y, x=None, lo: float | None = None,
+              hi: float | None = None) -> float:
+    """integrate(y[, x][, lo, hi]): trapezoidal integral of the sampled
+    curve over [lo, hi] (default: the full sample range)."""
+    y = np.asarray(y, dtype=np.float64)
+    xv = (np.arange(y.size, dtype=np.float64) if x is None
+          else np.asarray(x, dtype=np.float64))
+    if lo is not None or hi is not None:
+        lo = xv[0] if lo is None else float(lo)
+        hi = xv[-1] if hi is None else float(hi)
+        grid = np.unique(np.concatenate(
+            [[lo, hi], xv[(xv > lo) & (xv < hi)]]))
+        y = np.interp(grid, xv, y)
+        xv = grid
+    return float(np.trapz(y, xv))
+
+
+def exp_moving_avg(values, window: int) -> np.ndarray:
+    """expMovingAvg(values, window): EMA with alpha = 2/(window+1),
+    seeded by the first sample."""
+    v = np.asarray(values, dtype=np.float64)
+    if v.size == 0:
+        return v
+    alpha = 2.0 / (int(window) + 1.0)
+    out = np.empty_like(v)
+    out[0] = v[0]
+    for i in range(1, v.size):  # recursive by definition; series are
+        out[i] = alpha * v[i] + (1 - alpha) * out[i - 1]  # driver-sized
+    return out
+
+
+def loess(y, x=None, bandwidth: float = 0.25) -> np.ndarray:
+    """loess(y[, x], bandwidth): locally weighted linear regression
+    (Cleveland 1979 tricube weights), smoothed values at the sample
+    points."""
+    y = np.asarray(y, dtype=np.float64)
+    xv = (np.arange(y.size, dtype=np.float64) if x is None
+          else np.asarray(x, dtype=np.float64))
+    n = y.size
+    k = max(2, int(np.ceil(bandwidth * n)))
+    out = np.empty(n)
+    for i in range(n):
+        d = np.abs(xv - xv[i])
+        idx = np.argpartition(d, min(k - 1, n - 1))[:k]
+        dmax = d[idx].max()
+        w = (1 - (d[idx] / (dmax if dmax > 0 else 1.0)) ** 3) ** 3
+        xw, yw = xv[idx], y[idx]
+        sw = w.sum()
+        mx_, my_ = (w * xw).sum() / sw, (w * yw).sum() / sw
+        vxx = (w * (xw - mx_) ** 2).sum()
+        b = ((w * (xw - mx_) * (yw - my_)).sum() / vxx) if vxx > 0 else 0.0
+        out[i] = my_ + b * (xv[i] - mx_)
+    return out
+
+
+def oscillate(amplitude: float, angular_freq: float,
+              phase: float, size: int = 128) -> np.ndarray:
+    """oscillate(amp, omega, phase): amp * sin(omega*i + phase) over
+    i = 0..size-1 (the reference's sine-wave generator)."""
+    i = np.arange(int(size), dtype=np.float64)
+    return float(amplitude) * np.sin(float(angular_freq) * i
+                                     + float(phase))
+
+
+def min_max_scale(values, lo: float = 0.0, hi: float = 1.0) -> np.ndarray:
+    v = np.asarray(values, dtype=np.float64)
+    vmin, vmax = v.min(), v.max()
+    if vmax == vmin:
+        return np.full_like(v, float(lo))
+    return (v - vmin) / (vmax - vmin) * (float(hi) - float(lo)) + float(lo)
+
+
+def l1norm(values) -> float:
+    return float(np.abs(np.asarray(values, dtype=np.float64)).sum())
+
+
+def l2norm(values) -> float:
+    return float(np.linalg.norm(np.asarray(values, dtype=np.float64)))
+
+
+def linfnorm(values) -> float:
+    v = np.asarray(values, dtype=np.float64)
+    return float(np.abs(v).max()) if v.size else 0.0
 
 
 register_evaluators()

@@ -354,3 +354,63 @@ def test_monte_carlo_special_form(ray_session):
     b = eval_expr(q, {"t": t}).to_pandas()["est"].iloc[0]
     assert a == b
     assert abs(a - 5.0) < 0.1
+
+
+def test_curve_fitting_tier():
+    """polyfit/lerp/derivative/integrate/loess/expMovingAvg/oscillate/
+    minMaxScale/norms — vs closed forms."""
+    from solr_ray.functions.mathx import (derivative, exp_moving_avg,
+                                          integrate, l1norm, l2norm, lerp,
+                                          linfnorm, loess, min_max_scale,
+                                          oscillate, polyfit)
+
+    x = np.arange(50, dtype=np.float64)
+    y = 2.0 * x * x - 3.0 * x + 7.0
+    # an exact quadratic is reproduced exactly by a degree-2 fit
+    assert np.allclose(polyfit(y, degree=2), y)
+    # derivative of the quadratic: 4x - 3 (exact for central differences
+    # on a quadratic; edges are one-sided, still exact for degree 2? no —
+    # forward/backward difference of a quadratic has O(h) error; check
+    # interior only)
+    d = derivative(y)
+    assert np.allclose(d[1:-1], 4.0 * x[1:-1] - 3.0)
+    # integral of y over [0, 49] via trapezoid vs exact antiderivative
+    # (trapezoid overestimates convex curves by h^2/12 * f''; tolerance)
+    exact = (2 / 3) * 49**3 - (3 / 2) * 49**2 + 7 * 49
+    assert abs(integrate(y) - exact) / exact < 1e-3
+    assert integrate(np.ones(11), lo=2.0, hi=7.5) == 5.5
+    # lerp hits the samples exactly and interpolates midpoints
+    assert np.allclose(lerp(x, y), y)
+    assert lerp(np.array([0.0, 2.0]), np.array([0.0, 4.0]),
+                np.array([1.0]))[0] == 2.0
+    # EMA: constant series stays constant; alpha math on a step
+    assert np.allclose(exp_moving_avg(np.full(10, 5.0), 4), 5.0)
+    e = exp_moving_avg(np.array([0.0, 1.0]), 3)
+    assert abs(e[1] - 0.5) < 1e-12  # alpha = 2/(3+1) = 0.5
+    # loess on a clean line reproduces the line
+    line = 3.0 * x + 1.0
+    assert np.allclose(loess(line, bandwidth=0.3), line, atol=1e-8)
+    # oscillate
+    o = oscillate(2.0, 0.5, 1.0, size=16)
+    assert np.allclose(o, 2.0 * np.sin(0.5 * np.arange(16) + 1.0))
+    # minMaxScale + norms
+    s = min_max_scale(np.array([5.0, 10.0, 15.0]))
+    assert np.allclose(s, [0.0, 0.5, 1.0])
+    assert l1norm([3, -4]) == 7.0 and l2norm([3, 4]) == 5.0
+    assert linfnorm([-9, 2]) == 9.0
+
+
+def test_curve_tier_in_let_dsl(ray_session):
+    """The new evaluators bind through let()/col() like the rest of the
+    Lang DSL."""
+    import ray.data
+
+    from solr_ray.expr import eval_expr
+
+    t = pa.table({"v": np.arange(20, dtype=np.float64)})
+    out = eval_expr(
+        'let(d=search(s), a=col(d, v), f=polyfit(a, 1), '
+        'e=expMovingAvg(a, 5), n=l2norm(a), tuple(n=n))',
+        {"s": ray.data.from_arrow(t)})
+    row = out.to_pandas().iloc[0]
+    assert abs(row["n"] - np.linalg.norm(np.arange(20))) < 1e-9
