@@ -25,6 +25,45 @@ def _col(batch: pa.Table, arg):
     return arg  # literal
 
 
+def _pnorm_dist(p: float, cols) -> np.ndarray:
+    """dist(p, x1..xn, y1..yn) value source: p-norm distance between the
+    points whose coordinates are the first and second halves of cols
+    (DistanceUtils semantics; p=inf -> Chebyshev via a large p is NOT
+    modeled — use max/abs compositions)."""
+    k = len(cols) // 2
+    a = np.stack([np.asarray(c, dtype=np.float64) for c in cols[:k]])
+    b = np.stack([np.asarray(c, dtype=np.float64) for c in cols[k:]])
+    d = np.abs(a - b)
+    if p == 1.0:
+        return d.sum(axis=0)
+    if p == 2.0:
+        return np.sqrt((d * d).sum(axis=0))
+    return (d ** p).sum(axis=0) ** (1.0 / p)
+
+
+def _sqe_dist(cols) -> np.ndarray:
+    """sqedist: squared euclidean (no sqrt-then-square rounding)."""
+    k = len(cols) // 2
+    a = np.stack([np.asarray(c, dtype=np.float64) for c in cols[:k]])
+    b = np.stack([np.asarray(c, dtype=np.float64) for c in cols[k:]])
+    d = a - b
+    return (d * d).sum(axis=0)
+
+
+def _hsin_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """hsin/geodist value source: great-circle km (haversine, IUGG mean
+    radius — the same kernel as ops/spatial.haversine_km, accepting
+    columns on either side)."""
+    r1a = np.radians(np.asarray(lat1, dtype=np.float64))
+    r1o = np.radians(np.asarray(lon1, dtype=np.float64))
+    r2a = np.radians(np.asarray(lat2, dtype=np.float64))
+    r2o = np.radians(np.asarray(lon2, dtype=np.float64))
+    sdlat = np.sin((r2a - r1a) / 2.0)
+    sdlon = np.sin((r2o - r1o) / 2.0)
+    a = sdlat * sdlat + np.cos(r1a) * np.cos(r2a) * (sdlon * sdlon)
+    return 2.0 * 6371.0087714 * np.arcsin(np.sqrt(a))
+
+
 def _np(fn):
     """Wrap a numpy ufunc as an arrow-array function."""
 
@@ -54,6 +93,16 @@ FUNCTIONS: dict = {
     "asin": lambda a: pc.asin(a), "acos": lambda a: pc.acos(a), "atan": lambda a: pc.atan(a),
     "atan2": lambda a, b: pc.atan2(a, b),
     "sinh": _np(np.sinh), "cosh": _np(np.cosh), "tanh": _np(np.tanh),
+    # angle + distance value sources (ValueSourceParser rad/deg/dist/
+    # sqedist/hsin/geodist)
+    "rad": _np(np.radians), "deg": _np(np.degrees),
+    "sqedist": _np(lambda *cols: _sqe_dist(cols)),
+    "dist": _np(lambda p, *cols: _pnorm_dist(float(np.asarray(p).flat[0]),
+                                             cols)),
+    "hsin": _np(lambda lat1, lon1, lat2, lon2: _hsin_km(
+        lat1, lon1, lat2, lon2)),
+    "geodist": _np(lambda lat1, lon1, lat2, lon2: _hsin_km(
+        lat1, lon1, lat2, lon2)),
     "max": lambda a, b: pc.max_element_wise(a, b),
     "min": lambda a, b: pc.min_element_wise(a, b),
     "pi": lambda: math.pi, "e": lambda: math.e,

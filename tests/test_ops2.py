@@ -317,3 +317,28 @@ def test_daemon_runner(ray_session, tmp_path):
     # run_until_idle drains whatever is left after a partial restart
     d2 = DaemonRunner(str(tmp_path / "daemon.json"), "ts", pipeline)
     assert d2.run_until_idle(ds_factory) == []
+
+
+def test_distance_value_sources():
+    """rad/deg/dist/sqedist/hsin/geodist value sources (ValueSourceParser
+    parity tier) vs closed forms."""
+    import pyarrow as pa
+
+    from solr_ray.functions.scalar import FUNCTIONS as F
+
+    assert np.allclose(F["rad"](pa.array([180.0])).to_pylist(), [np.pi])
+    assert np.allclose(F["deg"](pa.array([np.pi / 2])).to_pylist(), [90.0])
+    z, t3, t4 = pa.array([0.0]), pa.array([3.0]), pa.array([4.0])
+    assert F["dist"](1, z, z, t3, t4).to_pylist() == [7.0]
+    assert F["dist"](2, z, z, t3, t4).to_pylist() == [5.0]
+    assert np.allclose(F["dist"](3, z, z, t3, t4).to_pylist(),
+                       [(27 + 64) ** (1 / 3)])
+    assert F["sqedist"](z, z, t3, t4).to_pylist() == [25.0]
+    # geodist agrees with the spatial kernel (same formula, same radius)
+    from solr_ray.ops.spatial import haversine_km
+
+    got = F["geodist"](pa.array([48.85]), pa.array([2.35]),
+                       40.71, -74.0).to_pylist()[0]
+    want = haversine_km(np.array([48.85]), np.array([2.35]),
+                        40.71, -74.0)[0]
+    assert abs(got - want) < 1e-9
