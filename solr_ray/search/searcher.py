@@ -466,6 +466,49 @@ class IndexReader:
         out.sort(key=lambda vc: (-vc[1], vc[0]))
         return out[:limit]
 
+    # ---- index-backed value sources (ValueSourceParser parity:
+    # docfreq/idf/termfreq/totaltermfreq/sumtotaltermfreq/maxdoc/numdocs;
+    # the per-doc ones return dense arrays aligned to global docIDs) ----
+
+    def docfreq(self, term: str) -> int:
+        """docfreq(term): exact global document frequency."""
+        return int(self.global_df.get(term, 0))
+
+    def idf_value(self, term: str) -> float:
+        """idf(term): the collection Similarity's idf (BM25 — the default
+        Similarity) over the exact global stats."""
+        df = self.global_df.get(term, 0)
+        return float(bm25_idf(df, self.n_docs)) if df else 0.0
+
+    def maxdoc(self) -> int:
+        return self.n_docs
+
+    def numdocs(self) -> int:
+        """numdocs(): live documents (maxdoc minus tombstoned deletes)."""
+        return self.n_docs - int(self.tombstones.size)
+
+    def termfreq(self, term: str) -> np.ndarray:
+        """termfreq(term): dense per-doc tf array indexed by global docID
+        (0 where the term is absent or the doc is deleted)."""
+        out = np.zeros(self.n_docs, dtype=np.int64)
+        for seg in self.segments:
+            p = seg.full_posting(term)
+            if p is not None:
+                out[p[0]] = p[1]
+        if self.tombstones.size:
+            out[self.tombstones] = 0
+        return out
+
+    def totaltermfreq(self, term: str) -> int:
+        """totaltermfreq(term): collection-wide occurrence count (cf)."""
+        return int(sum(
+            p[1].sum() for seg in self.segments
+            if (p := seg.full_posting(term)) is not None))
+
+    def sumtotaltermfreq(self) -> int:
+        """sumtotaltermfreq(): total tokens in the collection (Σ dl)."""
+        return int(self.manifest["n_tokens"])
+
 
 def fetch_stored(index_dir: str, doc_ids, cols: list[str] | None = None):
     """GET_FIELDS phase (SURVEY §3.2 step GET_FIELDS / SolrDocumentFetcher):

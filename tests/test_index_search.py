@@ -215,3 +215,49 @@ def test_random_seed_corpora_match_oracle(tmp_path):
             assert list(got["doc_id"]) == list(ids), (seed, q["text"])
             assert np.array_equal(got["score"].to_numpy(),
                                   np.asarray(scores)), (seed, q["text"])
+
+
+def test_index_value_sources(ray_session, tmp_path):
+    """docfreq/idf/termfreq/totaltermfreq/sumtotaltermfreq/maxdoc/numdocs
+    value sources vs brute-force counts over the analyzed corpus."""
+    import collections
+
+    from solr_ray.analysis.chain import get_analyzer
+    from solr_ray.fixtures import gen_pages, pages_path
+    from solr_ray.pipelines.build_index import build_index
+    from solr_ray.search.bm25 import idf as bm25_idf
+    from solr_ray.search.searcher import IndexReader
+
+    idx = str(tmp_path / "vs_idx")
+    build_index(pages_path(500), idx, analyzer="text_en", num_buckets=1)
+    r = IndexReader(idx)
+    az = get_analyzer("text_en")
+    pages = gen_pages(500).to_pydict()
+    # brute-force docID order: url-rank within bucket == build's order
+    # (urls here are globally sorted and buckets partition the url space,
+    # so sorting all urls gives global docID order)
+    order = np.argsort(np.asarray(pages["url"], dtype=object), kind="stable")
+    df = collections.Counter()
+    cf = collections.Counter()
+    tf_by_doc = []
+    total_tokens = 0
+    for j in order:
+        toks = az.tokenize_text(pages["text"][j])
+        total_tokens += len(toks)
+        c = collections.Counter(toks)
+        tf_by_doc.append(c)
+        for t in c:
+            df[t] += 1
+        cf.update(c)
+    assert r.maxdoc() == 500 and r.numdocs() == 500
+    assert r.sumtotaltermfreq() == total_tokens
+    probe = [t for t, _n in df.most_common(5)] + ["zzz_not_a_term"]
+    for t in probe:
+        assert r.docfreq(t) == df.get(t, 0), t
+        assert r.totaltermfreq(t) == cf.get(t, 0), t
+        want_idf = bm25_idf(df[t], 500) if t in df else 0.0
+        assert abs(r.idf_value(t) - want_idf) < 1e-15
+        tfv = r.termfreq(t)
+        assert tfv.size == 500
+        assert np.array_equal(
+            tfv, np.array([d.get(t, 0) for d in tf_by_doc]))
