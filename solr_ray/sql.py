@@ -94,7 +94,7 @@ _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
              "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
              "UNBOUNDED", "CURRENT", "ROW", "CASE", "WHEN", "THEN", "ELSE",
-             "END", "IS", "NULL", "EXISTS"}
+             "END", "IS", "NULL", "EXISTS", "RANGE"}
 
 
 def _tokenize(sql: str):
@@ -283,6 +283,20 @@ class _Parser:
                     # partition
                     frame = "range_unbounded" if worder else \
                         "whole_partition"
+                if isinstance(frame, tuple):
+                    # RANGE n PRECEDING: value-based frame — prefix-sum
+                    # arithmetic covers SUM/AVG/COUNT; sliding extrema
+                    # over variable windows are out of scope
+                    if up in ("MIN", "MAX"):
+                        raise ValueError(
+                            "MIN/MAX over RANGE n PRECEDING frames are "
+                            "not supported (SUM/AVG/COUNT are)")
+                    if len(worder) != 1 or worder[0][1]:
+                        raise ValueError("RANGE frames require exactly "
+                                         "one ascending ORDER BY column")
+                if frame in ("range_unbounded", "whole_partition") \
+                        and not worder and frame == "range_unbounded":
+                    raise ValueError("RANGE frames require ORDER BY")
                 return {"kind": "win", "fn": up, "col": arg["col"],
                         "partition": partition, "order": worder,
                         "frame": frame}
@@ -318,14 +332,15 @@ class _Parser:
                     break
                 self.eat()
         frame = None
-        if self.at_kw("ROWS"):
-            self.eat()
+        if self.at_kw("ROWS", "RANGE"):
+            is_range = self.eat() == "RANGE"
             self.eat("kw", "BETWEEN")
             if self.at_kw("UNBOUNDED"):
                 self.eat()
-                frame = "unbounded"
+                frame = "range_unbounded" if is_range else "unbounded"
             else:
-                frame = int(self.eat("num"))
+                n = self.eat("num")
+                frame = ("range", float(n)) if is_range else int(n)
             self.eat("kw", "PRECEDING")
             self.eat("kw", "AND")
             self.eat("kw", "CURRENT")
@@ -1302,7 +1317,35 @@ def _windows_bucketed(ds, win_items, part_key):
                 f = it["frame"]
                 agg_name = {"SUM": "sum", "AVG": "mean", "MIN": "min",
                             "MAX": "max", "COUNT": "count"}[it["fn"]]
-                if f == "whole_partition":
+                if isinstance(f, tuple):  # ("range", n): value-based frame
+                    # [cur - n, cur] on the ORDER BY value, peers on both
+                    # ends included (position-independent) — per-partition
+                    # prefix sums + two searchsorted bounds
+                    nrange = f[1]
+                    ov = s[ocols[0]].to_numpy().astype(np.float64)
+                    vv = s[it["col"]].to_numpy().astype(np.float64)
+                    codes = grp.ngroup().to_numpy()
+                    starts = np.flatnonzero(np.diff(codes, prepend=-1))
+                    ends = np.append(starts[1:], len(s))
+                    cumv = np.cumsum(vv)
+                    out_v = np.empty(len(s))
+                    for a, b in zip(starts, ends):
+                        seg_ov = ov[a:b]
+                        lo = np.searchsorted(seg_ov, seg_ov - nrange,
+                                             side="left") + a
+                        hi = np.searchsorted(seg_ov, seg_ov,
+                                             side="right") + a
+                        sums = cumv[hi - 1] - np.where(
+                            lo > a, cumv[np.maximum(lo - 1, 0)],
+                            cumv[a] - vv[a])
+                        if it["fn"] == "SUM":
+                            out_v[a:b] = sums
+                        elif it["fn"] == "COUNT":
+                            out_v[a:b] = hi - lo
+                        else:  # AVG
+                            out_v[a:b] = sums / (hi - lo)
+                    vals = out_v
+                elif f == "whole_partition":
                     # OVER (PARTITION BY p) with no ORDER BY: the whole
                     # partition is the frame
                     vals = grp[it["col"]].transform(agg_name)

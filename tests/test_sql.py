@@ -631,3 +631,23 @@ def test_window_default_frames(ray_session, table):
     sql2 = ("SELECT id, SUM(val) OVER (PARTITION BY grp) AS ws, "
             "MAX(val) OVER (PARTITION BY grp) AS wm FROM t ORDER BY id")
     _assert_same(*_both(sql2, table))
+
+
+def test_range_frames(ray_session, table):
+    """RANGE BETWEEN n PRECEDING AND CURRENT ROW (value-based frame,
+    peers included on both ends) for SUM/AVG/COUNT; MIN/MAX reject."""
+    sql = ("SELECT id, "
+           "SUM(val) OVER (PARTITION BY grp ORDER BY val "
+           "RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS rs, "
+           "COUNT(val) OVER (PARTITION BY grp ORDER BY val "
+           "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS rc, "
+           "AVG(val) OVER (PARTITION BY grp ORDER BY val "
+           "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS ra "
+           "FROM t ORDER BY id")
+    _assert_same(*_both(sql, table))
+    import ray.data
+
+    with pytest.raises(ValueError, match="MIN/MAX over RANGE"):
+        execute_sql("SELECT id, MAX(val) OVER (PARTITION BY grp ORDER BY "
+                    "val RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m "
+                    "FROM t", {"t": ray.data.from_arrow(table)})
