@@ -1960,6 +1960,14 @@ _SQL_QUERIES = {
                            "COUNT(o_orderkey) OVER (PARTITION BY "
                            "o_orderpriority) AS n_orders FROM orders "
                            "ORDER BY o_orderkey LIMIT 500"),
+    # value-based RANGE frame (peers included on both ends; prefix-sum
+    # execution)
+    "sql_range_frame": ("SELECT o_orderkey, "
+                        "SUM(o_custkey) OVER (PARTITION BY "
+                        "o_orderpriority ORDER BY o_custkey "
+                        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) "
+                        "AS rsum FROM orders "
+                        "ORDER BY o_orderkey LIMIT 400"),
     # correlated EXISTS: the single-equality correlation rewrites to the
     # IN-subquery broadcast semi-join plan (distributed distinct keys)
     "sql_exists": ("SELECT c_custkey, c_name FROM customer c "
