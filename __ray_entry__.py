@@ -1986,6 +1986,12 @@ _SQL_QUERIES = {
                             "WHERE c_acctbal > "
                             "(SELECT AVG(c_acctbal) AS a FROM customer) "
                             "ORDER BY c_custkey"),
+    # CORRELATED scalar subquery (TPC-H Q17 shape): per-key aggregate
+    # broadcast + cmp_lookup filter
+    "sql_corr_scalar_subquery": (
+        "SELECT o_orderkey FROM orders o1 WHERE o1.o_totalprice >= "
+        "(SELECT MAX(o_totalprice) AS m FROM orders o2 "
+        "WHERE o2.o_custkey = o1.o_custkey) ORDER BY o_orderkey"),
     # SELECT DISTINCT list (grouped-count shuffle over distinct rows)
     "sql_distinct": ("SELECT DISTINCT lang, source FROM documents "
                      "ORDER BY lang, source"),

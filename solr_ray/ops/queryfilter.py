@@ -60,6 +60,24 @@ def compile_filter(spec: dict):
         # truth value before execution)
         val = bool(spec["value"])
         return lambda t: pa.array([val] * t.num_rows, pa.bool_())
+    if op == "cmp_lookup":
+        # field <cmp> lookup[key_field] — a correlated scalar subquery
+        # resolved to a broadcast (key -> value) map: one index_in + take
+        # per batch; keys absent from the map yield NULL, which filters
+        # out (ANSI: comparison with an empty subquery is NULL)
+        import ray
+
+        fn = {"=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+              "<": pc.less, "<=": pc.less_equal,
+              ">": pc.greater, ">=": pc.greater_equal}[spec["cmp"]]
+
+        def f(t: pa.Table, _s=spec, _fn=fn):
+            keys, vals = ray.get(_s["ref"])
+            idx = pc.index_in(t[_s["key_field"]], value_set=keys)
+            looked = vals.take(idx)
+            return _fn(t[_s["field"]], looked)
+
+        return f
     if op == "term":
         return lambda t: pc.equal(t[spec["field"]], pa.scalar(spec["value"]))
     if op == "terms":

@@ -867,6 +867,8 @@ def _resolve_cond(spec, qualified, bare):
     out = dict(spec)
     if "field" in out:
         out["field"] = _resolve_name(out["field"], qualified, bare)
+    if "key_field" in out:  # cmp_lookup's correlation key
+        out["key_field"] = _resolve_name(out["key_field"], qualified, bare)
     if "node" in out:
         out["node"] = _resolve_expr(out["node"], qualified, bare)
     if "clauses" in out:
@@ -1475,6 +1477,102 @@ def _inner_names(plan: dict) -> set:
     return names
 
 
+def _split_correlation(plan: dict):
+    """Split a subquery plan's WHERE into correlation equalities
+    ((outer_ref, inner_ref) pairs — qualified col = col conjuncts whose
+    one side references a table OUTSIDE the subquery's FROM) and the
+    residual inner-only conjuncts. Raises on outer references anywhere
+    else (general correlation is out of scope)."""
+    inner = _inner_names(plan)
+    corr: list[tuple[str, str]] = []
+    rest: list = []
+
+    def walk(c):
+        if not isinstance(c, dict):
+            return
+        if c.get("op") == "col_eq":
+            sides = [c["left"], c["right"]]
+            quals = [s.split(".", 1)[0] if "." in s else None for s in sides]
+            outer_ix = [i for i, q in enumerate(quals)
+                        if q is not None and q not in inner]
+            if len(outer_ix) == 1:
+                o = sides[outer_ix[0]]
+                corr.append((o, sides[1 - outer_ix[0]]))
+                return
+            raise ValueError(
+                "column = column inside a subquery must correlate exactly "
+                f"one outer reference (qualified), got {c['left']} = "
+                f"{c['right']}")
+        if c.get("op") == "and":
+            for s in c["clauses"]:
+                walk(s)
+            return
+        # residual predicates stay in the subquery; they must not
+        # reference the outer query
+        for name in _names_in(c):
+            q = name.split(".", 1)[0] if "." in name else None
+            if q is not None and q not in inner:
+                raise ValueError(
+                    f"subquery references outer column {name!r} outside "
+                    "a top-level equality correlation")
+        rest.append(c)
+
+    if plan.get("where") is not None:
+        walk(plan["where"])
+    return corr, rest
+
+
+def _resolve_correlated_scalar(cond, plan, corr, rest, tables):
+    """col <cmp> (SELECT AGG(x) ... WHERE inner.k = outer.k) -> cmp_lookup
+    over a broadcast per-key aggregate table."""
+    import ray
+
+    if len(corr) > 1:
+        raise ValueError("correlated scalar subqueries support exactly "
+                         "one correlation equality")
+    if plan.get("group") or plan.get("limit") is not None:
+        raise ValueError("correlated scalar subqueries cannot have their "
+                         "own GROUP BY or LIMIT")
+    items = plan["items"]
+    if len(items) != 1 or items[0].get("kind") != "agg":
+        raise ValueError("a correlated scalar subquery must SELECT "
+                         "exactly one aggregate")
+    outer_ref, inner_ref = corr[0]
+    outer_field = outer_ref.split(".", 1)[1] if "." in outer_ref \
+        else outer_ref
+    sub_plan = dict(plan)
+    it = dict(items[0])
+    it.setdefault("alias", "__v")
+    sub_plan["items"] = [{"kind": "col", "col": inner_ref}, it]
+    sub_plan["group"] = [inner_ref]
+    sub_plan["where"] = (None if not rest
+                         else rest[0] if len(rest) == 1
+                         else {"op": "and", "clauses": rest})
+    sub_plan["order"], sub_plan["limit"] = [], None
+    agg = _execute_plan(sub_plan, tables)
+    cols = agg.schema().names
+    key_col, val_col = cols[0], cols[1]
+    keys_parts, vals_parts, total = [], [], 0
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        total += b.num_rows
+        if total > _SUBQUERY_MAX_KEYS:
+            raise ValueError(
+                f"correlated-subquery key set exceeds {_SUBQUERY_MAX_KEYS}"
+                " groups; rewrite as an explicit JOIN")
+        keys_parts.append(b[key_col])
+        vals_parts.append(b[val_col])
+    if keys_parts:
+        keys = pa.concat_arrays([c.combine_chunks() if isinstance(
+            c, pa.ChunkedArray) else c for c in keys_parts])
+        vals = pa.concat_arrays([c.combine_chunks() if isinstance(
+            c, pa.ChunkedArray) else c for c in vals_parts])
+    else:
+        keys, vals = pa.array([], pa.int64()), pa.array([], pa.float64())
+    ref = ray.put((keys, vals))
+    return {"op": "cmp_lookup", "field": cond["field"],
+            "key_field": outer_field, "cmp": cond["cmp"], "ref": ref}
+
+
 def _resolve_exists(cond, tables, negated: bool):
     """[NOT] EXISTS (SELECT ... [WHERE inner.k = outer.k AND ...]).
 
@@ -1485,46 +1583,7 @@ def _resolve_exists(cond, tables, negated: bool):
     semi-join machinery. Uncorrelated: the subquery's row existence is one
     limit(1) probe, folded to a constant predicate."""
     plan = cond["plan"]
-    inner = _inner_names(plan)
-
-    corr: list[tuple[str, str]] = []  # (outer_ref, inner_ref)
-    rest: list = []
-
-    def walk(c, under_or: bool):
-        if not isinstance(c, dict):
-            return
-        if c.get("op") == "col_eq":
-            sides = [c["left"], c["right"]]
-            quals = [s.split(".", 1)[0] if "." in s else None for s in sides]
-            outer_ix = [i for i, q in enumerate(quals)
-                        if q is not None and q not in inner]
-            if len(outer_ix) == 1:
-                if under_or:
-                    raise ValueError("EXISTS correlation predicates must "
-                                     "be top-level AND conjuncts")
-                o = sides[outer_ix[0]]
-                corr.append((o, sides[1 - outer_ix[0]]))
-                return
-            raise ValueError(
-                "column = column inside EXISTS must correlate exactly one "
-                f"outer reference (qualified), got {c['left']} = "
-                f"{c['right']}")
-        if c.get("op") == "and":
-            for s in c["clauses"]:
-                walk(s, under_or)
-            return
-        # residual predicates stay in the subquery; they must not
-        # reference the outer query (general correlation is out of scope)
-        for name in _names_in(c):
-            q = name.split(".", 1)[0] if "." in name else None
-            if q is not None and q not in inner:
-                raise ValueError(
-                    f"EXISTS subquery references outer column {name!r} "
-                    "outside a top-level equality correlation")
-        rest.append(c)
-
-    if plan.get("where") is not None:
-        walk(plan["where"], False)
+    corr, rest = _split_correlation(plan)
 
     if not corr:
         # uncorrelated: row existence is one limit(1) probe; the
@@ -1553,7 +1612,18 @@ def _resolve_exists(cond, tables, negated: bool):
 def _resolve_scalar_subquery(cond, tables):
     """col <cmp> (SELECT one_value ...): the subquery must yield exactly
     one row and one column; its value folds into a plain term/range
-    spec (0 rows = ANSI NULL comparison = matches nothing)."""
+    spec (0 rows = ANSI NULL comparison = matches nothing).
+
+    CORRELATED form — col <cmp> (SELECT AGG(x) FROM t2 WHERE t2.k =
+    outer.k [AND ...]): the subquery becomes one distributed GROUP BY
+    over the correlation key, the (key -> value) result broadcasts via
+    ray.put (gated at _SUBQUERY_MAX_KEYS), and the predicate compiles to
+    a cmp_lookup spec (index_in + take per batch). Keys with no group =
+    ANSI NULL comparison = filtered out."""
+    plan = cond["plan"]
+    corr, rest = _split_correlation(plan)
+    if corr:
+        return _resolve_correlated_scalar(cond, plan, corr, rest, tables)
     sub = _execute_plan(cond["plan"], tables)
     cols = sub.schema().names
     if len(cols) != 1:
@@ -1601,6 +1671,8 @@ def _names_in(node) -> list:
             out.append(node["field"])
         if node.get("op") == "col_eq":
             out.extend([node["left"], node["right"]])
+        if node.get("op") == "cmp_lookup":
+            out.append(node["key_field"])
         for k in ("l", "r", "inner", "node"):
             if k in node:
                 out.extend(_names_in(node[k]))

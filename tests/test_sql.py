@@ -651,3 +651,22 @@ def test_range_frames(ray_session, table):
         execute_sql("SELECT id, MAX(val) OVER (PARTITION BY grp ORDER BY "
                     "val RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m "
                     "FROM t", {"t": ray.data.from_arrow(table)})
+
+
+def test_correlated_scalar_subquery(ray_session, table):
+    """col <cmp> (SELECT AGG(x) WHERE inner.k = outer.k): per-key
+    aggregate broadcast + cmp_lookup filter."""
+    sql = ("SELECT id, val FROM t a WHERE a.val > "
+           "(SELECT AVG(val) AS m FROM t b WHERE b.grp = a.grp) "
+           "ORDER BY id")
+    _assert_same(*_both(sql, table))
+    sql2 = ("SELECT id FROM t a WHERE a.val >= "
+            "(SELECT MAX(val) AS m FROM t b WHERE b.grp = a.grp "
+            "AND b.kind = 'click') ORDER BY id")
+    _assert_same(*_both(sql2, table))
+    import ray.data
+
+    with pytest.raises(ValueError, match="exactly one aggregate"):
+        execute_sql("SELECT id FROM t a WHERE a.val > "
+                    "(SELECT val FROM t b WHERE b.grp = a.grp)",
+                    {"t": ray.data.from_arrow(table)})
