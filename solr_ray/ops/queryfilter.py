@@ -73,6 +73,8 @@ def compile_filter(spec: dict):
 
         def f(t: pa.Table, _s=spec, _fn=fn):
             keys, vals = ray.get(_s["ref"])
+            if len(keys) == 0:  # empty subquery: nothing compares true
+                return pa.array([False] * t.num_rows, pa.bool_())
             idx = pc.index_in(t[_s["key_field"]], value_set=keys)
             looked = vals.take(idx)
             return _fn(t[_s["field"]], looked)

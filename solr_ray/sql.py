@@ -1432,7 +1432,10 @@ def _resolve_in_subqueries(cond, tables, negated: bool = False):
         return cond
     if cond.get("op") == "in_subquery":
         sub = _execute_plan(cond["plan"], tables)
-        cols = sub.schema().names
+        sch = sub.schema(fetch_if_missing=True)
+        if sch is None:  # empty result loses its schema in Ray
+            return {"op": "terms", "field": cond["field"], "values": []}
+        cols = sch.names
         if len(cols) != 1:
             raise ValueError("IN (SELECT ...) needs exactly one output "
                              f"column, got {cols}")
@@ -1550,7 +1553,10 @@ def _resolve_correlated_scalar(cond, plan, corr, rest, tables):
                          else {"op": "and", "clauses": rest})
     sub_plan["order"], sub_plan["limit"] = [], None
     agg = _execute_plan(sub_plan, tables)
-    cols = agg.schema().names
+    sch = agg.schema(fetch_if_missing=True)
+    if sch is None:  # empty aggregate: every comparison is ANSI NULL
+        return {"op": "const", "value": False}
+    cols = sch.names
     key_col, val_col = cols[0], cols[1]
     keys_parts, vals_parts, total = [], [], 0
     for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):

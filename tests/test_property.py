@@ -338,3 +338,48 @@ def _run_sliced_case(rows, n):
     for c in ("rn", "r", "dr", "rs"):
         assert np.allclose(got[c].to_numpy().astype(float),
                            want[c].to_numpy().astype(float)), c
+
+
+# ------------------------------- SQL subqueries (round 5)
+
+@given(st.lists(st.tuples(st.integers(0, 4),           # grp
+                          st.integers(-50, 50)),        # val
+                min_size=1, max_size=80),
+       st.integers(-40, 40))                            # inner threshold
+@settings(max_examples=30, deadline=None)
+def test_sql_subquery_property(ray_session, rows, thresh):
+    """EXISTS / NOT EXISTS / IN-subquery / correlated scalar subquery
+    over random tables must match DuckDB exactly — including empty
+    subquery results, all-matching groups, and negative thresholds."""
+    import duckdb
+
+    from solr_ray.sql import execute_sql
+
+    t = pa.table({
+        "id": pa.array(range(len(rows)), pa.int64()),
+        "grp": pa.array([r[0] for r in rows], pa.int64()),
+        "val": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    cases = [
+        (f"SELECT id FROM t a WHERE EXISTS (SELECT 1 AS one FROM t b "
+         f"WHERE b.grp = a.grp AND b.val > {thresh}) ORDER BY id"),
+        (f"SELECT id FROM t a WHERE NOT EXISTS (SELECT 1 AS one FROM t b "
+         f"WHERE b.grp = a.grp AND b.val > {thresh}) ORDER BY id"),
+        (f"SELECT id FROM t WHERE grp IN (SELECT grp FROM t "
+         f"WHERE val > {thresh}) ORDER BY id"),
+        ("SELECT id FROM t a WHERE a.val >= (SELECT MAX(val) AS m "
+         "FROM t b WHERE b.grp = a.grp) ORDER BY id"),
+    ]
+    con = duckdb.connect()
+    con.register("t", t)
+    try:
+        for sql in cases:
+            got = execute_sql(
+                sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+            want = con.execute(sql).df()
+            assert len(got) == len(want), sql
+            if len(want):
+                assert (got["id"].to_numpy()
+                        == want["id"].to_numpy()).all(), sql
+    finally:
+        con.close()
