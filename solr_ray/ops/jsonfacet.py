@@ -195,8 +195,12 @@ def json_facet(ds, request: dict) -> dict:
 
     rows = ds.groupby(key).map_groups(per_bucket, batch_format="pandas")
     if mincount > 0:
-        rows = rows.filter(
-            lambda r, _m=mincount: r["count"] >= _m)
+        import pyarrow.compute as pc
+
+        rows = rows.map_batches(
+            lambda t, _m=mincount: t.filter(
+                pc.greater_equal(t["count"], pa.scalar(_m))),
+            batch_format="pyarrow")
     if sort.startswith("count"):
         rows = rows.sort(["count", "val"], descending=[True, False])
     else:  # index order
