@@ -168,6 +168,93 @@ def shortest_path(edges, from_col: str, to_col: str, src, dst,
     return list(reversed(path))
 
 
+def shortest_path_distributed(edges, from_col: str, to_col: str, src, dst,
+                              max_depth: int = 6,
+                              num_partitions: int = 16):
+    """shortest_path for graphs whose BFS levels outgrow the driver: each
+    level lives as a Dataset(node, parent) — one hash join (edges ⋈
+    frontier) + a groupby-MIN parent (deterministic tie-break; the
+    broadcast variant keeps an arbitrary first parent) + an anti-join
+    against visited. Driver state per level = one row count. The
+    backtrack reads ONE node's parent per level (a filtered pass over
+    that level's materialized table), so path reconstruction is
+    O(path_len) tiny scans, never a collected frontier.
+
+    Returns the path [src, ..., dst] (min-parent deterministic) or None.
+    Same reachability/length as shortest_path (asserted in pytest)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    if src == dst:
+        return [src]
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array([src])})).materialize()
+    frontier = visited
+    levels: list = []
+    found = False
+    for _ in range(max_depth):
+        fr = frontier.map_batches(
+            lambda t: pa.table({"__f": t["node"]}),
+            batch_format="pyarrow").repartition(4).materialize()
+        hop = edges.join(fr, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=(from_col,), right_on=("__f",))
+        # materialize barrier: chaining a second join (below) onto a
+        # join+groupby plan deadlocks the hash-shuffle aggregator pools
+        # on a small CPU budget (same barrier sql.py uses between joins)
+        reached = (hop.map_batches(
+            lambda t, _f=from_col, _t=to_col: pa.table(
+                {"node": t[_t], "parent": t[_f]}),
+            batch_format="pyarrow")
+            .groupby("node").aggregate(Min("parent", alias_name="parent"))
+            .repartition(num_partitions).materialize())
+        seen = visited.map_batches(
+            lambda t: pa.table({
+                "__v": t["node"],
+                "__seen": pa.array(np.ones(len(t), np.int8))}),
+            batch_format="pyarrow").repartition(4).materialize()
+        nxt = reached.join(seen, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=("node",), right_on=("__v",))
+
+        def fresh(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_null(t["__seen"]))
+            return t.select(["node", "parent"])
+
+        lvl = nxt.map_batches(fresh, batch_format="pyarrow").materialize()
+        if lvl.count() == 0:
+            break
+        levels.append(lvl)
+        hit = lvl.map_batches(
+            lambda t, _d=dst: t.filter(pc.equal(t["node"], pa.scalar(_d))),
+            batch_format="pyarrow")
+        if hit.count() > 0:
+            found = True
+            break
+        visited = visited.union(lvl.map_batches(
+            lambda t: t.select(["node"]),
+            batch_format="pyarrow")).materialize()
+        frontier = lvl.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow")
+    if not found:
+        return None
+    # backtrack: one tiny filtered scan per level, deepest first — each
+    # node on the path was first discovered at exactly its level, so
+    # every lookup succeeds until src (which is in no level table)
+    path = [dst]
+    for lvl in reversed(levels):
+        cur = path[-1]
+        if cur == src:
+            break
+        row = lvl.map_batches(
+            lambda t, _c=cur: t.filter(pc.equal(t["node"], pa.scalar(_c))),
+            batch_format="pyarrow").take(1)
+        assert row, "BFS level missing a path predecessor"
+        path.append(row[0]["parent"])
+    assert path[-1] == src
+    return list(reversed(path))
+
+
 def graph_terms_filter(ds, field: str, terms, max_doc_freq: int = -1):
     """{!graphTerms} (GraphTermsQParserPlugin, solr/core/src/java/org/
     apache/solr/search/GraphTermsQParserPlugin.java:60): membership filter

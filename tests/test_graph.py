@@ -82,3 +82,45 @@ def test_gather_nodes_distributed_hub_graph(ray_session):
     want = want.sort_values("node").reset_index(drop=True)
     assert got["node"].tolist() == want["node"].tolist()
     assert got["level"].tolist() == want["level"].tolist()
+
+
+def test_shortest_path_distributed(ray_session):
+    """Dataset-resident BFS levels + min-parent backtrack: same length as
+    the broadcast shortest_path, every hop a real edge, deterministic
+    (min parent). Covers unreachable, depth-limited, and src==dst."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.graph import shortest_path, shortest_path_distributed
+
+    rng = np.random.default_rng(17)
+    n = 300
+    src_nodes = rng.integers(0, n, 1500)
+    dst_nodes = rng.integers(0, n, 1500)
+    # add a guaranteed 3-hop chain so a known path exists
+    chain = np.array([[900, 901], [901, 902], [902, 903]])
+    e = pa.table({
+        "s": np.concatenate([src_nodes, chain[:, 0]]),
+        "d": np.concatenate([dst_nodes, chain[:, 1]]),
+    })
+    edges = ray.data.from_arrow(e).repartition(4)
+    edge_set = set(zip(e["s"].to_pylist(), e["d"].to_pylist()))
+
+    got = shortest_path_distributed(edges, "s", "d", 900, 903, max_depth=5)
+    assert got == [900, 901, 902, 903]
+
+    # random pair: equal LENGTH to the broadcast version, valid hops
+    want = shortest_path(edges, "s", "d", 0, 7, max_depth=5)
+    got2 = shortest_path_distributed(edges, "s", "d", 0, 7, max_depth=5)
+    if want is None:
+        assert got2 is None
+    else:
+        assert got2 is not None and len(got2) == len(want)
+        assert got2[0] == 0 and got2[-1] == 7
+        for a, b in zip(got2, got2[1:]):
+            assert (a, b) in edge_set
+    # unreachable / identity
+    assert shortest_path_distributed(edges, "s", "d", 900, 12345,
+                                     max_depth=3) is None
+    assert shortest_path_distributed(edges, "s", "d", 5, 5) == [5]
