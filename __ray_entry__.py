@@ -2119,6 +2119,30 @@ def _q_percentile_price_by_flag(sf_dir: str):
             .sort("l_returnflag"))
 
 
+def _q_shortest_path_dist(sf_dir: str):
+    """Distributed BFS shortest path (Dataset-resident levels, min-parent
+    determinism) over a chain+skip graph derived from customer keys
+    (k -> k+1, k -> k+10): src=1, dst=42 forces a 5-hop path whose exact
+    nodes replay in DuckDB as a recursive-CTE dist + min-parent
+    backtrack. Every hop is a real shuffle join; the driver never holds
+    a frontier."""
+    from solr_ray.ops.graph import shortest_path_distributed
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["c_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"src": np.concatenate([k, k]),
+                         "dst": np.concatenate([k + 1, k + 10])})
+
+    eds = cust.map_batches(edges, batch_format="pyarrow")
+    path = shortest_path_distributed(eds, "src", "dst", 1, 42, max_depth=6)
+    assert path is not None
+    return pa.table({"step": pa.array(range(len(path)), pa.int64()),
+                     "node": pa.array(path, pa.int64())})
+
+
 def _q_simhash_candidates(sf_dir: str):
     from solr_ray.ops.dedup import simhash_candidates
 
@@ -2587,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_join": _q_minhash_pairs_join,
         "dup_clusters_dist": _q_dup_clusters_dist,
         "gather_nodes_dist": _q_gather_nodes_dist,
+        "shortest_path_dist": _q_shortest_path_dist,
         "percentile_price_by_flag": _q_percentile_price_by_flag,
         "simhash_candidates": _q_simhash_candidates,
         "text_profile_sigs": _q_text_profile_sigs,
@@ -4328,6 +4353,34 @@ walk(node, level) AS (
   WHERE w.level < 2
 )
 SELECT node, MIN(level) AS level FROM walk GROUP BY node
+""",
+        "shortest_path_dist": """
+WITH RECURSIVE e AS (
+  SELECT c_custkey::BIGINT AS src, c_custkey::BIGINT + 1 AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey::BIGINT, c_custkey::BIGINT + 10 FROM customer
+),
+lvl(node, level) AS (
+  SELECT 1::BIGINT, 0
+  UNION
+  SELECT e.dst, l.level + 1 FROM lvl l JOIN e ON e.src = l.node
+  WHERE l.level < 6
+),
+dist AS (SELECT node, MIN(level) AS lv FROM lvl GROUP BY node),
+par AS (
+  SELECT d.node, d.lv, MIN(e.src) AS parent
+  FROM dist d JOIN e ON e.dst = d.node
+  JOIN dist s ON s.node = e.src AND s.lv = d.lv - 1
+  GROUP BY d.node, d.lv
+),
+path(step, node) AS (
+  SELECT lv, node FROM dist WHERE node = 42
+  UNION ALL
+  SELECT p.step - 1, par.parent FROM path p
+  JOIN par ON par.node = p.node WHERE p.step > 0
+)
+SELECT step::BIGINT AS step, node::BIGINT AS node FROM path ORDER BY step
 """,
         "gather_nodes": """
 WITH RECURSIVE e AS (
