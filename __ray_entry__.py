@@ -1960,6 +1960,20 @@ _SQL_QUERIES = {
                            "COUNT(o_orderkey) OVER (PARTITION BY "
                            "o_orderpriority) AS n_orders FROM orders "
                            "ORDER BY o_orderkey LIMIT 500"),
+    # navigation window functions (LAG/LEAD/NTILE/FIRST_VALUE): bucketed
+    # per-partition pass at this scale; >2M rows routes through the
+    # sliced ROW_NUMBER + rn+-k hash-join plan (hypothesis-tested
+    # bit-identical). Unique ORDER BY key keeps every value replayable.
+    "sql_window_nav": ("SELECT o_orderkey, "
+                       "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
+                       "ORDER BY o_orderkey) AS prev_price, "
+                       "LEAD(o_totalprice, 2, 0) OVER (PARTITION BY "
+                       "o_custkey ORDER BY o_orderkey) AS next2_price, "
+                       "NTILE(4) OVER (PARTITION BY o_custkey "
+                       "ORDER BY o_orderkey) AS quartile, "
+                       "FIRST_VALUE(o_totalprice) OVER (PARTITION BY "
+                       "o_custkey ORDER BY o_orderkey) AS first_price "
+                       "FROM orders ORDER BY o_orderkey LIMIT 500"),
     # value-based RANGE frame (peers included on both ends; prefix-sum
     # execution)
     "sql_range_frame": ("SELECT o_orderkey, "

@@ -37,7 +37,11 @@ Grammar (case-insensitive keywords):
              CASE WHEN <cond> THEN expr [...] [ELSE expr] END (a NULL
              condition does not match; no ELSE -> typed nulls),
              window functions ROW_NUMBER|RANK|DENSE_RANK
-             () OVER (PARTITION BY cols ORDER BY col [DESC][, ...]) and
+             () OVER (PARTITION BY cols ORDER BY col [DESC][, ...]),
+             navigation window functions LAG|LEAD(col[, k[, default]]),
+             NTILE(n), FIRST_VALUE|LAST_VALUE(col) OVER (...) — ANSI
+             default frame only (LAST_VALUE = last row of the current
+             peer group), and
              window aggregates SUM|AVG|MIN|MAX|COUNT(col) OVER (...):
              explicit ROWS BETWEEN (UNBOUNDED | n) PRECEDING AND CURRENT
              ROW frames, the ANSI default frame (ORDER BY with no frame
@@ -87,6 +91,7 @@ _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _SCALAR_FNS = {"UPPER", "LOWER", "LENGTH", "SUBSTR", "SUBSTRING", "TRIM",
                "FLOOR", "CEIL", "ABS", "COALESCE", "NULLIF"}
 _WINDOW_FNS = {"ROW_NUMBER", "RANK", "DENSE_RANK"}
+_NAV_FNS = {"LAG", "LEAD", "NTILE", "FIRST_VALUE", "LAST_VALUE"}
 _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
                "VARCHAR": "string"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
@@ -235,6 +240,49 @@ class _Parser:
                 raise ValueError(f"{up}() requires ORDER BY")
             return {"kind": "win", "fn": up, "partition": partition,
                     "order": worder}
+        if up in _NAV_FNS and self.peek() == ("punct", "("):
+            # navigation window functions: LAG/LEAD(col[, k[, default]]),
+            # NTILE(n), FIRST_VALUE/LAST_VALUE(col). ANSI default frame
+            # only (LAST_VALUE = last row of the current peer group).
+            self.eat()
+            node: dict = {"kind": "win", "fn": up}
+            if up == "NTILE":
+                n = self.eat("num")
+                if not isinstance(n, int) or n < 1:
+                    raise ValueError("NTILE(n) needs a positive integer")
+                node["n"] = n
+            else:
+                node["col"] = self.eat("name")
+                if up in ("LAG", "LEAD"):
+                    node["offset"], node["default"] = 1, None
+                    if self.peek() == ("punct", ","):
+                        self.eat()
+                        k = self.eat("num")
+                        if not isinstance(k, int) or k < 0:
+                            raise ValueError(
+                                f"{up} offset must be a non-negative int")
+                        node["offset"] = k
+                        if self.peek() == ("punct", ","):
+                            self.eat()
+                            neg = False
+                            if self.peek() == ("punct", "-"):
+                                self.eat()
+                                neg = True
+                            kk, vv = self.peek()
+                            if kk not in ("num", "str") or (
+                                    neg and kk != "num"):
+                                raise ValueError(
+                                    f"{up} default must be a literal")
+                            self.eat()
+                            node["default"] = -vv if neg else vv
+            self.eat("punct", ")")
+            partition, worder, frame = self.over_clause()
+            if frame is not None:
+                raise ValueError(f"{up}() supports only the default frame")
+            if not worder:
+                raise ValueError(f"{up}() requires ORDER BY")
+            node["partition"], node["order"] = partition, worder
+            return node
         if up in _SCALAR_FNS and self.peek() == ("punct", "("):
             self.eat()
             args = [self.expr()]
@@ -1113,7 +1161,9 @@ def _attach_window_columns(ds, win_items: list[dict]):
             or pa.types.is_timestamp(f0))
 
     frame_items = [it for it in win_items if it["fn"] in _AGGS]
-    rank_items = [it for it in win_items if it["fn"] not in _AGGS]
+    nav_items = [it for it in win_items if it["fn"] in _NAV_FNS]
+    rank_items = [it for it in win_items
+                  if it["fn"] not in _AGGS and it["fn"] not in _NAV_FNS]
 
     if sliceable and all(isinstance(it["frame"], int)
                          for it in frame_items):
@@ -1126,6 +1176,8 @@ def _attach_window_columns(ds, win_items: list[dict]):
                                      lo, hi)
         if rank_items:
             out = _ranks_sliced(out, rank_items, part_key, ocols, lo, hi)
+        if nav_items:
+            out = _nav_sliced(out, nav_items, part_key, ocols, lo, hi)
         return out
     return _windows_bucketed(ds, win_items, part_key)
 
@@ -1277,7 +1329,7 @@ def _ranks_sliced(ds, items, part_key, ocols, lo, hi):
         .groupby("__ob")
         .map_groups(lambda g: prefix(g.drop(columns=["__ob"])),
                     batch_format="pandas")).materialize()
-    joined = per.join(offs_ds, "inner", num_partitions=64,
+    joined = per.join(offs_ds, "inner", num_partitions=_join_parts(),
                       on=(*pk, "__ws"))
 
     def apply_joined(t: pa.Table) -> pa.Table:
@@ -1289,6 +1341,201 @@ def _ranks_sliced(ds, items, part_key, ocols, lo, hi):
         return pa.Table.from_pandas(d[keep], preserve_index=False)
 
     return joined.map_batches(apply_joined, batch_format="pyarrow")
+
+
+def _join_parts() -> int:
+    """Hash-join partition count: Ray spawns one aggregator actor per
+    partition, so a count above the CPU budget can't schedule and the
+    join hangs. Scale with the cluster, floor 4, cap 64."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(64, cpus))
+
+
+def _nav_sliced(ds, items, part_key, ocols, lo, hi):
+    """LAG/LEAD/NTILE/FIRST_VALUE/LAST_VALUE at scale: ONE scale-safe
+    ROW_NUMBER pass (the sliced (partition bucket, order slice) rank
+    machinery), then each item is a hash join keyed on
+    (partition, rn +- k) or a per-partition/per-peer summary join — a
+    whole partition never lands in one task. Materialize barriers
+    between the chained joins (aggregator-pool deadlock otherwise).
+    Bit-identical to the bucketed path (hypothesis battery)."""
+    from ray.data.aggregate import Count, Max as AMax
+
+    pk = list(part_key)
+    rn_it = {"fn": "ROW_NUMBER", "alias": "__nrn",
+             "partition": pk, "order": [(c, False) for c in ocols]}
+    nparts = _join_parts()
+    # the rank pass round-trips blocks through pandas: a slice whose
+    # passenger column (e.g. an earlier nav alias) is ALL null comes
+    # back null-typed, which Acero rejects as a join non-key field —
+    # cast such blocks back to the input schema's type
+    s_in = ds.schema()
+    in_types = dict(zip(s_in.names, s_in.types))
+
+    def _norm(t: pa.Table) -> pa.Table:
+        cols, changed = {}, False
+        for n in t.schema.names:
+            v = t[n]
+            ty = in_types.get(n)
+            if ty is not None and pa.types.is_null(v.type) \
+                    and not pa.types.is_null(ty):
+                v, changed = pc.cast(v, ty), True
+            cols[n] = v
+        return pa.table(cols) if changed else t
+
+    # every join input is repartitioned first: map/groupby outputs can
+    # carry empty zero-schema blocks that break Acero's key resolution
+    # ("No match or multiple matches for key field"), the same gotcha as
+    # graph/dedup joins
+    out = (_ranks_sliced(ds, [rn_it], part_key, ocols, lo, hi)
+           .map_batches(_norm, batch_format="pyarrow")
+           .repartition(nparts).materialize())
+    jks = [f"__jk{j}" for j in range(len(pk))]
+
+    def _vtype(d, col):
+        s = d.schema()
+        return s.types[s.names.index(col)]
+
+    for i, it in enumerate(items):
+        al, tmp = it["alias"], f"__nv{i}"
+        if it["fn"] in ("LAG", "LEAD"):
+            delta = it["offset"] if it["fn"] == "LAG" else -it["offset"]
+            vty = _vtype(out, it["col"])
+
+            def mk_side(t: pa.Table, _d=delta, _c=it["col"],
+                        _t=tmp) -> pa.Table:
+                cols = {k2: t[k] for k2, k in zip(jks, pk)}
+                cols["__jrn"] = pc.add(t["__nrn"],
+                                       pa.scalar(_d, pa.int64()))
+                cols[_t] = t[_c]
+                return pa.table(cols)
+
+            side = out.map_batches(
+                mk_side, batch_format="pyarrow").repartition(
+                nparts).materialize()
+            out = out.join(side, "left_outer", num_partitions=nparts,
+                           on=(*pk, "__nrn"),
+                           right_on=(*jks, "__jrn")).materialize()
+
+            def fin(t: pa.Table, _t=tmp, _al=al, _ty=vty,
+                    _dv=it.get("default")) -> pa.Table:
+                v = t[_t]
+                if pa.types.is_null(v.type):  # no row matched anywhere
+                    v = pc.cast(v, _ty)
+                if _dv is not None:
+                    v = pc.fill_null(v, _dv)
+                t = t.drop_columns([c for c in (_t, *jks, "__jrn")
+                                    if c in t.schema.names])
+                return t.append_column(_al, v)
+
+            out = (out.map_batches(fin, batch_format="pyarrow")
+                   .repartition(nparts).materialize())
+        elif it["fn"] == "NTILE":
+            cnt = (out.groupby(pk).aggregate(Count(alias_name="__cnt"))
+                   .repartition(8).materialize())
+            out = out.join(cnt, "inner", num_partitions=nparts,
+                           on=tuple(pk)).materialize()
+
+            def tile(t: pa.Table, _n=it["n"], _al=al) -> pa.Table:
+                rn0 = np.asarray(t["__nrn"]) - 1
+                c = np.asarray(t["__cnt"])
+                q, r = c // _n, c % _n
+                big = r * (q + 1)
+                vals = (np.where(rn0 < big, rn0 // np.maximum(q + 1, 1),
+                                 r + (rn0 - big) // np.maximum(q, 1))
+                        + 1).astype(np.int64)
+                return t.drop_columns(["__cnt"]).append_column(
+                    _al, pa.array(vals))
+
+            out = (out.map_batches(tile, batch_format="pyarrow")
+                   .repartition(nparts).materialize())
+        elif it["fn"] == "FIRST_VALUE":
+            vty = _vtype(out, it["col"])
+
+            def firsts(t: pa.Table, _c=it["col"], _t=tmp) -> pa.Table:
+                t = t.filter(pc.equal(t["__nrn"],
+                                      pa.scalar(1, pa.int64())))
+                cols = {k2: t[k] for k2, k in zip(jks, pk)}
+                cols[_t] = t[_c]
+                return pa.table(cols)
+
+            side = out.map_batches(
+                firsts, batch_format="pyarrow").repartition(
+                nparts).materialize()
+            out = out.join(side, "left_outer", num_partitions=nparts,
+                           on=tuple(pk), right_on=tuple(jks)).materialize()
+
+            def fin1(t: pa.Table, _t=tmp, _al=al, _ty=vty) -> pa.Table:
+                v = t[_t]
+                if pa.types.is_null(v.type):
+                    v = pc.cast(v, _ty)
+                t = t.drop_columns([c for c in (_t, *jks)
+                                    if c in t.schema.names])
+                return t.append_column(_al, v)
+
+            out = (out.map_batches(fin1, batch_format="pyarrow")
+                   .repartition(nparts).materialize())
+        else:  # LAST_VALUE: last row of the current peer group
+            oks = [f"__ok{j}" for j in range(len(ocols))]
+            vty = _vtype(out, it["col"])
+            peers = (out.groupby([*pk, *ocols])
+                     .aggregate(AMax("__nrn", alias_name="__prn"))
+                     .repartition(nparts).materialize())
+            vks = [f"__vk{j}" for j in range(len(pk))]
+
+            def vals_side(t: pa.Table, _c=it["col"], _t=tmp) -> pa.Table:
+                cols = {k2: t[k] for k2, k in zip(vks, pk)}
+                cols["__vrn"] = t["__nrn"]
+                cols[_t] = t[_c]
+                return pa.table(cols)
+
+            vside = out.map_batches(
+                vals_side, batch_format="pyarrow").repartition(
+                nparts).materialize()
+            fetched = peers.join(vside, "inner", num_partitions=nparts,
+                                 on=(*pk, "__prn"),
+                                 right_on=(*vks, "__vrn")).materialize()
+
+            # groupby/map_groups round-trips can drift timestamp units
+            # (s vs us) — cast the projected keys back to the left
+            # schema's exact types or Acero rejects the join
+            s0 = out.schema()
+            otypes = tuple(s0.types[s0.names.index(c)] for c in ocols)
+
+            def proj_f(t: pa.Table, _t=tmp, _ty=otypes) -> pa.Table:
+                cols = {k2: t[k] for k2, k in zip(jks, pk)}
+                cols.update({k2: pc.cast(t[k], ty)
+                             for k2, k, ty in zip(oks, ocols, _ty)})
+                cols[_t] = t[_t]
+                return pa.table(cols)
+
+            fetched = fetched.map_batches(
+                proj_f, batch_format="pyarrow").repartition(
+                nparts).materialize()
+            out = out.join(fetched, "left_outer", num_partitions=nparts,
+                           on=(*pk, *ocols),
+                           right_on=(*jks, *oks)).materialize()
+
+            def fin2(t: pa.Table, _t=tmp, _al=al, _ty=vty) -> pa.Table:
+                v = t[_t]
+                if pa.types.is_null(v.type):
+                    v = pc.cast(v, _ty)
+                t = t.drop_columns([c for c in (_t, *jks, *oks)
+                                    if c in t.schema.names])
+                return t.append_column(_al, v)
+
+            out = (out.map_batches(fin2, batch_format="pyarrow")
+                   .repartition(nparts).materialize())
+
+    def drop_rn(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in ("__nrn",)
+                               if c in t.schema.names])
+
+    return out.map_batches(drop_rn, batch_format="pyarrow")
 
 
 def _windows_bucketed(ds, win_items, part_key):
@@ -1378,6 +1625,35 @@ def _windows_bucketed(ds, win_items, part_key):
                 vals = (pd.Series(vals).astype(np.int64)
                         if it["fn"] == "COUNT"
                         else pd.Series(vals).astype(np.float64)).to_numpy()
+                s[it["alias"]] = vals
+                out = s
+                continue
+            if it["fn"] in _NAV_FNS:
+                if it["fn"] in ("LAG", "LEAD"):
+                    k = it["offset"] if it["fn"] == "LAG" \
+                        else -it["offset"]
+                    vals = grp[it["col"]].shift(k)
+                    if it.get("default") is not None:
+                        vals = vals.fillna(it["default"])
+                    if pd.api.types.is_integer_dtype(s[it["col"]]):
+                        vals = vals.astype("Int64")  # null-safe int lag
+                elif it["fn"] == "FIRST_VALUE":
+                    vals = grp[it["col"]].transform("first")
+                elif it["fn"] == "LAST_VALUE":
+                    # ANSI default frame ends at the current row's PEERS
+                    vals = s.groupby([*part_key, *ocols], sort=False)[
+                        it["col"]].transform("last")
+                else:  # NTILE: exact ANSI tile sizes (first r get q+1)
+                    rn0 = grp.cumcount().to_numpy()
+                    cnt = grp[it["order"][0][0]].transform(
+                        "size").to_numpy()
+                    n = it["n"]
+                    q, r = cnt // n, cnt % n
+                    big = r * (q + 1)
+                    vals = (np.where(
+                        rn0 < big, rn0 // np.maximum(q + 1, 1),
+                        r + (rn0 - big) // np.maximum(q, 1)) + 1
+                    ).astype(np.int64)
                 s[it["alias"]] = vals
                 out = s
                 continue

@@ -340,6 +340,57 @@ def _run_sliced_case(rows, n):
                            want[c].to_numpy().astype(float)), c
 
 
+@given(st.lists(st.tuples(st.integers(0, 1),            # partition (hot: 2)
+                          st.integers(0, 500),           # order value
+                          st.integers(-9, 9)),           # nav value
+                min_size=1, max_size=120),
+       st.integers(1, 3),                                # lag/lead offset
+       st.integers(2, 12))                               # forced slice count
+@settings(max_examples=10, deadline=None)
+def test_sql_nav_sliced_property(ray_session, rows, k, nslices):
+    """LAG/LEAD/NTILE/FIRST_VALUE/LAST_VALUE on the sliced scale path
+    (ROW_NUMBER shuffle + rn+-k hash joins) must match DuckDB exactly —
+    including duplicate order values at slice boundaries (LAST_VALUE
+    peer groups), defaults at partition edges, and NTILE remainders."""
+    import duckdb
+
+    import solr_ray.sql as sqlmod
+    from solr_ray.sql import execute_sql
+
+    t = pa.table({
+        "id": pa.array(range(len(rows)), pa.int64()),
+        "p": pa.array([r[0] for r in rows], pa.int64()),
+        "o": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64()),
+        # w is constant within a (p, o) peer group, so LAST_VALUE(w)
+        # OVER (ORDER BY o) is deterministic despite peer ties
+        "w": pa.array([r[1] * 3 + r[0] for r in rows], pa.int64()),
+    })
+    sql = (f"SELECT id, "
+           f"LAG(v, {k}, -99) OVER (PARTITION BY p ORDER BY o, id) AS pv, "
+           f"LEAD(v, {k}) OVER (PARTITION BY p ORDER BY o, id) AS nv, "
+           f"NTILE(3) OVER (PARTITION BY p ORDER BY o, id) AS q3, "
+           f"FIRST_VALUE(v) OVER (PARTITION BY p ORDER BY o, id) AS fv, "
+           f"LAST_VALUE(w) OVER (PARTITION BY p ORDER BY o) AS lv "
+           f"FROM t ORDER BY id")
+    saved = sqlmod._WIN_SLICES, sqlmod._SLICED_MIN_ROWS
+    sqlmod._WIN_SLICES = nslices
+    sqlmod._SLICED_MIN_ROWS = 0  # force the sliced path on tiny input
+    try:
+        got = execute_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    finally:
+        sqlmod._WIN_SLICES, sqlmod._SLICED_MIN_ROWS = saved
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    con.close()
+    assert len(got) == len(want)
+    for c in ("pv", "nv", "q3", "fv", "lv"):
+        g = got[c].to_numpy().astype(float)
+        w = want[c].to_numpy().astype(float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), c
+
+
 # ------------------------------- SQL subqueries (round 5)
 
 @given(st.lists(st.tuples(st.integers(0, 4),           # grp

@@ -42,9 +42,15 @@ def _assert_same(got, want, sort_cols=None):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     for c in got.columns:
-        g, w = got[c].to_numpy(), want[c].to_numpy()
+        gs, ws = got[c], want[c]
+        if str(gs.dtype) in ("Int64", "Float64"):  # nullable (LAG/LEAD)
+            gs = gs.astype("float64")
+        if str(ws.dtype) in ("Int64", "Float64"):
+            ws = ws.astype("float64")
+        g, w = gs.to_numpy(), ws.to_numpy()
         if g.dtype.kind == "f" or w.dtype.kind == "f":
-            assert np.allclose(g.astype(float), w.astype(float)), c
+            assert np.allclose(g.astype(float), w.astype(float),
+                               equal_nan=True), c
         else:
             assert (g == w).all(), c
 
@@ -406,6 +412,43 @@ def test_window_functions(ray_session, table):
     with pytest.raises(ValueError):  # alias required
         parse_sql("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY i) "
                   "FROM t")
+
+
+def test_window_nav_functions(ray_session, table):
+    """LAG/LEAD/NTILE/FIRST_VALUE/LAST_VALUE vs DuckDB (bucketed path).
+    LAST_VALUE uses the ANSI default frame (last row of the current
+    peer group); NTILE sizes are exact ANSI (first r tiles get q+1)."""
+    import ray.data
+
+    for sql in [
+        "SELECT id, LAG(val) OVER (PARTITION BY grp ORDER BY id) AS pv, "
+        "LEAD(val) OVER (PARTITION BY grp ORDER BY id) AS nv "
+        "FROM t ORDER BY id LIMIT 300",
+        "SELECT id, LAG(val, 3, -1) OVER (PARTITION BY grp ORDER BY id) "
+        "AS pv3, LEAD(val, 2, 0) OVER (PARTITION BY grp ORDER BY id) "
+        "AS nv2 FROM t ORDER BY id LIMIT 300",
+        "SELECT id, NTILE(4) OVER (PARTITION BY grp ORDER BY id) AS q4, "
+        "NTILE(7) OVER (PARTITION BY grp ORDER BY id) AS q7 "
+        "FROM t ORDER BY id LIMIT 300",
+        "SELECT id, FIRST_VALUE(val) OVER (PARTITION BY grp ORDER BY id) "
+        "AS fv, LAST_VALUE(val) OVER (PARTITION BY grp ORDER BY val) "
+        "AS lv FROM t ORDER BY id LIMIT 300",
+        # mixed with rank fns in one SELECT
+        "SELECT id, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) "
+        "AS rn, LAG(val) OVER (PARTITION BY grp ORDER BY id) AS pv "
+        "FROM t ORDER BY id LIMIT 300",
+    ]:
+        _assert_same(*_both(sql, table))
+    tables = {"t": ray.data.from_arrow(table)}
+    with pytest.raises(ValueError, match="ORDER BY"):
+        execute_sql("SELECT LAG(val) OVER (PARTITION BY grp) AS x FROM t",
+                    tables)
+    with pytest.raises(ValueError, match="positive integer"):
+        parse_sql("SELECT NTILE(0) OVER (PARTITION BY g ORDER BY i) "
+                  "AS x FROM t")
+    with pytest.raises(ValueError, match="default frame"):
+        parse_sql("SELECT LAG(val) OVER (PARTITION BY g ORDER BY i "
+                  "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS x FROM t")
 
 
 def test_where_expression_predicates(ray_session, table):
