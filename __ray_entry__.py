@@ -1960,6 +1960,20 @@ _SQL_QUERIES = {
                            "COUNT(o_orderkey) OVER (PARTITION BY "
                            "o_orderpriority) AS n_orders FROM orders "
                            "ORDER BY o_orderkey LIMIT 500"),
+    # set operations: UNION ALL = Dataset.union; UNION adds a distinct
+    # combiner groupby; INTERSECT/EXCEPT = ONE combiner groupby over a
+    # side-tagged union (min/max side per distinct row) — no join, no
+    # broadcast. INTERSECT binds tighter (ANSI).
+    "sql_union": ("SELECT o_custkey AS k FROM orders "
+                  "WHERE o_totalprice > 300000 "
+                  "UNION SELECT c_custkey AS k FROM customer "
+                  "WHERE c_acctbal > 9000 ORDER BY k"),
+    "sql_intersect_except": ("SELECT o_custkey AS k FROM orders "
+                             "WHERE o_totalprice > 150000 "
+                             "INTERSECT SELECT c_custkey AS k "
+                             "FROM customer WHERE c_acctbal > 3000 "
+                             "EXCEPT SELECT o_custkey AS k FROM orders "
+                             "WHERE o_totalprice > 400000 ORDER BY k"),
     # navigation window functions (LAG/LEAD/NTILE/FIRST_VALUE): bucketed
     # per-partition pass at this scale; >2M rows routes through the
     # sliced ROW_NUMBER + rn+-k hash-join plan (hypothesis-tested

@@ -19,6 +19,9 @@ Grammar (case-insensitive keywords):
        ON a.x = b.y]...
       [WHERE <cond>] [GROUP BY <col|expr>[, ...]] [HAVING <cond>]
       [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
+    stmt := select [UNION [ALL] | INTERSECT | EXCEPT select ...]
+            (INTERSECT binds tighter, ANSI; ORDER BY/LIMIT after the
+            last operand apply to the whole set result)
 
     With JOINs, columns may be qualified (alias.col); bare names resolve
     when unambiguous. Each JOIN is one hash-partitioned distributed
@@ -99,7 +102,8 @@ _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "ASC", "DESC", "JOIN", "ON", "INNER", "LEFT", "RIGHT", "FULL",
              "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
              "UNBOUNDED", "CURRENT", "ROW", "CASE", "WHEN", "THEN", "ELSE",
-             "END", "IS", "NULL", "EXISTS", "RANGE"}
+             "END", "IS", "NULL", "EXISTS", "RANGE", "UNION", "INTERSECT",
+             "EXCEPT", "ALL"}
 
 
 def _tokenize(sql: str):
@@ -560,6 +564,39 @@ class _Parser:
 
     # ---- full statement ----
     def statement(self, stop_at_paren: bool = False):
+        plan = self.select_core()
+        if self.at_kw("UNION", "INTERSECT", "EXCEPT"):
+            # set operations: INTERSECT binds tighter (ANSI), ORDER BY /
+            # LIMIT after the LAST operand apply to the whole result
+            ops: list = [(None, plan)]
+            while self.at_kw("UNION", "INTERSECT", "EXCEPT"):
+                op = self.eat().lower()
+                if op == "union" and self.at_kw("ALL"):
+                    self.eat()
+                    op = "union_all"
+                ops.append((op, self.select_core()))
+            for _, p in ops[:-1]:
+                if p["order"] or p["limit"] is not None:
+                    raise ValueError(
+                        "ORDER BY/LIMIT inside a set-operation operand is "
+                        "not supported (put them after the last operand)")
+            last = ops[-1][1]
+            order, limit = last["order"], last["limit"]
+            last["order"], last["limit"] = [], None
+            plan = {"set": ops, "order": order, "limit": limit,
+                    "items": ops[0][1]["items"], "joins": [],
+                    "where": None, "group": None, "having": None,
+                    "table": None, "alias": None,
+                    "select_distinct": False}
+        if stop_at_paren:
+            if self.peek() != ("punct", ")"):
+                raise ValueError(
+                    f"unterminated subquery at {self.peek()[1]!r}")
+        elif self.peek()[0] != "eof":
+            raise ValueError(f"trailing SQL at {self.peek()[1]!r}")
+        return plan
+
+    def select_core(self):
         self.eat("kw", "SELECT")
         select_distinct = False
         if self.at_kw("DISTINCT"):
@@ -624,12 +661,6 @@ class _Parser:
         if self.at_kw("LIMIT"):
             self.eat()
             limit = int(self.eat("num"))
-        if stop_at_paren:
-            if self.peek() != ("punct", ")"):
-                raise ValueError(
-                    f"unterminated subquery at {self.peek()[1]!r}")
-        elif self.peek()[0] != "eof":
-            raise ValueError(f"trailing SQL at {self.peek()[1]!r}")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where,
                 "group": group, "having": having, "order": order,
@@ -1997,7 +2028,109 @@ def _has_qualified_refs(plan: dict) -> bool:
     return any("." in n for n in names)
 
 
+def _set_common_type(ts):
+    t0 = ts[0]
+    if all(t == t0 for t in ts):
+        return t0
+    if all(pa.types.is_integer(t) for t in ts):
+        return pa.int64()
+    if all(pa.types.is_integer(t) or pa.types.is_floating(t)
+           for t in ts):
+        return pa.float64()
+    if all(pa.types.is_string(t) or pa.types.is_large_string(t)
+           for t in ts):
+        return pa.string()
+    raise ValueError(f"set operation column types are incompatible: {ts}")
+
+
+def _set_distinct(ds, names):
+    # grouped count over distinct rows (combiner shuffle), count dropped
+    return _project(ds.groupby(names).count(), names, {})
+
+
+def _set_membership(a, b, names, want_right: bool):
+    """INTERSECT / EXCEPT as ONE combiner groupby over a tagged union:
+    each distinct row carries min/max side tags; INTERSECT keeps rows
+    seen on both sides, EXCEPT keeps rows seen only on the left. No
+    join, no broadcast — scale-safe for arbitrarily large operands."""
+    from ray.data.aggregate import Max as AMax, Min as AMin
+
+    def tag(side):
+        def f(t: pa.Table, _s=side) -> pa.Table:
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, _s, np.int8)))
+        return f
+
+    u = (a.map_batches(tag(1), batch_format="pyarrow")
+         .union(b.map_batches(tag(2), batch_format="pyarrow")))
+    g = u.groupby(names).aggregate(AMin("__side", alias_name="__mn"),
+                                   AMax("__side", alias_name="__mx"))
+
+    def keep(t: pa.Table, _w=want_right) -> pa.Table:
+        on_left = pc.equal(t["__mn"], pa.scalar(1))
+        on_right = pc.equal(t["__mx"], pa.scalar(2))
+        m = pc.and_(on_left, on_right) if _w else \
+            pc.and_(on_left, pc.invert(on_right))
+        return t.filter(m).select(names)
+
+    return g.map_batches(keep, batch_format="pyarrow")
+
+
+def _execute_setops(plan: dict, tables: dict) -> "ray.data.Dataset":
+    """UNION [ALL] / INTERSECT / EXCEPT over independently-executed
+    operand plans. Output column names and common types come from the
+    operands positionally (first operand's names, ANSI); INTERSECT binds
+    tighter than UNION/EXCEPT, the rest folds left-to-right."""
+    dss = [_execute_plan(p, tables) for _, p in plan["set"]]
+    schemas = [d.schema() for d in dss]
+    names0 = list(schemas[0].names)
+    for s in schemas[1:]:
+        if len(s.names) != len(names0):
+            raise ValueError("set operation operands must have the same "
+                             "column count")
+    tgt = [_set_common_type([s.types[j] for s in schemas])
+           for j in range(len(names0))]
+    aligned = []
+    for d, s in zip(dss, schemas):
+        def align(t: pa.Table, _src=tuple(s.names), _ty=tuple(tgt),
+                  _out=tuple(names0)) -> pa.Table:
+            cols = {}
+            for n_out, n_in, ty in zip(_out, _src, _ty):
+                v = t[n_in]
+                if v.type != ty:
+                    v = pc.cast(v, ty)
+                cols[n_out] = v
+            return pa.table(cols)
+
+        aligned.append(d.map_batches(align, batch_format="pyarrow"))
+    # INTERSECT precedence pass, then left-to-right fold
+    nodes, nops = [aligned[0]], []
+    for (op, _), d in zip(plan["set"][1:], aligned[1:]):
+        if op == "intersect":
+            nodes[-1] = _set_membership(nodes[-1], d, names0,
+                                        want_right=True)
+        else:
+            nops.append(op)
+            nodes.append(d)
+    out = nodes[0]
+    for op, d in zip(nops, nodes[1:]):
+        if op == "union_all":
+            out = out.union(d)
+        elif op == "union":
+            out = _set_distinct(out.union(d), names0)
+        else:  # except
+            out = _set_membership(out, d, names0, want_right=False)
+    if plan["order"]:
+        out = out.sort([c for c, _ in plan["order"]],
+                       descending=[d for _, d in plan["order"]])
+    if plan["limit"] is not None:
+        out = out.limit(plan["limit"])
+    return out
+
+
 def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
+    if plan.get("set"):
+        return _execute_setops(plan, tables)
     if plan["where"] is not None:
         plan = dict(plan)
         plan["where"] = _resolve_in_subqueries(plan["where"], tables)

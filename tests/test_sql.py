@@ -414,6 +414,40 @@ def test_window_functions(ray_session, table):
                   "FROM t")
 
 
+def test_set_operations(ray_session, table):
+    """UNION [ALL] / INTERSECT / EXCEPT vs DuckDB — including INTERSECT
+    precedence, positional name/type harmonization, whole-result
+    ORDER BY/LIMIT, and operand-level ORDER BY rejection."""
+    import ray.data
+
+    for sql in [
+        "SELECT id AS k FROM t WHERE val > 900 UNION ALL "
+        "SELECT val AS k FROM t WHERE id < 40 ORDER BY k",
+        "SELECT val AS k FROM t WHERE id < 500 UNION "
+        "SELECT val AS k FROM t WHERE id >= 500 ORDER BY k",
+        "SELECT val AS k FROM t WHERE kind = 'click' INTERSECT "
+        "SELECT val AS k FROM t WHERE kind = 'view' ORDER BY k",
+        "SELECT val AS k FROM t WHERE kind = 'click' EXCEPT "
+        "SELECT val AS k FROM t WHERE kind = 'view' ORDER BY k",
+        # INTERSECT binds tighter than UNION (ANSI precedence)
+        "SELECT val AS k FROM t WHERE id < 100 UNION "
+        "SELECT val AS k FROM t WHERE kind = 'click' INTERSECT "
+        "SELECT val AS k FROM t WHERE kind = 'view' ORDER BY k",
+        # grouped operands + multi-column rows + LIMIT on the whole set
+        "SELECT grp AS g, COUNT(*) AS n FROM t GROUP BY grp UNION ALL "
+        "SELECT kind AS g, COUNT(*) AS n FROM t GROUP BY kind "
+        "ORDER BY g, n LIMIT 8",
+    ]:
+        _assert_same(*_both(sql, table))
+    tables = {"t": ray.data.from_arrow(table)}
+    with pytest.raises(ValueError, match="set-operation operand"):
+        execute_sql("SELECT id FROM t ORDER BY id UNION "
+                    "SELECT val AS id FROM t", tables)
+    with pytest.raises(ValueError, match="column count"):
+        execute_sql("SELECT id, val FROM t UNION SELECT id FROM t",
+                    tables)
+
+
 def test_window_nav_functions(ray_session, table):
     """LAG/LEAD/NTILE/FIRST_VALUE/LAST_VALUE vs DuckDB (bucketed path).
     LAST_VALUE uses the ANSI default frame (last row of the current
