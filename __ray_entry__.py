@@ -1960,6 +1960,10 @@ _SQL_QUERIES = {
                            "COUNT(o_orderkey) OVER (PARTITION BY "
                            "o_orderpriority) AS n_orders FROM orders "
                            "ORDER BY o_orderkey LIMIT 500"),
+    # LIMIT ... OFFSET: the offset+limit head is small by construction,
+    # sliced on the driver after the distributed sort
+    "sql_limit_offset": ("SELECT o_orderkey, o_totalprice FROM orders "
+                         "ORDER BY o_orderkey LIMIT 150 OFFSET 3000"),
     # set operations: UNION ALL = Dataset.union; UNION adds a distinct
     # combiner groupby; INTERSECT/EXCEPT = ONE combiner groupby over a
     # side-tagged union (min/max side per distinct row) — no join, no

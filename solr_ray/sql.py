@@ -103,7 +103,7 @@ _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "OUTER", "DISTINCT", "OVER", "PARTITION", "ROWS", "PRECEDING",
              "UNBOUNDED", "CURRENT", "ROW", "CASE", "WHEN", "THEN", "ELSE",
              "END", "IS", "NULL", "EXISTS", "RANGE", "UNION", "INTERSECT",
-             "EXCEPT", "ALL"}
+             "EXCEPT", "ALL", "OFFSET"}
 
 
 def _tokenize(sql: str):
@@ -581,12 +581,12 @@ class _Parser:
                         "ORDER BY/LIMIT inside a set-operation operand is "
                         "not supported (put them after the last operand)")
             last = ops[-1][1]
-            order, limit = last["order"], last["limit"]
-            last["order"], last["limit"] = [], None
+            order, limit, off = last["order"], last["limit"], last["offset"]
+            last["order"], last["limit"], last["offset"] = [], None, 0
             plan = {"set": ops, "order": order, "limit": limit,
-                    "items": ops[0][1]["items"], "joins": [],
-                    "where": None, "group": None, "having": None,
-                    "table": None, "alias": None,
+                    "offset": off, "items": ops[0][1]["items"],
+                    "joins": [], "where": None, "group": None,
+                    "having": None, "table": None, "alias": None,
                     "select_distinct": False}
         if stop_at_paren:
             if self.peek() != ("punct", ")"):
@@ -658,13 +658,18 @@ class _Parser:
                 if self.peek() != ("punct", ","):
                     break
                 self.eat()
+        offset = 0
         if self.at_kw("LIMIT"):
             self.eat()
             limit = int(self.eat("num"))
+            if self.at_kw("OFFSET"):
+                self.eat()
+                offset = int(self.eat("num"))
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where,
                 "group": group, "having": having, "order": order,
-                "limit": limit, "select_distinct": select_distinct}
+                "limit": limit, "offset": offset,
+                "select_distinct": select_distinct}
 
     def table_ref(self):
         """table [AS] [alias], or a derived table (SELECT ...) [AS] alias
@@ -2081,15 +2086,28 @@ def _execute_setops(plan: dict, tables: dict) -> "ray.data.Dataset":
     operand plans. Output column names and common types come from the
     operands positionally (first operand's names, ANSI); INTERSECT binds
     tighter than UNION/EXCEPT, the rest folds left-to-right."""
+    import ray.data
+
     dss = [_execute_plan(p, tables) for _, p in plan["set"]]
+    # an empty operand loses its schema in Ray (schema() is None) —
+    # substitute a typed empty table so the fold semantics stay exact
     schemas = [d.schema() for d in dss]
-    names0 = list(schemas[0].names)
-    for s in schemas[1:]:
+    live = [s for s in schemas if s is not None and s.names]
+    if not live:
+        return dss[0]  # every operand empty
+    names0 = list(live[0].names)
+    for s in live:
         if len(s.names) != len(names0):
             raise ValueError("set operation operands must have the same "
                              "column count")
-    tgt = [_set_common_type([s.types[j] for s in schemas])
+    tgt = [_set_common_type([s.types[j] for s in live])
            for j in range(len(names0))]
+    empty = pa.table({n: pa.array([], type=ty)
+                      for n, ty in zip(names0, tgt)})
+    for i, s in enumerate(schemas):
+        if s is None or not s.names:
+            dss[i] = ray.data.from_arrow(empty)
+            schemas[i] = dss[i].schema()
     aligned = []
     for d, s in zip(dss, schemas):
         def align(t: pa.Table, _src=tuple(s.names), _ty=tuple(tgt),
@@ -2124,8 +2142,24 @@ def _execute_setops(plan: dict, tables: dict) -> "ray.data.Dataset":
         out = out.sort([c for c, _ in plan["order"]],
                        descending=[d for _, d in plan["order"]])
     if plan["limit"] is not None:
-        out = out.limit(plan["limit"])
+        out = _apply_limit(out, plan["limit"], plan.get("offset", 0))
     return out
+
+
+def _apply_limit(ds, limit: int, offset: int):
+    """LIMIT [OFFSET]: the first offset+limit rows are small by
+    construction, so the OFFSET head is sliced off on the driver."""
+    if not offset:
+        return ds.limit(limit)
+    import ray
+    import ray.data
+
+    head = ds.limit(offset + limit)
+    tbs = [t for t in ray.get(head.to_arrow_refs()) if t.num_rows]
+    if not tbs:
+        return head
+    tb = pa.concat_tables(tbs, promote_options="permissive")
+    return ray.data.from_arrow(tb.slice(offset))
 
 
 def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
@@ -2427,7 +2461,7 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
         desc = [d for _, d in plan["order"]]
         ds = ds.sort(keys, descending=desc)
     if plan["limit"] is not None:
-        ds = ds.limit(plan["limit"])
+        ds = _apply_limit(ds, plan["limit"], plan.get("offset", 0))
     return ds
 
 

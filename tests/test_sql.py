@@ -439,6 +439,21 @@ def test_set_operations(ray_session, table):
         "ORDER BY g, n LIMIT 8",
     ]:
         _assert_same(*_both(sql, table))
+    # empty operands (Ray loses their schema — typed-empty substitution)
+    for sql in [
+        "SELECT id AS k FROM t WHERE val > 99999 UNION ALL "
+        "SELECT id AS k FROM t WHERE id < 20 ORDER BY k",
+        "SELECT id AS k FROM t WHERE id < 20 EXCEPT "
+        "SELECT id AS k FROM t WHERE val > 99999 ORDER BY k",
+    ]:
+        _assert_same(*_both(sql, table))
+    # LIMIT ... OFFSET (driver slice of the small head)
+    for sql in [
+        "SELECT id, val FROM t ORDER BY id LIMIT 25 OFFSET 117",
+        "SELECT id AS k FROM t WHERE id < 300 UNION "
+        "SELECT val AS k FROM t WHERE id < 10 ORDER BY k LIMIT 9 OFFSET 4",
+    ]:
+        _assert_same(*_both(sql, table))
     tables = {"t": ray.data.from_arrow(table)}
     with pytest.raises(ValueError, match="set-operation operand"):
         execute_sql("SELECT id FROM t ORDER BY id UNION "
