@@ -2175,6 +2175,67 @@ def _q_shortest_path_dist(sf_dir: str):
                      "node": pa.array(path, pa.int64())})
 
 
+_LANG_ENUM = ["zh", "de", "es", "fr", "en"]  # configured ordinal order
+_CUR_RATES = {("EUR", "USD"): 1.25, ("GBP", "USD"): 2.0}  # binary-exact
+
+
+def _q_enum_lang_ord(sf_dir: str):
+    """EnumFieldType analog (EnumFieldType.java/EnumMapping): lang
+    ordinals from a configured order (deliberately non-alphabetical so
+    the sort proves ordinal, not lexical, ordering)."""
+    from solr_ray.functions.fieldtypes import EnumField
+
+    enum = EnumField(_LANG_ENUM)
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    out = (docs.map_batches(
+        lambda t: enum.encode_batch(t, "lang", "lang_ord"),
+        batch_format="pyarrow")
+        .groupby("lang_ord").count())
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang_ord": pc.cast(t["lang_ord"], pa.int64()),
+            "lang": enum.decode(t["lang_ord"]),
+            "n": pc.cast(t["count()"], pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("lang_ord")
+
+
+def _q_currency_orders_usd(sf_dir: str):
+    """CurrencyFieldType analog (CurrencyFieldType.java +
+    FileExchangeRateProvider): 'amount,CODE' strings round-trip through
+    long-cents storage and convert to USD through the rate table; the
+    range filter runs in the QUERY currency. Binary-exact rates (1.25,
+    2.0) make cents*rate/100 replay bit-exactly in the oracle."""
+    from solr_ray.functions.fieldtypes import CurrencyField
+
+    cur = CurrencyField(_CUR_RATES, default_currency="USD")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey",
+                                              "o_totalprice"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_orderkey"], pa.int64())
+        # k % 3 (Arrow has no modulo kernel; integer divide truncates)
+        code = pc.take(pa.array(["USD", "EUR", "GBP"]),
+                       pc.cast(pc.subtract(k, pc.multiply(pc.divide(
+                           k, pa.scalar(3)), pa.scalar(3))), pa.int32()))
+        raw = pc.binary_join_element_wise(
+            pc.cast(t["o_totalprice"], pa.string()), code, ",")
+        return pa.table({"o_orderkey": k, "raw": raw})
+
+    priced = orders.map_batches(mk, batch_format="pyarrow")
+
+    def conv(t: pa.Table) -> pa.Table:
+        cents, code = cur.parse(t["raw"])
+        usd = cur.convert(cents, code, "USD")
+        return pa.table({"o_orderkey": t["o_orderkey"], "usd": usd})
+
+    out = priced.map_batches(conv, batch_format="pyarrow")
+    return (out.map_batches(
+        lambda t: t.filter(pc.greater(t["usd"], pa.scalar(400000.0))),
+        batch_format="pyarrow").sort("o_orderkey"))
+
+
 def _q_simhash_candidates(sf_dir: str):
     from solr_ray.ops.dedup import simhash_candidates
 
@@ -2644,6 +2705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_dist": _q_dup_clusters_dist,
         "gather_nodes_dist": _q_gather_nodes_dist,
         "shortest_path_dist": _q_shortest_path_dist,
+        "enum_lang_ord": _q_enum_lang_ord,
+        "currency_orders_usd": _q_currency_orders_usd,
         "percentile_price_by_flag": _q_percentile_price_by_flag,
         "simhash_candidates": _q_simhash_candidates,
         "text_profile_sigs": _q_text_profile_sigs,
@@ -4385,6 +4448,22 @@ walk(node, level) AS (
   WHERE w.level < 2
 )
 SELECT node, MIN(level) AS level FROM walk GROUP BY node
+""",
+        "enum_lang_ord": """
+SELECT CAST(CASE lang WHEN 'zh' THEN 0 WHEN 'de' THEN 1 WHEN 'es' THEN 2
+            WHEN 'fr' THEN 3 WHEN 'en' THEN 4 END AS BIGINT) AS lang_ord,
+       lang, COUNT(*)::BIGINT AS n
+FROM documents GROUP BY lang ORDER BY lang_ord
+""",
+        "currency_orders_usd": """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           * (CASE o_orderkey % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 1.25
+              ELSE 2.0 END) / 100 AS usd
+  FROM orders
+)
+SELECT o_orderkey, usd FROM c WHERE usd > 400000 ORDER BY o_orderkey
 """,
         "shortest_path_dist": """
 WITH RECURSIVE e AS (
