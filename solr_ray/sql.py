@@ -650,7 +650,16 @@ class _Parser:
             self.eat()
             self.eat("kw", "BY")
             while True:
-                col = self.eat("name")
+                if self.peek()[0] == "num":
+                    # ORDER BY <ordinal>: positional marker, resolved
+                    # against the final output columns at execution
+                    n = self.eat("num")
+                    if not isinstance(n, int) or n < 1:
+                        raise ValueError("ORDER BY ordinal must be a "
+                                         "positive integer")
+                    col = f"#{n}"
+                else:
+                    col = self.eat("name")
                 desc = False
                 if self.at_kw("ASC", "DESC"):
                     desc = self.eat() == "DESC"
@@ -2048,9 +2057,53 @@ def _set_common_type(ts):
     raise ValueError(f"set operation column types are incompatible: {ts}")
 
 
+def _fill_scalar(ty):
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        return pa.scalar("", ty)
+    if pa.types.is_boolean(ty):
+        return pa.scalar(False, ty)
+    return pa.scalar(0, ty)  # numeric / timestamp
+
+
+def _null_safe_group(ds, names, agg_fn):
+    """Ray's sort-based groupby partition search crashes on null keys
+    (np.searchsorted over mixed None/float boundaries) — encode each key
+    as (filled value, was-null flag), group on both, decode after.
+    agg_fn(ds, keys) -> aggregated ds with the key columns intact."""
+    s = ds.schema()
+    if s is None or not s.names:
+        return ds  # empty — nothing to group
+    tys = [s.types[s.names.index(n)] for n in names]
+    flags = [f"__nn{i}" for i in range(len(names))]
+
+    def enc(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in t.schema.names}
+        for n, f, ty in zip(names, flags, tys):
+            v = t[n]
+            cols[f] = pc.is_null(v)
+            cols[n] = pc.fill_null(v, _fill_scalar(ty))
+        return pa.table(cols)
+
+    g = agg_fn(ds.map_batches(enc, batch_format="pyarrow"),
+               [*names, *flags])
+
+    def dec(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in t.schema.names:
+            if n in flags:
+                continue
+            cols[n] = t[n]
+        for n, f, ty in zip(names, flags, tys):
+            cols[n] = pc.if_else(t[f], pa.scalar(None, ty), t[n])
+        return pa.table(cols)
+
+    return g.map_batches(dec, batch_format="pyarrow")
+
+
 def _set_distinct(ds, names):
     # grouped count over distinct rows (combiner shuffle), count dropped
-    return _project(ds.groupby(names).count(), names, {})
+    g = _null_safe_group(ds, names, lambda d, ks: d.groupby(ks).count())
+    return _project(g, names, {})
 
 
 def _set_membership(a, b, names, want_right: bool):
@@ -2068,8 +2121,11 @@ def _set_membership(a, b, names, want_right: bool):
 
     u = (a.map_batches(tag(1), batch_format="pyarrow")
          .union(b.map_batches(tag(2), batch_format="pyarrow")))
-    g = u.groupby(names).aggregate(AMin("__side", alias_name="__mn"),
-                                   AMax("__side", alias_name="__mx"))
+    g = _null_safe_group(
+        u, names,
+        lambda d, ks: d.groupby(ks).aggregate(
+            AMin("__side", alias_name="__mn"),
+            AMax("__side", alias_name="__mx")))
 
     def keep(t: pa.Table, _w=want_right) -> pa.Table:
         on_left = pc.equal(t["__mn"], pa.scalar(1))
@@ -2139,10 +2195,24 @@ def _execute_setops(plan: dict, tables: dict) -> "ray.data.Dataset":
         else:  # except
             out = _set_membership(out, d, names0, want_right=False)
     if plan["order"]:
-        out = out.sort([c for c, _ in plan["order"]],
-                       descending=[d for _, d in plan["order"]])
+        order = _resolve_ordinals(plan["order"], names0)
+        out = out.sort([c for c, _ in order],
+                       descending=[d for _, d in order])
     if plan["limit"] is not None:
         out = _apply_limit(out, plan["limit"], plan.get("offset", 0))
+    return out
+
+
+def _resolve_ordinals(order, names):
+    """ORDER BY ordinals ('#n' markers) -> the n-th output column."""
+    out = []
+    for c, d in order:
+        if isinstance(c, str) and c.startswith("#"):
+            n = int(c[1:])
+            if n > len(names):
+                raise ValueError(f"ORDER BY {n} exceeds the select list")
+            c = names[n - 1]
+        out.append((c, d))
     return out
 
 
@@ -2457,8 +2527,12 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
             keep_after = [c for c in ds.schema().names if c not in hid]
             ds = _project(ds, keep_after, {})
     if plan["order"]:
-        keys = [c for c, _ in plan["order"]]
-        desc = [d for _, d in plan["order"]]
+        order = plan["order"]
+        if any(isinstance(c, str) and c.startswith("#")
+               for c, _ in order):
+            order = _resolve_ordinals(order, list(ds.schema().names))
+        keys = [c for c, _ in order]
+        desc = [d for _, d in order]
         ds = ds.sort(keys, descending=desc)
     if plan["limit"] is not None:
         ds = _apply_limit(ds, plan["limit"], plan.get("offset", 0))

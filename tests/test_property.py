@@ -391,6 +391,42 @@ def test_sql_nav_sliced_property(ray_session, rows, k, nslices):
         assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), c
 
 
+@given(st.lists(st.one_of(st.integers(0, 6), st.none()),
+                min_size=0, max_size=40),
+       st.lists(st.one_of(st.integers(0, 6), st.none()),
+                min_size=0, max_size=40),
+       st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+       st.sampled_from(["UNION", "INTERSECT", "EXCEPT"]))
+@settings(max_examples=20, deadline=None)
+def test_sql_setops_property(ray_session, xs, ys, op1, op2):
+    """Chained set operations over random (nullable) columns must match
+    DuckDB exactly — NULL-equality distinct semantics, INTERSECT
+    precedence, empty operands (typed-empty substitution), duplicate
+    collapse rules."""
+    import duckdb
+
+    from solr_ray.sql import execute_sql
+
+    t = pa.table({"x": pa.array(xs, pa.int64()),
+                  "y": pa.array(ys[: len(xs)] + [None] * max(
+                      0, len(xs) - len(ys)), pa.int64())})
+    u = pa.table({"x": pa.array(ys, pa.int64())})
+    sql = (f"SELECT x AS k FROM t {op1} SELECT y AS k FROM t "
+           f"{op2} SELECT x AS k FROM u ORDER BY k")
+    got = execute_sql(sql, {"t": ray.data.from_arrow(t),
+                            "u": ray.data.from_arrow(u)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("u", u)
+    want = con.execute(sql).df()
+    con.close()
+    assert len(got) == len(want)
+    if len(got):
+        g = got["k"].to_numpy().astype(float)
+        w = want["k"].to_numpy().astype(float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
 # ------------------------------- SQL subqueries (round 5)
 
 @given(st.lists(st.tuples(st.integers(0, 4),           # grp

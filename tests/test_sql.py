@@ -454,6 +454,14 @@ def test_set_operations(ray_session, table):
         "SELECT val AS k FROM t WHERE id < 10 ORDER BY k LIMIT 9 OFFSET 4",
     ]:
         _assert_same(*_both(sql, table))
+    # ORDER BY ordinals (resolved positionally against output columns)
+    for sql in [
+        "SELECT id, val FROM t WHERE id < 100 ORDER BY 2 DESC, 1",
+        "SELECT grp, COUNT(*) AS n FROM t GROUP BY grp ORDER BY 2 DESC, 1",
+        "SELECT id AS a FROM t WHERE id < 30 UNION "
+        "SELECT val AS b FROM t WHERE id < 5 ORDER BY 1 LIMIT 20",
+    ]:
+        _assert_same(*_both(sql, table))
     tables = {"t": ray.data.from_arrow(table)}
     with pytest.raises(ValueError, match="set-operation operand"):
         execute_sql("SELECT id FROM t ORDER BY id UNION "
