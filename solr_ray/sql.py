@@ -1081,15 +1081,44 @@ def _attach_distinct_counts(ds, src, group, items):
         alias = _agg_alias(it)
         col = it["col"]
         dd = _project(src, keys + [col], {})
-        dd = _project(dd.groupby(keys + [col]).count(), keys + [col], {})
+        dd = _project(_null_safe_group(
+            dd, keys + [col], lambda d, ks: d.groupby(ks).count()),
+            keys + [col], {})
         if keys:
-            dcnt = dd.groupby(keys).aggregate(
-                agg.Count(col, ignore_nulls=True, alias_name=alias))
+            # null group keys: both the groupby (Ray sort-partition
+            # crash) and the join (Acero null keys never match) need the
+            # (filled value, was-null flag) encoding — join on BOTH
+            s0 = ds.schema()
+            tys = [s0.types[s0.names.index(k)] for k in keys]
+            flags = [f"__nj{i}" for i in range(len(keys))]
+
+            def enc(t: pa.Table, _k=tuple(keys), _f=tuple(flags),
+                    _ty=tuple(tys)) -> pa.Table:
+                cols = {n: t[n] for n in t.schema.names}
+                for k, f, ty in zip(_k, _f, _ty):
+                    v = t[k]
+                    cols[f] = pc.is_null(v)
+                    cols[k] = pc.fill_null(v, _fill_scalar(ty))
+                return pa.table(cols)
+
+            def dec(t: pa.Table, _k=tuple(keys), _f=tuple(flags),
+                    _ty=tuple(tys)) -> pa.Table:
+                cols = {n: t[n] for n in t.schema.names if n not in _f}
+                for k, f, ty in zip(_k, _f, _ty):
+                    cols[k] = pc.if_else(t[f], pa.scalar(None, ty), t[k])
+                return pa.table(cols)
+
+            dcnt = (dd.map_batches(enc, batch_format="pyarrow")
+                    .groupby(keys + flags).aggregate(
+                        agg.Count(col, ignore_nulls=True,
+                                  alias_name=alias)))
             # repartition coalesces the aggregates' empty zero-schema
             # blocks, which otherwise break the join's key resolution
-            ds = ds.repartition(4).join(
-                dcnt.repartition(4), join_type="inner", num_partitions=8,
-                on=tuple(keys))
+            ds = (ds.map_batches(enc, batch_format="pyarrow")
+                  .repartition(4).join(
+                      dcnt.repartition(4), join_type="inner",
+                      num_partitions=8, on=tuple(keys + flags))
+                  .map_batches(dec, batch_format="pyarrow"))
         else:
             def nn(t: pa.Table, _c=col) -> pa.Table:
                 v = int(_pc.sum(_pc.cast(_pc.is_valid(t[_c]),
@@ -2060,9 +2089,55 @@ def _set_common_type(ts):
 def _fill_scalar(ty):
     if pa.types.is_string(ty) or pa.types.is_large_string(ty):
         return pa.scalar("", ty)
+    if pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+        return pa.scalar(b"", ty)
     if pa.types.is_boolean(ty):
         return pa.scalar(False, ty)
-    return pa.scalar(0, ty)  # numeric / timestamp
+    return pa.scalar(0, ty)  # numeric / timestamp / date
+
+
+def _null_safe_sort(ds, order):
+    """Ray's distributed sort boundary sampling crashes on null keys of
+    object dtype (None < str comparisons) — data-dependent, like the
+    groupby case. Sort by (is-null flag ASC, filled value) per key:
+    identical order for non-null data, nulls LAST in both directions
+    (DuckDB's default null ordering)."""
+    s = ds.schema()
+    if s is None or not s.names:
+        return ds
+    keys, descs, enc_keys = [], [], []
+    for i, (c, d) in enumerate(order):
+        ty = s.types[s.names.index(c)] if c in s.names else None
+        try:
+            fill = _fill_scalar(ty) if ty is not None else None
+        except Exception:
+            fill = None
+        if fill is None:
+            keys.append(c)
+            descs.append(d)
+            continue
+        f, v = f"__sn{i}", f"__sv{i}"
+        enc_keys.append((c, f, v, fill))
+        keys.extend([f, v])
+        descs.extend([False, d])
+    if not enc_keys:
+        return ds.sort(keys, descending=descs)
+
+    def enc(t: pa.Table, _e=tuple(enc_keys)) -> pa.Table:
+        for c, f, v, fill in _e:
+            col = t[c]
+            t = t.append_column(f, pc.is_null(col))
+            t = t.append_column(v, pc.fill_null(col, fill))
+        return t
+
+    drop = [n for _, f, v, _fl in enc_keys for n in (f, v)]
+
+    def strip(t: pa.Table, _d=tuple(drop)) -> pa.Table:
+        return t.drop_columns([c for c in _d if c in t.schema.names])
+
+    return (ds.map_batches(enc, batch_format="pyarrow")
+            .sort(keys, descending=descs)
+            .map_batches(strip, batch_format="pyarrow"))
 
 
 def _null_safe_group(ds, names, agg_fn):
@@ -2195,9 +2270,8 @@ def _execute_setops(plan: dict, tables: dict) -> "ray.data.Dataset":
         else:  # except
             out = _set_membership(out, d, names0, want_right=False)
     if plan["order"]:
-        order = _resolve_ordinals(plan["order"], names0)
-        out = out.sort([c for c, _ in order],
-                       descending=[d for _, d in order])
+        out = _null_safe_sort(out, _resolve_ordinals(plan["order"],
+                                                     names0))
     if plan["limit"] is not None:
         out = _apply_limit(out, plan["limit"], plan.get("offset", 0))
     return out
@@ -2411,16 +2485,18 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
             if set(cols) - set(plan["group"]):
                 raise ValueError("non-grouped bare column in SELECT")
             if ray_aggs:
+                # null-safe: Ray's sort-groupby partition search crashes
+                # on null key columns (see _null_safe_group)
                 ds = _cast_int_sums(
-                    ds.groupby(plan["group"]).aggregate(*ray_aggs),
+                    _null_safe_group(
+                        ds, list(plan["group"]),
+                        lambda d, ks: d.groupby(ks).aggregate(*ray_aggs)),
                     fn_of_alias)
             else:
                 # distinct-count-only query: the main frame is the
                 # distinct group keys
-                ds = _project(
-                    _project(ds, plan["group"], {})
-                    .groupby(plan["group"]).count(),
-                    plan["group"], {})
+                ds = _set_distinct(_project(ds, plan["group"], {}),
+                                   list(plan["group"]))
         else:
             if any(it["kind"] == "col" for it in items):
                 raise ValueError("mixing aggregates and bare columns "
@@ -2505,7 +2581,7 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
         # shuffle over distinct rows only) then drop the count — the same
         # shape the COUNT(DISTINCT) path uses.
         names = list(ds.schema().names)
-        ds = _project(ds.groupby(names).count(), names, {})
+        ds = _set_distinct(ds, names)  # null-safe grouped count
     if plan["having"] is not None:
         having = plan["having"]
         if having_aggs:
@@ -2531,9 +2607,7 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
         if any(isinstance(c, str) and c.startswith("#")
                for c, _ in order):
             order = _resolve_ordinals(order, list(ds.schema().names))
-        keys = [c for c, _ in order]
-        desc = [d for _, d in order]
-        ds = ds.sort(keys, descending=desc)
+        ds = _null_safe_sort(ds, order)
     if plan["limit"] is not None:
         ds = _apply_limit(ds, plan["limit"], plan.get("offset", 0))
     return ds

@@ -471,6 +471,44 @@ def test_set_operations(ray_session, table):
                     tables)
 
 
+def test_null_group_keys_and_sort(ray_session):
+    """Null group/sort keys: Ray's sort-based groupby partition search
+    and distributed sort both crash on null keys (None vs float/str
+    comparisons in boundary sampling), and Acero joins never match null
+    keys — all three are routed through (filled value, was-null flag)
+    encodings. Results must match DuckDB exactly, including the NULL
+    group row and DuckDB's nulls-last default ordering."""
+    import ray.data
+
+    n = 500
+    g = [None if i % 7 == 0 else f"g{i % 4}" for i in range(n)]
+    v = [None if i % 11 == 0 else (i * 37) % 50 for i in range(n)]
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "v": pa.array(v, pa.int64()),
+                  "id": pa.array(range(n), pa.int64())})
+    for sql in [
+        "SELECT g, COUNT(*) AS n, SUM(v) AS s FROM t GROUP BY g "
+        "ORDER BY g",
+        "SELECT DISTINCT g, v FROM t WHERE id < 100 ORDER BY g, v",
+        "SELECT g, COUNT(DISTINCT v) AS dv FROM t GROUP BY g ORDER BY g",
+        "SELECT COUNT(DISTINCT v) AS dv FROM t",
+        "SELECT g, v, id FROM t WHERE id < 60 ORDER BY g DESC, v, id",
+        "SELECT v AS k FROM t WHERE id < 80 UNION "
+        "SELECT v AS k FROM t WHERE id >= 400 ORDER BY k",
+    ]:
+        _assert_same(*_both_nullsafe(sql, t))
+
+
+def _both_nullsafe(sql, table):
+    """_both, but string columns compare with NA-tolerant equality."""
+    got, want = _both(sql, table)
+    for c in list(got.columns):
+        if got[c].dtype == object:
+            got[c] = got[c].fillna("\0")
+            want[c] = want[c].fillna("\0")
+    return got, want
+
+
 def test_window_nav_functions(ray_session, table):
     """LAG/LEAD/NTILE/FIRST_VALUE/LAST_VALUE vs DuckDB (bucketed path).
     LAST_VALUE uses the ANSI default frame (last row of the current
