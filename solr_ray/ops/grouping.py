@@ -59,12 +59,15 @@ def facet_field(ds, field: str, limit: int = 10, mincount: int = 1,
     facet.limit, facet.mincount, facet.prefix, facet.sort=count|index).
     sort="count" orders (count desc, value asc) — Solr's default;
     sort="index" orders by value asc. NULL values never facet (Solr
-    counts them separately via facet.missing — see facet_missing)."""
-    counts = ds.groupby(field).count()
+    counts them separately via facet.missing — see facet_missing);
+    they're dropped BEFORE the shuffle — Ray's sort-groupby partition
+    search crashes on null key columns, and the rows are dead weight."""
+    counts = ds.map_batches(
+        lambda t, _f=field: t.filter(pc.is_valid(t[_f])),
+        batch_format="pyarrow").groupby(field).count()
 
     def flt(t: pa.Table) -> pa.Table:
-        m = pc.and_kleene(pc.greater_equal(t["count()"], mincount),
-                          pc.is_valid(t[field]))
+        m = pc.greater_equal(t["count()"], mincount)
         if prefix is not None:
             m = pc.and_kleene(
                 m, pc.starts_with(pc.cast(t[field], pa.string()),
@@ -150,9 +153,18 @@ def facet_interval(ds, field: str, intervals: list[tuple]):
 
 
 def pivot_facet(ds, fields: list[str], limit: int = 100):
-    """Pivot facet (PivotFacet*.java): nested value combination counts."""
+    """Pivot facet (PivotFacet*.java): nested value combination counts.
+    Rows with a null in any pivot field are dropped pre-shuffle (Solr
+    pivots skip missing values; null keys also crash Ray's groupby)."""
+    def live(t: pa.Table, _fs=tuple(fields)) -> pa.Table:
+        m = pc.is_valid(t[_fs[0]])
+        for f in _fs[1:]:
+            m = pc.and_(m, pc.is_valid(t[f]))
+        return t.filter(m)
+
     return (
-        ds.groupby(fields)
+        ds.map_batches(live, batch_format="pyarrow")
+        .groupby(fields)
         .count()
         .sort(["count()", *fields], descending=[True] + [False] * len(fields))
         .limit(limit)

@@ -36,6 +36,21 @@ import pandas as pd
 import pyarrow as pa
 
 _AGG_RE = re.compile(r"^(count|sum|avg|min|max|unique)\((\w*)\)$")
+
+
+def _drop_null(ds, cols):
+    """Drop rows with a null in any of cols BEFORE a groupby keyed on
+    them: null values never facet (Solr: missing), and Ray's sort-based
+    groupby partition search crashes on null key columns."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table, _c=tuple(cols)) -> pa.Table:
+        m = pc.is_valid(t[_c[0]])
+        for c in _c[1:]:
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 _PCT_RE = re.compile(r"^percentile\((\w+),([0-9.]+)\)$")
 
 
@@ -123,7 +138,8 @@ def _agg_dataset(ds, stats) -> dict:
         if fn == "count":
             out[name] = n
         elif fn == "unique":
-            out[name] = int(ds.select_columns([field]).groupby(field)
+            out[name] = int(_drop_null(ds.select_columns([field]),
+                                       [field]).groupby(field)
                             .count().count())
         else:
             v = row.get(f"__{name}")
@@ -193,7 +209,8 @@ def json_facet(ds, request: dict) -> dict:
             {name: json_facet_pandas(g, spec) for name, spec in nested})]
         return pd.DataFrame(row)
 
-    rows = ds.groupby(key).map_groups(per_bucket, batch_format="pandas")
+    rows = _drop_null(ds, [key]).groupby(key).map_groups(
+        per_bucket, batch_format="pandas")
     if mincount > 0:
         import pyarrow.compute as pc
 
@@ -242,7 +259,7 @@ def _terms_distributed(ds, key: str, stats, limit: int, mincount: int,
             cls = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[fn]
             aggs.append(cls(field, alias_name=f"__{name}"))
         numeric.append(name)
-    counts = ds.groupby(key).aggregate(*aggs)
+    counts = _drop_null(ds, [key]).groupby(key).aggregate(*aggs)
 
     def flt(t: pa.Table) -> pa.Table:
         m = pc.is_valid(t[key])  # NULL values never facet (Solr: missing)
@@ -267,7 +284,8 @@ def _terms_distributed(ds, key: str, stats, limit: int, mincount: int,
 
         sub = semi_join(ds, head[key].tolist(), key)
         for name, field in uniq_stats:
-            pairs = (sub.select_columns([key, field])
+            pairs = (_drop_null(sub.select_columns([key, field]),
+                                [key, field])
                      .groupby([key, field]).count()
                      .groupby(key).count().to_pandas())
             uniq_maps[name] = dict(zip(pairs[key], pairs["count()"]))

@@ -253,6 +253,35 @@ def test_facet_prefix_sort_and_missing(ray_session):
     assert facet_missing(t, "f") == 2
 
 
+def test_facets_mostly_null_keys(ray_session):
+    """Mostly-null facet fields across many blocks used to crash Ray's
+    sort-groupby partition search (np.searchsorted over None/str
+    boundaries) — nulls are now dropped BEFORE the shuffle."""
+    import pyarrow as pa
+    import ray.data
+
+    from solr_ray.ops.grouping import facet_field, pivot_facet
+    from solr_ray.ops.jsonfacet import json_facet
+
+    n = 200
+    g = [None if (i % 10) < 8 else f"g{i % 3}" for i in range(n)]
+    h = [None if (i % 10) < 9 else f"h{i % 2}" for i in range(n)]
+    t = pa.table({"f": pa.array(g, pa.string()),
+                  "h": pa.array(h, pa.string()),
+                  "v": pa.array(range(n), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = facet_field(ds, "f", limit=5).to_pandas()
+    assert sorted(out["count"].tolist(), reverse=True) == \
+        out["count"].tolist() and len(out) == 3
+    piv = pivot_facet(ds, ["f", "h"], limit=50).to_pandas()
+    assert piv["count()"].sum() == sum(
+        1 for a, b in zip(g, h) if a is not None and b is not None)
+    res = json_facet(ds, {"type": "terms", "field": "f", "limit": 5,
+                          "facet": {"u": "unique(h)"}})
+    assert len(res["buckets"]) == 3
+    assert all(b["val"] is not None for b in res["buckets"])
+
+
 def test_relatedness_facet(ray_session):
     import math
 
