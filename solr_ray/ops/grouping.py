@@ -31,26 +31,39 @@ def distinct(ds, cols: list[str]):
     return ds.groupby(cols).map_groups(first, batch_format="pandas")
 
 
+def _non_null(ds, field: str):
+    """Null collapse/group keys are excluded (Solr's default
+    nullPolicy=ignore) — and dropping them pre-shuffle also dodges the
+    Ray sort-groupby null-key partition crash."""
+    return ds.map_batches(
+        lambda t, _f=field: t.filter(pc.is_valid(t[_f])),
+        batch_format="pyarrow")
+
+
 def collapse(ds, field: str, sort_col: str, descending: bool = True):
     """CollapsingQParserPlugin semantics: one row per group — the row with
     the max (or min) sort_col; ties broken deterministically by row order
-    after a stable sort."""
+    after a stable sort. Docs with a null collapse field are excluded
+    (the reference's default nullPolicy=ignore)."""
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(sort_col, ascending=not descending, kind="stable")
         return g.head(1)
 
-    return ds.groupby(field).map_groups(pick, batch_format="pandas")
+    return _non_null(ds, field).groupby(field).map_groups(
+        pick, batch_format="pandas")
 
 
 def group_topk(ds, field: str, sort_col: str, k: int, descending: bool = True):
-    """ExpandComponent / grouping: top-k rows per group by sort_col."""
+    """ExpandComponent / grouping: top-k rows per group by sort_col.
+    Null group keys excluded (nullPolicy=ignore analog)."""
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(sort_col, ascending=not descending, kind="stable")
         return g.head(k)
 
-    return ds.groupby(field).map_groups(pick, batch_format="pandas")
+    return _non_null(ds, field).groupby(field).map_groups(
+        pick, batch_format="pandas")
 
 
 def facet_field(ds, field: str, limit: int = 10, mincount: int = 1,
