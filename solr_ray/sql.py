@@ -2574,6 +2574,24 @@ def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
                     for it in items]
             renames = {it["col"]: it["alias"] for it in items
                        if it["kind"] == "col" and "alias" in it}
+            # ORDER BY on a non-selected column (ANSI allows it): sort
+            # (+ limit) BEFORE the projection drops it, using source
+            # names (inverse of the AS renames)
+            final_names = [renames.get(c, c) for c in keep]
+            if plan["order"] and plan["having"] is None \
+                    and not plan.get("select_distinct") \
+                    and any(not (isinstance(c, str) and c.startswith("#"))
+                            and c not in final_names
+                            for c, _ in plan["order"]):
+                inv = {v: k for k, v in renames.items()}
+                order = [(inv.get(c, c), d) for c, d in _resolve_ordinals(
+                    plan["order"], final_names)]
+                ds = _null_safe_sort(ds, order)
+                if plan["limit"] is not None:
+                    ds = _apply_limit(ds, plan["limit"],
+                                      plan.get("offset", 0))
+                plan = dict(plan)
+                plan["order"], plan["limit"] = [], None
             ds = _project(ds, keep, renames)
 
     if plan.get("select_distinct"):

@@ -455,11 +455,16 @@ def test_set_operations(ray_session, table):
     ]:
         _assert_same(*_both(sql, table))
     # ORDER BY ordinals (resolved positionally against output columns)
+    # and ORDER BY on non-selected columns (pre-projection sort)
     for sql in [
         "SELECT id, val FROM t WHERE id < 100 ORDER BY 2 DESC, 1",
         "SELECT grp, COUNT(*) AS n FROM t GROUP BY grp ORDER BY 2 DESC, 1",
         "SELECT id AS a FROM t WHERE id < 30 UNION "
         "SELECT val AS b FROM t WHERE id < 5 ORDER BY 1 LIMIT 20",
+        "SELECT grp, val FROM t ORDER BY id LIMIT 40",
+        "SELECT val AS x FROM t WHERE kind = 'view' "
+        "ORDER BY id DESC LIMIT 25",
+        "SELECT val * 2 AS d FROM t ORDER BY id LIMIT 10 OFFSET 5",
     ]:
         _assert_same(*_both(sql, table))
     tables = {"t": ray.data.from_arrow(table)}
