@@ -633,6 +633,20 @@ class _Parser:
             self.eat()
             self.eat("kw", "BY")
             def group_item():
+                if self.peek()[0] == "num":
+                    # GROUP BY <ordinal>: the n-th select item (its
+                    # source column or expression node)
+                    n = self.eat("num")
+                    if not isinstance(n, int) or not (
+                            1 <= n <= len(items)):
+                        raise ValueError("GROUP BY ordinal out of range")
+                    it = items[n - 1]
+                    if it["kind"] == "col":
+                        return it["col"]
+                    if it["kind"] == "expr":
+                        return it["node"]
+                    raise ValueError("GROUP BY ordinal must reference a "
+                                     "column or expression item")
                 node = self.expr()
                 return (node["col"] if node.get("kind") == "col"
                         else node)  # expression group key

@@ -465,6 +465,10 @@ def test_set_operations(ray_session, table):
         "SELECT val AS x FROM t WHERE kind = 'view' "
         "ORDER BY id DESC LIMIT 25",
         "SELECT val * 2 AS d FROM t ORDER BY id LIMIT 10 OFFSET 5",
+        # GROUP BY ordinals (the n-th select item's column/expression)
+        "SELECT grp, COUNT(*) AS n FROM t GROUP BY 1 ORDER BY 1",
+        "SELECT FLOOR(val / 100) AS b, SUM(val) AS s FROM t "
+        "GROUP BY 1 ORDER BY 1",
     ]:
         _assert_same(*_both(sql, table))
     tables = {"t": ray.data.from_arrow(table)}
