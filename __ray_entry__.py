@@ -1960,6 +1960,19 @@ _SQL_QUERIES = {
                            "COUNT(o_orderkey) OVER (PARTITION BY "
                            "o_orderpriority) AS n_orders FROM orders "
                            "ORDER BY o_orderkey LIMIT 500"),
+    # implicit comma joins (TPC-H Q3 shape): FROM a, b, c with WHERE
+    # equalities rewritten to hash-partitioned INNER joins (greedy
+    # connectivity order); revenue integer-quantized to cents so the
+    # float SUM replays bit-exactly across engines
+    "sql_tpch_q3ish": (
+        "SELECT l.l_orderkey, "
+        "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c, "
+        "o.o_orderdate FROM customer c, orders o, lineitem l "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
     # LIMIT ... OFFSET: the offset+limit head is small by construction,
     # sliced on the driver after the distributed sort
     "sql_limit_offset": ("SELECT o_orderkey, o_totalprice FROM orders "

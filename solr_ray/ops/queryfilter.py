@@ -141,6 +141,10 @@ def compile_filter(spec: dict):
             return fn(v, val)
 
         return f
+    if op == "col_eq":
+        # column = column predicate (residual implicit-join equality or
+        # an explicit self-comparison); NULL = NULL is NULL (ANSI)
+        return lambda t: pc.equal(t[spec["left"]], t[spec["right"]])
     if op == "hash_range":
         # {!hash_range f=field l=lo u=hi} (HashRangeQParserPlugin.java:35):
         # shard-split routing — match docs whose stable hash of the field,

@@ -605,6 +605,13 @@ class _Parser:
         items = self.select_list()
         self.eat("kw", "FROM")
         table, alias = self.table_ref()
+        implicit = []
+        while self.peek() == ("punct", ","):
+            # FROM a, b, ... — implicit joins; WHERE equalities between
+            # the tables become the join keys (rewritten at execution)
+            self.eat()
+            it, ia = self.table_ref()
+            implicit.append({"table": it, "alias": ia})
         joins = []
         while self.at_kw("JOIN", "INNER", "LEFT", "RIGHT", "FULL"):
             how = "inner"
@@ -689,7 +696,7 @@ class _Parser:
                 self.eat()
                 offset = int(self.eat("num"))
         return {"items": items, "table": table, "alias": alias,
-                "joins": joins, "where": where,
+                "joins": joins, "implicit": implicit, "where": where,
                 "group": group, "having": having, "order": order,
                 "limit": limit, "offset": offset,
                 "select_distinct": select_distinct}
@@ -976,6 +983,9 @@ def _resolve_cond(spec, qualified, bare):
         out["field"] = _resolve_name(out["field"], qualified, bare)
     if "key_field" in out:  # cmp_lookup's correlation key
         out["key_field"] = _resolve_name(out["key_field"], qualified, bare)
+    if out.get("op") == "col_eq":
+        out["left"] = _resolve_name(out["left"], qualified, bare)
+        out["right"] = _resolve_name(out["right"], qualified, bare)
     if "node" in out:
         out["node"] = _resolve_expr(out["node"], qualified, bare)
     if "clauses" in out:
@@ -1075,8 +1085,10 @@ def _plan_joins(plan, tables, num_partitions: int = 16):
             # barrier between chained joins: each join's aggregator-actor
             # pool releases before the next one spins up (two concurrent
             # pools can starve a small CPU budget); the intermediate
-            # spills through the object store like any shuffle output
-            ds = ds.materialize()
+            # spills through the object store like any shuffle output.
+            # repartition first: a join can emit empty ZERO-SCHEMA blocks
+            # that break the next join's Acero key resolution
+            ds = ds.repartition(num_partitions).materialize()
         qualified |= rqual
     return ds, qualified
 
@@ -2320,9 +2332,94 @@ def _apply_limit(ds, limit: int, offset: int):
     return ray.data.from_arrow(tb.slice(offset))
 
 
+def _flatten_ands(cond):
+    if isinstance(cond, dict) and cond.get("op") == "and":
+        out = []
+        for c in cond["clauses"]:
+            out.extend(_flatten_ands(c))
+        return out
+    return [cond] if cond is not None else []
+
+
+def _rewrite_implicit_joins(plan: dict, tables: dict) -> dict:
+    """FROM a, b[, ...] -> explicit INNER JOIN entries: the top-level
+    AND'ed `x = y` column equalities in WHERE supply the join keys
+    (greedy connectivity order, one equality consumed per table; extra
+    equalities between already-joined tables stay as vectorized col_eq
+    filters). Cartesian products (no connecting equality) are
+    rejected with a clear error — at 100 TB they're never intended."""
+    plan = dict(plan)
+
+    def cols_of(tname):
+        if isinstance(tname, dict):
+            raise ValueError(
+                "derived tables in a comma join need explicit JOIN ... ON")
+        if tname not in tables:
+            raise ValueError(f"unknown table {tname!r}")
+        return set(tables[tname].schema().names)
+
+    owner = {plan["alias"]: cols_of(plan["table"])}
+    for j in plan["joins"]:
+        owner[j["alias"]] = cols_of(j["table"])
+    pending = {t["alias"]: t for t in plan["implicit"]}
+    for a, t in pending.items():
+        owner[a] = cols_of(t["table"])
+
+    def alias_of(name: str) -> str:
+        if "." in name:
+            a = name.split(".", 1)[0]
+            if a in owner:
+                return a
+            raise ValueError(f"unknown alias in {name!r}")
+        hits = [a for a, cs in owner.items() if name in cs]
+        if len(hits) != 1:
+            raise ValueError(
+                f"ambiguous or unknown column {name!r} in implicit join")
+        return hits[0]
+
+    conjuncts = _flatten_ands(plan["where"])
+    eqs = []
+    for i, c in enumerate(conjuncts):
+        if isinstance(c, dict) and c.get("op") == "col_eq":
+            eqs.append((i, c["left"], c["right"],
+                        alias_of(c["left"]), alias_of(c["right"])))
+    joined = {plan["alias"], *[j["alias"] for j in plan["joins"]]}
+    new_joins = list(plan["joins"])
+    used: set = set()
+    while pending:
+        progressed = False
+        for i, left, right, la, ra in eqs:
+            if i in used:
+                continue
+            if la in joined and ra in pending:
+                t, a, lk, rk = pending.pop(ra), ra, left, right
+            elif ra in joined and la in pending:
+                t, a, lk, rk = pending.pop(la), la, right, left
+            else:
+                continue
+            new_joins.append({"table": t["table"], "alias": a,
+                              "how": "inner", "lk": lk, "rk": rk})
+            used.add(i)
+            joined.add(a)
+            progressed = True
+            break
+        if not progressed:
+            raise ValueError(
+                "implicit comma join needs a connecting column equality "
+                "in WHERE (cartesian products are not supported)")
+    rest = [c for i, c in enumerate(conjuncts) if i not in used]
+    plan["where"] = (None if not rest else rest[0] if len(rest) == 1
+                     else {"op": "and", "clauses": rest})
+    plan["joins"] = new_joins
+    plan["implicit"] = []
+    return plan
+
+
 def _execute_plan(plan: dict, tables: dict) -> "ray.data.Dataset":
     if plan.get("set"):
         return _execute_setops(plan, tables)
+    if plan.get("implicit"):
+        plan = _rewrite_implicit_joins(plan, tables)
     if plan["where"] is not None:
         plan = dict(plan)
         plan["where"] = _resolve_in_subqueries(plan["where"], tables)

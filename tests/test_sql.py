@@ -480,6 +480,38 @@ def test_set_operations(ray_session, table):
                     tables)
 
 
+def test_implicit_comma_joins(ray_session):
+    """FROM a, b[, c] with WHERE equalities -> INNER joins (greedy
+    connectivity); extra same-pair equalities stay as vectorized col_eq
+    filters; cartesian products are rejected."""
+    import ray.data
+
+    a = pa.table({"k": [1, 2, 3, 4], "ka": [1, 2, 3, 4],
+                  "v": ["w", "x", "y", "z"]})
+    b = pa.table({"k2": [2, 3, 3, 5], "kb": [2, 3, 9, 5],
+                  "w": [20, 30, 31, 50]})
+    c = pa.table({"k3": [30, 31], "u": ["p", "q"]})
+    tables = {"a": ray.data.from_arrow(a), "b": ray.data.from_arrow(b),
+              "c": ray.data.from_arrow(c)}
+    con = duckdb.connect()
+    for n, t in (("a", a), ("b", b), ("c", c)):
+        con.register(n, t)
+    for sql in [
+        "SELECT a.v, b.w FROM a, b WHERE a.k = b.k2 ORDER BY v, w",
+        # 3-table chain, bare unambiguous names
+        "SELECT v, u FROM a, b, c WHERE k = k2 AND w = k3 ORDER BY v",
+        # residual same-pair equality becomes a col_eq filter
+        "SELECT a.v FROM a, b WHERE a.k = b.k2 AND a.ka = b.kb "
+        "ORDER BY v",
+    ]:
+        got = execute_sql(sql, tables).to_pandas()
+        want = con.execute(sql).df()
+        assert got.values.tolist() == want.values.tolist(), sql
+    con.close()
+    with pytest.raises(ValueError, match="cartesian"):
+        execute_sql("SELECT a.v FROM a, b WHERE a.k > 1", tables)
+
+
 def test_null_group_keys_and_sort(ray_session):
     """Null group/sort keys: Ray's sort-based groupby partition search
     and distributed sort both crash on null keys (None vs float/str
