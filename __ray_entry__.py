@@ -1971,6 +1971,8 @@ _SQL_QUERIES = {
         "o.o_orderdate FROM customer c, orders o, lineitem l "
         "WHERE c.c_mktsegment = 'BUILDING' "
         "AND c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey "
+        "AND o.o_orderdate < '1998-07-01' "
+        "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
     # LIMIT ... OFFSET: the offset+limit head is small by construction,

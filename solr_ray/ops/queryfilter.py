@@ -35,6 +35,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _typed_scalar(value, col_type):
+    """Literal -> scalar of the COLUMN's type where a plain pa.scalar
+    would not compare (ISO date/time strings against timestamp/date
+    columns — the SQL front-end has no typed literals). Everything else
+    keeps Arrow's own promotion rules."""
+    if isinstance(value, str) and (pa.types.is_timestamp(col_type)
+                                   or pa.types.is_date(col_type)):
+        return pc.cast(pa.scalar(value), col_type)
+    return pa.scalar(value)
+
+
 def compile_filter(spec: dict):
     """spec -> fn(pa.Table) -> BooleanArray (vectorized, stateless)."""
     op = spec["op"]
@@ -81,7 +92,9 @@ def compile_filter(spec: dict):
 
         return f
     if op == "term":
-        return lambda t: pc.equal(t[spec["field"]], pa.scalar(spec["value"]))
+        return lambda t: pc.equal(
+            t[spec["field"]], _typed_scalar(spec["value"],
+                                            t[spec["field"]].type))
     if op == "terms":
         vals = list(spec["values"])
 
@@ -110,9 +123,11 @@ def compile_filter(spec: dict):
             c = t[fld]
             m = None
             if lo is not None:
-                m = (pc.greater_equal if ilo else pc.greater)(c, pa.scalar(lo))
+                m = (pc.greater_equal if ilo else pc.greater)(
+                    c, _typed_scalar(lo, c.type))
             if hi is not None:
-                h = (pc.less_equal if ihi else pc.less)(c, pa.scalar(hi))
+                h = (pc.less_equal if ihi else pc.less)(
+                    c, _typed_scalar(hi, c.type))
                 m = h if m is None else pc.and_(m, h)
             return m if m is not None else pa.array([True] * len(t))
 

@@ -512,6 +512,33 @@ def test_implicit_comma_joins(ray_session):
         execute_sql("SELECT a.v FROM a, b WHERE a.k > 1", tables)
 
 
+def test_date_string_predicates(ray_session):
+    """ISO date-string literals compare against timestamp/date columns
+    (term + range filters cast the literal to the column type)."""
+    import datetime as dt
+
+    import ray.data
+
+    days = [dt.datetime(2020, 1, 1) + dt.timedelta(days=i)
+            for i in range(60)]
+    t = pa.table({"d": pa.array(days, pa.timestamp("us")),
+                  "v": pa.array(range(60), pa.int64())})
+    tables = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in [
+        "SELECT v FROM t WHERE d > '2020-02-10' ORDER BY v",
+        "SELECT v FROM t WHERE d BETWEEN '2020-01-05' AND '2020-01-20' "
+        "ORDER BY v",
+        "SELECT v FROM t WHERE d = '2020-01-03' ORDER BY v",
+        "SELECT COUNT(*) AS n FROM t WHERE d < '2020-02-01'",
+    ]:
+        got = execute_sql(sql, tables).to_pandas()
+        want = con.execute(sql).df()
+        assert got.values.tolist() == want.values.tolist(), sql
+    con.close()
+
+
 def test_null_group_keys_and_sort(ray_session):
     """Null group/sort keys: Ray's sort-based groupby partition search
     and distributed sort both crash on null keys (None vs float/str
