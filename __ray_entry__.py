@@ -1975,6 +1975,23 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q5 shape: 6-table implicit join (5 chained hash joins in
+    # greedy connectivity order), the c_nationkey = s_nationkey
+    # equality between two already-joined tables runs as a residual
+    # vectorized col_eq filter, date-range predicates on o_orderdate
+    "sql_tpch_q5ish": (
+        "SELECT n.n_name, "
+        "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c "
+        "FROM customer c, orders o, lineitem l, supplier s, "
+        "nation n, region r "
+        "WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey "
+        "AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+        "AND s.s_nationkey = n.n_nationkey "
+        "AND n.n_regionkey = r.r_regionkey "
+        "AND r.r_name = 'ASIA' AND o.o_orderdate >= '1996-01-01' "
+        "AND o.o_orderdate < '1998-01-01' "
+        "GROUP BY n.n_name ORDER BY revenue_c DESC, n_name"),
     # LIMIT ... OFFSET: the offset+limit head is small by construction,
     # sliced on the driver after the distributed sort
     "sql_limit_offset": ("SELECT o_orderkey, o_totalprice FROM orders "
@@ -2057,7 +2074,7 @@ def _make_sql_query(sql: str):
 
         tables = {t: _read(sf_dir, t)
                   for t in ("documents", "lineitem", "orders",
-                            "customer", "nation")}
+                            "customer", "nation", "supplier", "region")}
         return execute_sql(sql, tables)
 
     return run
