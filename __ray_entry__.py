@@ -1975,6 +1975,41 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q1 shape (pure SQL; the ops-level pricing_summary entry is
+    # the same pipeline via combiner_groupby): cent-quantized sums
+    "sql_tpch_q1ish": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_base_c, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c, "
+        "COUNT(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= '2001-06-01' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"),
+    # TPC-H Q4 shape: date-windowed orders + correlated EXISTS against
+    # lineitem (single-equality correlation -> broadcast semi-join)
+    "sql_tpch_q4ish": (
+        "SELECT o.o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o.o_orderdate >= '1996-01-01' "
+        "AND o.o_orderdate < '1997-01-01' "
+        "AND EXISTS (SELECT 1 AS one FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > '1997-06-01') "
+        "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"),
+    # TPC-H Q10 shape: 4-table implicit join, returnflag filter, top 20
+    "sql_tpch_q10ish": (
+        "SELECT c.c_custkey, c.c_name, "
+        "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c, "
+        "n.n_name FROM customer c, orders o, lineitem l, nation n "
+        "WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey "
+        "AND c.c_nationkey = n.n_nationkey AND l.l_returnflag = 'R' "
+        "AND o.o_orderdate >= '1996-01-01' "
+        "AND o.o_orderdate < '1996-07-01' "
+        "GROUP BY c.c_custkey, c.c_name, n.n_name "
+        "ORDER BY revenue_c DESC, c_custkey LIMIT 20"),
     # TPC-H Q5 shape: 6-table implicit join (5 chained hash joins in
     # greedy connectivity order), the c_nationkey = s_nationkey
     # equality between two already-joined tables runs as a residual
