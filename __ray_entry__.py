@@ -1975,6 +1975,20 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q6 shape: pure filter + global cent-quantized revenue sum
+    "sql_tpch_q6ish": (
+        "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_c FROM lineitem "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"),
+    # TPC-H Q14 shape: conditional-revenue ratio via SUM(CASE WHEN ...)
+    "sql_tpch_q14ish": (
+        "SELECT CAST(SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+        "AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS total_c FROM lineitem "
+        "WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'"),
     # TPC-H Q1 shape (pure SQL; the ops-level pricing_summary entry is
     # the same pipeline via combiner_groupby): cent-quantized sums
     "sql_tpch_q1ish": (
