@@ -1975,6 +1975,27 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q18 shape: IN (SELECT ... GROUP BY ... HAVING SUM > N)
+    # large-order subquery feeding a 3-table implicit join + group/top-k
+    "sql_tpch_q18ish": (
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+        "CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+        "FROM customer c, orders o, lineitem l "
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 210) "
+        "AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey "
+        "GROUP BY c.c_name, c.c_custkey, o.o_orderkey "
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 50"),
+    # TPC-H Q12 shape: join + dual SUM(CASE WHEN ...) priority counts
+    "sql_tpch_q12ish": (
+        "SELECT l.l_linestatus, "
+        "CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM orders o, lineitem l WHERE o.o_orderkey = l.l_orderkey "
+        "AND l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1997-03-01' "
+        "GROUP BY l.l_linestatus ORDER BY l_linestatus"),
     # TPC-H Q6 shape: pure filter + global cent-quantized revenue sum
     "sql_tpch_q6ish": (
         "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 "
