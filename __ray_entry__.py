@@ -1975,6 +1975,35 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q13 shape: LEFT-JOIN count inside a derived table, outer
+    # distribution GROUP BY over the inner count
+    "sql_tpch_q13ish": (
+        "SELECT s.c_count, COUNT(*) AS custdist FROM "
+        "(SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey) s "
+        "GROUP BY s.c_count ORDER BY custdist DESC, c_count DESC"),
+    # TPC-H Q19 shape: join + OR-of-ANDs predicate block (the join
+    # equality is the one top-level AND conjunct the rewrite consumes)
+    "sql_tpch_q19ish": (
+        "SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * "
+        "(1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_c FROM lineitem l, part p "
+        "WHERE p.p_partkey = l.l_partkey AND "
+        "((p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11) "
+        "OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20) "
+        "OR (p.p_size > 40 AND l.l_quantity BETWEEN 20 AND 30))"),
+    # TPC-H Q22 shape: scalar subquery threshold + correlated NOT EXISTS
+    # in one WHERE, grouped output
+    "sql_tpch_q22ish": (
+        "SELECT c.c_nationkey, COUNT(*) AS numcust, "
+        "CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS totacctbal_c FROM customer c "
+        "WHERE c.c_acctbal > (SELECT AVG(c_acctbal) AS a FROM customer "
+        "WHERE c_acctbal > 0) "
+        "AND NOT EXISTS (SELECT 1 AS one FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000) "
+        "GROUP BY c.c_nationkey ORDER BY c_nationkey"),
     # TPC-H Q18 shape: IN (SELECT ... GROUP BY ... HAVING SUM > N)
     # large-order subquery feeding a 3-table implicit join + group/top-k
     "sql_tpch_q18ish": (
@@ -2143,8 +2172,8 @@ def _make_sql_query(sql: str):
         from solr_ray.sql import execute_sql
 
         tables = {t: _read(sf_dir, t)
-                  for t in ("documents", "lineitem", "orders",
-                            "customer", "nation", "supplier", "region")}
+                  for t in ("documents", "lineitem", "orders", "customer",
+                            "nation", "supplier", "region", "part")}
         return execute_sql(sql, tables)
 
     return run
