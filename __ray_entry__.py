@@ -1975,6 +1975,36 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q7 shape: nation joined TWICE under two aliases (supplier
+    # nation x customer nation) across a 6-table implicit join
+    "sql_tpch_q7ish": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c "
+        "FROM supplier s, lineitem l, orders o, customer c, "
+        "nation n1, nation n2 "
+        "WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey "
+        "AND c.c_custkey = o.o_custkey "
+        "AND s.s_nationkey = n1.n_nationkey "
+        "AND c.c_nationkey = n2.n_nationkey "
+        "AND n1.n_name = 'NATION_3' AND l.l_shipdate >= '1997-01-01' "
+        "AND l.l_shipdate < '1997-04-01' "
+        "GROUP BY n1.n_name, n2.n_name ORDER BY supp_nation, cust_nation"),
+    # TPC-H Q11 shape: HAVING <aggregate> > (SELECT scalar subquery)
+    "sql_tpch_q11ish": (
+        "SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) "
+        "AS BIGINT) AS value_q FROM lineitem GROUP BY l_suppkey "
+        "HAVING SUM(l_quantity) > "
+        "(SELECT SUM(l_quantity) * 0.0101 AS thr FROM lineitem) "
+        "ORDER BY value_q DESC, l_suppkey"),
+    # TPC-H Q16 shape: NOT IN subquery + COUNT(DISTINCT) over a join
+    "sql_tpch_q16ish": (
+        "SELECT p.p_brand, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt "
+        "FROM part p, lineitem l WHERE p.p_partkey = l.l_partkey "
+        "AND p.p_size IN (1, 5, 15, 25, 35, 45) "
+        "AND l.l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p.p_brand ORDER BY supplier_cnt DESC, p_brand"),
     # TPC-H Q13 shape: LEFT-JOIN count inside a derived table, outer
     # distribution GROUP BY over the inner count
     "sql_tpch_q13ish": (

@@ -471,6 +471,16 @@ class _Parser:
                     "expression predicates support only <cmp> literal "
                     f"(got {v!r})")
             self.eat()
+            if (self.peek() == ("punct", "(")
+                    and self.toks[self.i + 1] == ("kw", "SELECT")):
+                # <agg/expr> <cmp> (SELECT ...) — e.g. HAVING SUM(x) >
+                # (SELECT ...); the uncorrelated subquery folds to a
+                # literal before execution
+                self.eat()
+                sub = self.statement(stop_at_paren=True)
+                self.eat("punct", ")")
+                return {"op": "cmp_expr_subquery", "node": node,
+                        "cmp": v, "plan": sub}
             return {"op": "cmp_expr", "node": node, "cmp": v,
                     "value": self.literal()}
         if self.at_kw("IS"):
@@ -1837,6 +1847,27 @@ def _resolve_in_subqueries(cond, tables, negated: bool = False):
         return _resolve_exists(cond, tables, negated)
     if cond.get("op") == "cmp_scalar_subquery":
         return _resolve_scalar_subquery(cond, tables)
+    if cond.get("op") == "cmp_expr_subquery":
+        # expression/aggregate LHS vs an UNCORRELATED scalar subquery:
+        # fold the subquery to a literal, keep the cmp_expr machinery
+        if _split_correlation(cond["plan"])[0]:
+            raise ValueError("correlated subqueries are not supported on "
+                             "an expression/aggregate comparison side")
+        sub = _execute_plan(cond["plan"], tables)
+        cols = sub.schema().names if sub.schema() is not None else []
+        if len(cols) != 1:
+            raise ValueError("scalar subquery needs exactly one output "
+                             f"column, got {cols}")
+        rows = sub.limit(2).take_all()
+        if len(rows) > 1:
+            raise ValueError("scalar subquery returned more than one row")
+        if not rows or rows[0][cols[0]] is None:
+            return {"op": "const", "value": False}
+        val = rows[0][cols[0]]
+        if hasattr(val, "item"):
+            val = val.item()
+        return {"op": "cmp_expr", "node": cond["node"],
+                "cmp": cond["cmp"], "value": val}
     out = dict(cond)
     if "clauses" in out:
         flip = negated != (out.get("op") == "not")

@@ -512,6 +512,20 @@ def test_implicit_comma_joins(ray_session):
         execute_sql("SELECT a.v FROM a, b WHERE a.k > 1", tables)
 
 
+def test_having_scalar_subquery(ray_session, table):
+    """HAVING <aggregate> <cmp> (SELECT scalar) folds the uncorrelated
+    subquery to a literal (TPC-H Q11 shape)."""
+    for sql in [
+        "SELECT grp, SUM(val) AS s FROM t GROUP BY grp "
+        "HAVING SUM(val) > (SELECT SUM(val) * 0.14 AS thr FROM t) "
+        "ORDER BY grp",
+        "SELECT kind, COUNT(*) AS n FROM t GROUP BY kind "
+        "HAVING COUNT(*) >= (SELECT COUNT(*) / 3 AS thr FROM t) "
+        "ORDER BY kind",
+    ]:
+        _assert_same(*_both(sql, table))
+
+
 def test_date_string_predicates(ray_session):
     """ISO date-string literals compare against timestamp/date columns
     (term + range filters cast the literal to the column type)."""
