@@ -1975,6 +1975,33 @@ _SQL_QUERIES = {
         "AND l.l_shipdate > '1998-07-01' "
         "GROUP BY l.l_orderkey, o.o_orderdate "
         "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+    # TPC-H Q9 shape: YEAR() extraction in SELECT + GROUP BY, LIKE on
+    # part names, 5-table implicit join
+    "sql_tpch_q9ish": (
+        "SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year, "
+        "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_c "
+        "FROM part p, supplier s, lineitem l, orders o, nation n "
+        "WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey "
+        "AND o.o_orderkey = l.l_orderkey "
+        "AND s.s_nationkey = n.n_nationkey AND p.p_name LIKE '%a%' "
+        "GROUP BY n.n_name, YEAR(o.o_orderdate) "
+        "ORDER BY nation, o_year DESC LIMIT 60"),
+    # TPC-H Q15 shape: derived revenue view joined to supplier + scalar
+    # MAX over the same view (top-revenue supplier, cent-exact equality)
+    "sql_tpch_q15ish": (
+        "SELECT s.s_suppkey, s.s_name, r.total_rev FROM supplier s "
+        "JOIN (SELECT l_suppkey, CAST(SUM(CAST(FLOOR(l_extendedprice "
+        "* (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS total_rev FROM lineitem WHERE l_shipdate >= '1997-01-01' "
+        "AND l_shipdate < '1997-04-01' GROUP BY l_suppkey) r "
+        "ON s.s_suppkey = r.l_suppkey "
+        "WHERE r.total_rev = (SELECT MAX(total_rev2) AS m FROM "
+        "(SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev2 "
+        "FROM lineitem WHERE l_shipdate >= '1997-01-01' "
+        "AND l_shipdate < '1997-04-01' GROUP BY l_suppkey) rr) "
+        "ORDER BY s_suppkey"),
     # TPC-H Q7 shape: nation joined TWICE under two aliases (supplier
     # nation x customer nation) across a 6-table implicit join
     "sql_tpch_q7ish": (

@@ -92,7 +92,8 @@ _TOKEN = re.compile(r"""
 
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _SCALAR_FNS = {"UPPER", "LOWER", "LENGTH", "SUBSTR", "SUBSTRING", "TRIM",
-               "FLOOR", "CEIL", "ABS", "COALESCE", "NULLIF"}
+               "FLOOR", "CEIL", "ABS", "COALESCE", "NULLIF",
+               "YEAR", "MONTH", "DAY"}
 _WINDOW_FNS = {"ROW_NUMBER", "RANK", "DENSE_RANK"}
 _NAV_FNS = {"LAG", "LEAD", "NTILE", "FIRST_VALUE", "LAST_VALUE"}
 _CAST_TYPES = {"BIGINT": "int64", "INTEGER": "int32", "DOUBLE": "float64",
@@ -835,7 +836,8 @@ def _compile_scalar_fn(node: dict):
     n_want = {"UPPER": (1,), "LOWER": (1,), "LENGTH": (1,), "TRIM": (1,),
               "FLOOR": (1,), "CEIL": (1,), "ABS": (1,),
               "SUBSTR": (2, 3), "SUBSTRING": (2, 3),
-              "NULLIF": (2,)}.get(fn)
+              "NULLIF": (2,), "YEAR": (1,), "MONTH": (1,),
+              "DAY": (1,)}.get(fn)
     if fn == "COALESCE":
         if len(args) < 2:
             raise ValueError("COALESCE takes >= 2 args")
@@ -872,6 +874,10 @@ def _compile_scalar_fn(node: dict):
         return lambda t: pc.ceil(pc.cast(a(t), pa.float64()))
     if fn == "ABS":
         return lambda t: pc.abs(a(t))
+    if fn in ("YEAR", "MONTH", "DAY"):
+        # temporal extraction (DuckDB YEAR/MONTH/DAY return BIGINT)
+        k = {"YEAR": pc.year, "MONTH": pc.month, "DAY": pc.day}[fn]
+        return lambda t, _k=k: pc.cast(_k(a(t)), pa.int64())
     # SUBSTR / SUBSTRING
     for arg in args[1:]:
         if arg.get("kind") != "lit" or not isinstance(arg["value"], int):
@@ -1877,13 +1883,22 @@ def _resolve_in_subqueries(cond, tables, negated: bool = False):
 
 
 def _inner_names(plan: dict) -> set:
-    names = {plan["table"]}
+    # derived tables have a dict "table" — only their alias names them
+    names = set()
+    if isinstance(plan.get("table"), str):
+        names.add(plan["table"])
     if plan.get("alias"):
         names.add(plan["alias"])
     for j in plan.get("joins", ()):
-        names.add(j["table"])
+        if isinstance(j["table"], str):
+            names.add(j["table"])
         if j.get("alias"):
             names.add(j["alias"])
+    for t in plan.get("implicit", ()):
+        if isinstance(t["table"], str):
+            names.add(t["table"])
+        if t.get("alias"):
+            names.add(t["alias"])
     return names
 
 

@@ -512,6 +512,24 @@ def test_implicit_comma_joins(ray_session):
         execute_sql("SELECT a.v FROM a, b WHERE a.k > 1", tables)
 
 
+def test_year_month_day(ray_session):
+    """YEAR/MONTH/DAY temporal extraction (BIGINT like DuckDB)."""
+    import datetime as dt
+
+    days = [dt.datetime(2019, 11, 28) + dt.timedelta(days=i * 13)
+            for i in range(40)]
+    t = pa.table({"d": pa.array(days, pa.timestamp("us")),
+                  "v": pa.array(range(40), pa.int64())})
+    for sql in [
+        "SELECT v, YEAR(d) AS y, MONTH(d) AS m, DAY(d) AS dd FROM t "
+        "ORDER BY v",
+        "SELECT YEAR(d) AS y, COUNT(*) AS n FROM t GROUP BY YEAR(d) "
+        "ORDER BY y",
+        "SELECT v FROM t WHERE MONTH(d) = 3 ORDER BY v",
+    ]:
+        _assert_same(*_both(sql, t))
+
+
 def test_having_scalar_subquery(ray_session, table):
     """HAVING <aggregate> <cmp> (SELECT scalar) folds the uncorrelated
     subquery to a literal (TPC-H Q11 shape)."""
